@@ -1,0 +1,121 @@
+"""Typed configuration for the TARL-TPU framework.
+
+The reference scatters physics constants as magic numbers across files
+(CONGESTION_FILE in feature_helpers.py:54, the ``+10`` congestion softening and
+``/3600`` critical-density factor in transportation_simulator.py:207-210, the
+gridlock threshold ``-10`` s in direction_mpnn.py:87, the Dijkstra
+``refresh_rate=10`` in agents/base.py:524, the RL episode window 6h->7h in
+reinforcement_learning.py:203,273 and BPR ``alpha=0.15, beta=4`` in
+user_equilibrium_msa.py:122-123).  Here they are lifted into frozen dataclasses
+so every subsystem reads one source of truth and experiments can override them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Constants of the queueing / congestion model.
+
+    Mirrors the reference's hard-coded values so default behaviour matches.
+    """
+
+    # Slots at the tail of every FIFO reserved for gridlock resolution
+    # (reference: FeatureHelpers.CONGESTION_FILE, feature_helpers.py:54).
+    congestion_buffer: int = 3
+    # Softening constant in the congestion travel-time law
+    # ``tt = max(fftt, congestion_constant / (cap + softening - n))``
+    # (reference: transportation_simulator.py:207-210, direction_mpnn.py:180-190).
+    congestion_softening: float = 10.0
+    # Seconds past the scheduled departure after which the gridlock-escape
+    # submask activates (reference: direction_mpnn.py:87 uses ``< -10``).
+    gridlock_patience: float = 10.0
+    # Critical-density factor: capacity [veh/h] * fftt [s] / 3600
+    # (reference: transportation_simulator.py:207).
+    seconds_per_hour: float = 3600.0
+    # MATSim default effective cell size [m] when the XML omits it
+    # (reference: transportation_simulator.py:99-101).
+    effective_cell_size: float = 7.5
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Parameters of a simulation run (reference: RunnerArgs, runner.py:10-23)."""
+
+    timestep: int = 1                 # seconds between ticks
+    start_time: int = 0               # seconds since midnight
+    end_time: int = 86400             # seconds since midnight
+    seed: int = 0
+    # Maximum withdrawals per road per tick scanned from the FIFO head.  The
+    # reference scans the whole queue (agents/base.py:334-403); ``None`` keeps
+    # that exact semantics, a small int bounds per-tick memory traffic on
+    # very deep queues (ring-buffer design makes either cheap).
+    withdraw_depth: int | None = None
+    # Cap on insertion candidates considered per tick (None = all agents, the
+    # reference semantics).  A static window keeps per-tick cost O(W log W)
+    # for multi-million-agent populations.
+    insert_window: int | None = None
+    # Record per-tick road-optimality series (delta travel time per road,
+    # reference: transportation_simulator.py:351).  Costs T x R floats.
+    record_road_optimality: bool = True
+    # Number of hour buckets for the on-device traffic-count accumulator
+    # (reference rebuilds these from host-side event lists,
+    # transportation_simulator.py:563-669).
+    num_hours: int = 30
+
+    @property
+    def num_steps(self) -> int:
+        return (self.end_time - self.start_time) // self.timestep
+
+
+@dataclasses.dataclass(frozen=True)
+class RoutingConfig:
+    """Routing-policy knobs (reference: agents/base.py:519-584)."""
+
+    # Ticks between all-pairs shortest-path refreshes (base.py:524).
+    refresh_rate: int = 10
+    # Upper bound on Bellman-Ford relaxation sweeps; ``None`` -> num_nodes-1.
+    max_bf_iters: int | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class RLConfig:
+    """PPO / environment parameters.
+
+    Defaults mirror the reference trainer (rl/ppo_trainer.py:12-39) and env
+    (reinforcement_learning.py:203,273).
+    """
+
+    episode_start: int = 6 * 3600 - 60   # env reset time (reinforcement_learning.py:203)
+    episode_end: int = 7 * 3600          # done threshold (reinforcement_learning.py:273)
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_epsilon: float = 0.2
+    learning_rate: float = 1e-3
+    entropy_coef: float = 0.0
+    value_coef: float = 1.0
+    rollout_steps: int = 32
+    num_epochs: int = 1
+    minibatch_size: int = 32
+    num_envs: int = 1                    # vmapped env replicas (data parallel)
+    max_grad_norm: float | None = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MSAConfig:
+    """Method-of-successive-averages equilibrium solver parameters
+    (reference: user_equilibrium_msa.py:65,122-123,159-161)."""
+
+    tol: float = 1e-5
+    max_iter: int = 1000
+    bpr_alpha: float = 0.15
+    bpr_beta: float = 4.0
+
+
+DEFAULT_PHYSICS = PhysicsConfig()
+DEFAULT_SIM = SimConfig()
+DEFAULT_ROUTING = RoutingConfig()
+DEFAULT_RL = RLConfig()
+DEFAULT_MSA = MSAConfig()

@@ -1,0 +1,112 @@
+"""Direction step: propose and accept at most one agent transfer per road.
+
+TPU-native rewrite of ``DirectionMPNN`` (reference: direction_mpnn.py:19-236).
+The PyG message/aggregate/update phases become one fused gather -> mask ->
+segment-sample -> scatter pipeline over the turn-edge list:
+
+* ``message`` (direction_mpnn.py:44-100): per turn edge (u -> v), transfer
+  eligibility = departure time reached AND v has space below
+  ``capacity - CONGESTION_FILE`` AND u's head selected v AND u non-empty,
+  OR the gridlock-escape submask (stuck > 10 s, u nearly full, v at least as
+  free as u, v selected);
+* ``aggregate`` (direction_mpnn.py:103-146): Gumbel-max categorical over each
+  downstream road's incoming proposals, probability proportional to
+  ``edge_attr * mask`` — here the *exact* trick (log-prob + Gumbel, -inf on
+  masked edges) instead of the reference's ``log(prob + 1e-12)`` approximation;
+* ``update`` (direction_mpnn.py:148-196): push the chosen agent at v's FIFO
+  tail, stamp arrival = now and departure = now + max(fftt,
+  congestion_constant / (cap + 10 - count)); agent id 0 is the sentinel
+  non-agent and never increments the count (direction_mpnn.py:194).
+
+Also emits the per-edge ``delta_travel_time`` the reference stores for the
+road-optimality metric (direction_mpnn.py:94-96), aggregated per source road.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConfig, DEFAULT_PHYSICS
+from ..network import Network
+from ..ops.segment import segment_sample, segment_sum
+from ..state import RoadState
+
+
+def direction_step(
+    road: RoadState,
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    key: jax.Array,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> tuple[RoadState, jnp.ndarray]:
+    """Returns ``(road_state, road_delta_tt)`` where ``road_delta_tt[R]`` is
+    the congestion delay of each road's head agent summed over its outgoing
+    turn edges (the aggregation plot_road_optimality applies,
+    transportation_simulator.py:482-488)."""
+    R = road.num_roads
+    Nmax = road.nmax
+    u = network.edge_src
+    v = network.edge_dst
+
+    head_id = road.head_ids()
+    head_arrival = road.head_arrival()
+    head_departure = road.head_departure()
+    count_f = road.count.astype(jnp.float32)
+    cap = network.capacity
+
+    # --- message: eligibility mask per turn edge (direction_mpnn.py:81-91) ---
+    dep_ok = head_departure[u] <= time
+    space_ok = count_f[v] < cap[v] - physics.congestion_buffer
+    wants_v = selected_road[:R][u] == v
+    nonempty = road.count[u] > 0
+    mask = dep_ok & space_ok & wants_v & nonempty
+
+    stuck = (head_departure[u] - time) < -physics.gridlock_patience
+    u_full = cap[u] - physics.congestion_buffer <= count_f[u]
+    v_freer = cap[u] - count_f[u] <= cap[v] - count_f[v]
+    gridlock = stuck & u_full & v_freer & wants_v
+    mask = mask | gridlock
+
+    prob = network.edge_attr * mask.astype(jnp.float32)
+
+    # --- aggregate: sample <=1 incoming proposal per road (dm.py:103-146) ---
+    logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
+    chosen_edge = segment_sample(key, logits, v, R)  # int32[R], E = no proposal
+    has_proposal = chosen_edge < network.num_turn_edges
+    src_road = u[jnp.minimum(chosen_edge, network.num_turn_edges - 1)]
+    chosen_agent = jnp.where(has_proposal, head_id[src_road], 0)
+    accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
+
+    # --- update: push at tail, stamp times (direction_mpnn.py:171-195) ---
+    slot = (road.head + road.count) % Nmax
+    rows = jnp.where(accept, jnp.arange(R, dtype=jnp.int32), R)  # R -> dropped
+    time_congestion = network.congestion_constant / (
+        cap + physics.congestion_softening - count_f
+    )
+    travel_time = jnp.maximum(network.free_flow, time_congestion)
+
+    fifo_ids = road.fifo_ids.at[rows, slot].set(chosen_agent, mode="drop")
+    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
+        jnp.broadcast_to(time, (R,)), mode="drop"
+    )
+    fifo_departure = road.fifo_departure.at[rows, slot].set(
+        time + travel_time, mode="drop"
+    )
+    new_count = road.count + accept.astype(jnp.int32)
+
+    # --- road-optimality data (direction_mpnn.py:94-96) ---
+    edge_delta = jnp.maximum(
+        (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
+    )
+    road_delta_tt = segment_sum(edge_delta, u, R)
+
+    return (
+        road._replace(
+            fifo_ids=fifo_ids,
+            fifo_arrival=fifo_arrival,
+            fifo_departure=fifo_departure,
+            count=new_count,
+        ),
+        road_delta_tt,
+    )

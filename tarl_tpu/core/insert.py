@@ -1,0 +1,118 @@
+"""Agent insertion: place all due agents onto their chosen entry road.
+
+TPU-native rewrite of ``Agents.insert_agent_into_network``
+(reference: agents/base.py:244-331).  The reference sorts ready agents by
+road, computes per-road allowed counts with ``unique_consecutive`` and then
+runs a small Python loop over unique roads (base.py:288-291); here the whole
+assignment — including the capacity clip — is one fused, static-shape
+computation: stable sort by road key, segmented rank via a cumulative max,
+and capacity masking, followed by three scatters into the ring-buffer FIFOs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConfig, DEFAULT_PHYSICS
+from ..network import Network
+from ..state import AgentState, RoadState
+
+
+def insert_agents(
+    road: RoadState,
+    agents: AgentState,
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    entry_road: jnp.ndarray | None = None,
+) -> tuple[RoadState, AgentState]:
+    """Insert every ready agent whose entry road has spare capacity.
+
+    Parameters
+    ----------
+    entry_road:
+        Optional int32[A] road index per agent.  Defaults to the road selected
+        at the agent's origin SRC node (``x[origins, SELECTED_ROAD]``,
+        base.py:258-259).  Routing policies that know each agent's destination
+        (e.g. the shortest-path policy) pass a per-agent road instead, fixing
+        the reference quirk where all entrants at one SRC share a single
+        head-of-FIFO-driven choice.
+
+    Semantics matched to the reference:
+
+    * ready = departure reached & not ON_WAY & not DONE (base.py:247-251);
+    * per-road admitted count = min(#candidates, capacity - CONGESTION_FILE -
+      count) with candidates admitted in agent-index order (base.py:275-299);
+    * arrival stamped ``time``; departure stamped ``time + max(fftt,
+      congestion_constant / (cap + 10 - count_before))`` where ``count_before``
+      is the road's occupancy before this whole insert (base.py:313-325).
+    """
+    R = road.num_roads
+    Nmax = road.nmax
+    A = agents.num_agents
+
+    ready = (agents.departure <= time) & (~agents.on_way) & (~agents.done)
+    if entry_road is None:
+        entry_road = selected_road[agents.origin]
+    valid_road = (entry_road >= 0) & (entry_road < R)
+    road_key = jnp.where(ready & valid_road, entry_road, R).astype(jnp.int32)
+
+    # Stable sort groups candidates by road while preserving agent-index order
+    # within each group (the reference's argsort, base.py:275-277).
+    order = jnp.argsort(road_key, stable=True)
+    road_sorted = road_key[order]
+    agent_sorted = order.astype(jnp.int32)
+
+    pos = jnp.arange(A, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
+    )
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0)
+    )
+    rank = pos - group_start
+
+    safe_road = jnp.minimum(road_sorted, R - 1)
+    count_before = road.count[safe_road]
+    remaining = (
+        network.capacity[safe_road]
+        - physics.congestion_buffer
+        - count_before.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
+
+    # Scatter into ring buffers: logical slot = count_before + rank.
+    slot = (road.head[safe_road] + count_before + rank) % Nmax
+    rows = jnp.where(ok, road_sorted, R)  # R is out of bounds -> dropped
+
+    time_congestion = network.congestion_constant[safe_road] / (
+        network.capacity[safe_road]
+        + physics.congestion_softening
+        - count_before.astype(jnp.float32)
+    )
+    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
+
+    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
+    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
+        jnp.broadcast_to(time, (A,)), mode="drop"
+    )
+    fifo_departure = road.fifo_departure.at[rows, slot].set(
+        time + travel_time, mode="drop"
+    )
+    count_add = jax.ops.segment_sum(
+        ok.astype(jnp.int32), rows, num_segments=R + 1
+    )[:R]
+
+    inserted_agents = jnp.where(ok, agent_sorted, A)  # A -> dropped
+    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
+
+    return (
+        road._replace(
+            fifo_ids=fifo_ids,
+            fifo_arrival=fifo_arrival,
+            fifo_departure=fifo_departure,
+            count=road.count + count_add,
+        ),
+        agents._replace(on_way=on_way),
+    )

@@ -1,0 +1,208 @@
+"""Tick composition and the fused episode driver.
+
+The reference's per-tick host loop (``TransportationSimulator.run``,
+transportation_simulator.py:294-351: insert -> withdraw -> choice -> core,
+then clock advance and metric appends) becomes a pure function
+``tick(state) -> (state, TickLog)`` compiled once and driven by ``lax.scan``,
+so a whole episode (86,400 ticks by default, main.py:12) executes on device
+with zero host round-trips.
+
+The RL environment uses a different phase order (choice -> core -> withdraw ->
+insert, reinforcement_learning.py:222-254); that composition lives in
+:mod:`tarl_tpu.rl.env`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConfig, SimConfig, DEFAULT_PHYSICS, DEFAULT_SIM
+from ..network import Network, default_selected_road
+from ..state import (
+    AgentState,
+    MetricState,
+    RoadState,
+    SimState,
+    TickLog,
+    init_metric_state,
+    init_road_state,
+)
+from .direction import direction_step
+from .insert import insert_agents
+from .response import response_step
+from .withdraw import withdraw_agents
+
+
+class Policy(NamedTuple):
+    """A route-choice policy as pure functions (see routing.policies).
+
+    ``entry`` (optional) maps state -> per-agent entry road used at insertion;
+    ``needs_next_hop`` requests the dense next-hop table in the scan carry.
+    """
+
+    choice: object                # ChoiceFn
+    entry: Optional[object] = None
+    needs_next_hop: bool = False
+
+
+def init_sim_state(
+    network: Network,
+    agents: AgentState,
+    *,
+    sim: SimConfig = DEFAULT_SIM,
+    policy: Optional[Policy] = None,
+    key: Optional[jax.Array] = None,
+    next_hop: Optional[jnp.ndarray] = None,
+) -> SimState:
+    """Fresh :class:`SimState` at ``sim.start_time``."""
+    if key is None:
+        key = jax.random.PRNGKey(sim.seed)
+    if next_hop is None:
+        if policy is not None and policy.needs_next_hop:
+            from ..routing.bellman_ford import all_pairs_next_hop
+
+            _, next_hop = all_pairs_next_hop(
+                network.full_src,
+                network.full_dst,
+                network.entry_cost(),
+                network.num_nodes,
+            )
+        else:
+            next_hop = jnp.zeros((1, 1), dtype=jnp.int32)
+    return SimState(
+        road=init_road_state(network.num_roads, network.nmax),
+        agents=agents,
+        selected_road=default_selected_road(network),
+        time=jnp.asarray(float(sim.start_time), jnp.float32),
+        key=key,
+        metrics=init_metric_state(network.num_roads, sim.num_hours),
+        next_hop=next_hop,
+        choice_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def reset_sim_state(state: SimState, start_time) -> SimState:
+    """Clear queues, agent progress and metric accumulators
+    (TransportationSimulator.reset, ts.py:353-358 + Agents.reset,
+    base.py:497-503)."""
+    R, Nmax = state.road.fifo_ids.shape
+    H = state.metrics.hourly_counts.shape[0]
+    return state._replace(
+        road=init_road_state(R, Nmax),
+        agents=state.agents._replace(
+            on_way=jnp.zeros_like(state.agents.on_way),
+            done=jnp.zeros_like(state.agents.done),
+            arrival=jnp.zeros_like(state.agents.arrival),
+        ),
+        time=jnp.asarray(start_time, jnp.float32),
+        metrics=init_metric_state(R, H),
+        choice_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def tick(
+    state: SimState,
+    network: Network,
+    policy: Policy,
+    sim: SimConfig = DEFAULT_SIM,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> tuple[SimState, TickLog]:
+    """One simulation tick in the classical order insert -> withdraw ->
+    choice -> core (transportation_simulator.py:294-324), followed by the
+    clock advance and metric updates (ts.py:342-351)."""
+    t = state.time
+
+    # --- insert (agents/base.py:244-331) ---
+    entry_road = policy.entry(state, network) if policy.entry is not None else None
+    road, agents = insert_agents(
+        state.road, state.agents, state.selected_road, network, t, physics,
+        entry_road=entry_road,
+    )
+
+    # --- withdraw (agents/base.py:334-403) ---
+    road, agents, withdrawn = withdraw_agents(
+        road, agents, network, t, depth=sim.withdraw_depth
+    )
+    state = state._replace(road=road, agents=agents)
+
+    # --- choice (agents/base.py:446-494 / 519-584) ---
+    state, _ = policy.choice(state, network)
+
+    # --- core: direction + response (simulation_core_model.py:41-83) ---
+    key, k_dir = jax.random.split(state.key)
+    road, road_delta_tt = direction_step(
+        state.road, state.selected_road, network, t, k_dir, physics
+    )
+    road, popped = response_step(road, network)
+
+    # --- clock + metrics (ts.py:342-351) ---
+    new_time = t + sim.timestep
+    hour = jnp.clip(
+        (t / 3600.0).astype(jnp.int32), 0, sim.num_hours - 1
+    )
+    traversals = (withdrawn | popped).astype(jnp.int32)
+    metrics = state.metrics
+    hourly = metrics.hourly_counts.at[hour].add(traversals)
+
+    on_way_total = jnp.sum(road.count).astype(jnp.float32)
+    done_total = jnp.sum(agents.done).astype(jnp.float32)
+    departures = (
+        on_way_total - metrics.on_way_before + done_total - metrics.done_before
+    )
+    arrivals = done_total - metrics.done_before
+
+    new_state = state._replace(
+        road=road,
+        agents=agents,
+        time=new_time,
+        key=key,
+        metrics=MetricState(
+            hourly_counts=hourly,
+            on_way_before=on_way_total,
+            done_before=done_total,
+        ),
+    )
+    log = TickLog(
+        departures=departures,
+        arrivals=arrivals,
+        on_way=on_way_total,
+        time=new_time,
+        road_delta_tt=(
+            road_delta_tt
+            if sim.record_road_optimality
+            else jnp.zeros((0,), jnp.float32)
+        ),
+    )
+    return new_state, log
+
+
+@functools.partial(
+    jax.jit, static_argnames=("policy", "sim", "physics", "num_steps")
+)
+def run_episode(
+    state: SimState,
+    network: Network,
+    policy: Policy,
+    num_steps: int,
+    sim: SimConfig = DEFAULT_SIM,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> tuple[SimState, TickLog]:
+    """Run ``num_steps`` ticks as one fused ``lax.scan`` (the reference's
+    ``run_episode`` host loop, algorithms/base_runner.py:42-43, on device)."""
+
+    def body(s, _):
+        return tick(s, network, policy, sim, physics)
+
+    final, logs = jax.lax.scan(body, state, length=num_steps)
+    return final, logs
+
+
+def average_travel_time(agents: AgentState) -> jnp.ndarray:
+    """Mean realized travel time over DONE agents (runner.py:150-153)."""
+    done = agents.done
+    tt = jnp.where(done, agents.arrival - agents.departure, 0.0)
+    n = jnp.maximum(jnp.sum(done.astype(jnp.float32)), 1.0)
+    return jnp.sum(tt) / n

@@ -1,0 +1,80 @@
+"""Scenario caching: ``save/<scenario>/{network,population}.npz``.
+
+Replaces the reference's ``torch.save`` caches ``save/<scenario>/network.pt``
+(transportation_simulator.py:230-267) and ``save/<scenario>/population.pt``
+(agents/base.py:407-444) with portable ``.npz`` archives, keeping the same
+load-or-rebuild-from-XML fallback flow.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..network import Network
+from ..state import AgentState
+from ..schema import agent_features_matrix, agents_from_matrix
+
+_NET_STATIC = ("num_roads", "num_intersections", "nmax")
+
+
+def save_network(network: Network, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = {}
+    for f in dataclasses.fields(network):
+        v = getattr(network, f.name)
+        arrays[f.name] = np.asarray(v)
+    np.savez_compressed(path, **arrays)
+
+
+def load_network_cache(path: str) -> Network:
+    with np.load(path) as data:
+        kwargs = {}
+        for f in dataclasses.fields(Network):
+            v = data[f.name]
+            kwargs[f.name] = int(v) if f.name in _NET_STATIC else jnp.asarray(v)
+    return Network(**kwargs)
+
+
+def save_population(agents: AgentState, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, agent_features=np.asarray(agent_features_matrix(agents)))
+
+
+def load_population_cache(path: str) -> AgentState:
+    with np.load(path) as data:
+        return agents_from_matrix(data["agent_features"])
+
+
+def load_or_build_network(scenario: str, data_root: str = "data",
+                          save_root: str = "save") -> Network:
+    """Cache-or-XML network load (transportation_simulator.py:246-267)."""
+    cache_path = os.path.join(save_root, scenario, "network.npz")
+    if os.path.exists(cache_path):
+        return load_network_cache(cache_path)
+    from .matsim import load_network
+    from .scenarios import ensure_scenario
+
+    base = ensure_scenario(data_root, scenario)
+    network = load_network(os.path.join(base, "network"))
+    save_network(network, cache_path)
+    return network
+
+
+def load_or_build_population(scenario: str, data_root: str = "data",
+                             save_root: str = "save") -> AgentState:
+    """Cache-or-XML population load (agents/base.py:420-444)."""
+    cache_path = os.path.join(save_root, scenario, "population.npz")
+    if os.path.exists(cache_path):
+        return load_population_cache(cache_path)
+    from .matsim import load_population
+    from .scenarios import ensure_scenario
+
+    base = ensure_scenario(data_root, scenario)
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    save_population(agents, cache_path)
+    return agents

@@ -1,0 +1,211 @@
+"""Synthetic scenario generators.
+
+The reference expects scenarios under ``data/<name>/{network,population}.xml``
+(transportation_simulator.py:256-265, agents/base.py:83-84) but ships none.
+These generators emit MATSim-format XML so the whole ingestion path — and any
+MATSim tooling — can be exercised end to end, and also build scenarios
+directly as arrays for benchmarks.
+
+Available generators:
+
+* :func:`braess_network` — the 4-intersection Braess diamond, the canonical
+  equilibrium test case (mirrors the spirit of tests/conftest.py:45-91).
+* :func:`grid_scenario` — an n x m Manhattan grid with bidirectional links
+  and a random commuter population, the workhorse benchmark scenario.
+* :func:`two_link_scenario` — the reference's 2-link test network
+  (tests/conftest.py:94-106).
+"""
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def _write_xml(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".gz"):
+        with gzip.open(path, "wt") as f:
+            f.write(content)
+    else:
+        with open(path, "w") as f:
+            f.write(content)
+
+
+def network_xml(nodes: list[tuple[str, float, float]],
+                links: list[dict], effective_cell_size: float = 7.5) -> str:
+    """Serialize node/link tables to MATSim network XML."""
+    parts = ["<network>", " <nodes>"]
+    for nid, x, y in nodes:
+        parts.append(f'  <node id="{nid}" x="{x}" y="{y}"/>')
+    parts.append(" </nodes>")
+    parts.append(f' <links effectivecellsize="{effective_cell_size}">')
+    for l in links:
+        parts.append(
+            '  <link id="{id}" from="{from_}" to="{to}" length="{length}" '
+            'capacity="{capacity}" freespeed="{freespeed}" permlanes="{permlanes}"/>'.format(**l)
+        )
+    parts.append(" </links>")
+    parts.append("</network>")
+    return "\n".join(parts)
+
+
+def population_xml(trips: list[dict]) -> str:
+    """Serialize trips to MATSim population XML.
+
+    Each trip dict: ``{person, origin, dest, end_time, age, sex, employed}``
+    where origin/dest are intersection ids and ``end_time`` is "HH:MM:SS".
+    """
+    parts = ["<population>"]
+    for t in trips:
+        parts.append(f' <person id="{t["person"]}">')
+        parts.append("  <attributes>")
+        parts.append(f'   <attribute name="car_avail">always</attribute>')
+        parts.append(f'   <attribute name="age">{t.get("age", 30)}</attribute>')
+        parts.append(f'   <attribute name="sex">{t.get("sex", "m")}</attribute>')
+        parts.append(f'   <attribute name="employed">{t.get("employed", "yes")}</attribute>')
+        parts.append("  </attributes>")
+        parts.append("  <plan>")
+        parts.append(
+            f'   <act type="home" link="{t["origin"]}" end_time="{t["end_time"]}"/>'
+        )
+        parts.append(f'   <act type="work" link="{t["dest"]}"/>')
+        parts.append("  </plan>")
+        parts.append(" </person>")
+    parts.append("</population>")
+    return "\n".join(parts)
+
+
+def two_link_scenario(root: str, name: str = "TwoLink") -> str:
+    """The reference test network: A<->B with two 100 m links
+    (tests/conftest.py:94-106) plus one commuter A->B."""
+    nodes = [("A", 0.0, 0.0), ("B", 100.0, 0.0)]
+    links = [
+        dict(id="0", from_="A", to="B", length=100, capacity=10, freespeed=10, permlanes=1),
+        dict(id="1", from_="B", to="A", length=100, capacity=10, freespeed=10, permlanes=1),
+    ]
+    trips = [dict(person="p1", origin="A", dest="B", end_time="00:00:00")]
+    base = os.path.join(root, name)
+    _write_xml(os.path.join(base, "network.xml"), network_xml(nodes, links))
+    _write_xml(os.path.join(base, "population.xml"), population_xml(trips))
+    return base
+
+
+def braess_network(root: str, name: str = "Braess",
+                   num_agents: int = 200, seed: int = 0) -> str:
+    """Braess diamond: S -> {U, D} -> T plus the U->D shortcut.
+
+    The classic Price-of-Anarchy example: adding the shortcut worsens the
+    user equilibrium, which the TSTT / Nash-gap / PoA metrics should expose.
+    """
+    nodes = [("S", 0, 0), ("U", 500, 500), ("D", 500, -500), ("T", 1000, 0)]
+    links = [
+        dict(id="SU", from_="S", to="U", length=700, capacity=600, freespeed=14, permlanes=1),
+        dict(id="SD", from_="S", to="D", length=700, capacity=1800, freespeed=7, permlanes=1),
+        dict(id="UT", from_="U", to="T", length=700, capacity=1800, freespeed=7, permlanes=1),
+        dict(id="DT", from_="D", to="T", length=700, capacity=600, freespeed=14, permlanes=1),
+        dict(id="UD", from_="U", to="D", length=100, capacity=1800, freespeed=20, permlanes=1),
+        # return links so T is not a sink in the dual graph
+        dict(id="TS", from_="T", to="S", length=1400, capacity=1800, freespeed=14, permlanes=2),
+    ]
+    rng = np.random.default_rng(seed)
+    trips = []
+    for i in range(num_agents):
+        dep = 6 * 3600 + int(rng.integers(0, 1800))
+        hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60
+        trips.append(
+            dict(person=f"p{i}", origin="S", dest="T",
+                 end_time=f"{hh:02d}:{mm:02d}:{ss:02d}")
+        )
+    base = os.path.join(root, name)
+    _write_xml(os.path.join(base, "network.xml"), network_xml(nodes, links))
+    _write_xml(os.path.join(base, "population.xml"), population_xml(trips))
+    return base
+
+
+def grid_scenario(
+    root: str,
+    name: Optional[str] = None,
+    *,
+    rows: int = 4,
+    cols: int = 4,
+    num_agents: int = 500,
+    block_length: float = 200.0,
+    capacity: float = 600.0,
+    freespeed: float = 13.9,
+    peak_start: int = 6 * 3600,
+    peak_spread: int = 3600,
+    seed: int = 0,
+) -> str:
+    """An ``rows x cols`` Manhattan grid with bidirectional links and a random
+    commuter population drawn over all intersection pairs."""
+    name = name or f"Grid{rows}x{cols}"
+    nodes = []
+    for r in range(rows):
+        for c in range(cols):
+            nodes.append((f"n{r}_{c}", c * block_length, r * block_length))
+
+    links = []
+
+    def add(u, v):
+        links.append(
+            dict(id=f"l{len(links)}", from_=u, to=v, length=block_length,
+                 capacity=capacity, freespeed=freespeed, permlanes=1)
+        )
+
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                add(f"n{r}_{c}", f"n{r}_{c + 1}")
+                add(f"n{r}_{c + 1}", f"n{r}_{c}")
+            if r + 1 < rows:
+                add(f"n{r}_{c}", f"n{r + 1}_{c}")
+                add(f"n{r + 1}_{c}", f"n{r}_{c}")
+
+    rng = np.random.default_rng(seed)
+    inter_ids = [n[0] for n in nodes]
+    trips = []
+    for i in range(num_agents):
+        o, d = rng.choice(len(inter_ids), size=2, replace=False)
+        dep = peak_start + int(rng.integers(0, peak_spread))
+        hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60
+        trips.append(
+            dict(person=f"p{i}", origin=inter_ids[o], dest=inter_ids[d],
+                 end_time=f"{hh:02d}:{mm:02d}:{ss:02d}",
+                 age=int(rng.integers(18, 80)),
+                 sex="f" if rng.random() < 0.5 else "m")
+        )
+    base = os.path.join(root, name)
+    _write_xml(os.path.join(base, "network.xml"), network_xml(nodes, links))
+    _write_xml(os.path.join(base, "population.xml"), population_xml(trips))
+    return base
+
+
+BUILTIN_GENERATORS = {
+    "TwoLink": two_link_scenario,
+    "Braess": braess_network,
+    "Easy": lambda root, name="Easy": grid_scenario(
+        root, name, rows=3, cols=3, num_agents=200
+    ),
+    "Grid4x4": grid_scenario,
+    "Grid8x8": lambda root, name="Grid8x8": grid_scenario(
+        root, name, rows=8, cols=8, num_agents=5000
+    ),
+}
+
+
+def ensure_scenario(data_root: str, scenario: str) -> str:
+    """Return ``data_root/scenario`` generating it from a builtin if absent
+    (the reference's prefix-based directory convention, ts.py:256-265)."""
+    base = os.path.join(data_root, scenario)
+    if os.path.exists(os.path.join(base, "network.xml")) or os.path.exists(
+        os.path.join(base, "network.xml.gz")
+    ):
+        return base
+    if scenario in BUILTIN_GENERATORS:
+        return BUILTIN_GENERATORS[scenario](data_root, scenario)
+    raise FileNotFoundError(
+        f"Scenario '{scenario}' not found under {data_root} and no builtin generator exists."
+    )

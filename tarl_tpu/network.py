@@ -1,0 +1,224 @@
+"""Static road-network representation (the dual graph).
+
+The reference represents the network as a PyG ``Data`` holding a packed node
+matrix, dense adjacency, and edge lists (transportation_simulator.py:61-224):
+nodes = road links, edges = allowed turns, plus one virtual SRC/DEST node pair
+per intersection appended after the roads (README.md:14,
+transportation_simulator.py:139-147).
+
+The TPU build keeps the same graph *convention* (node ordering, SRC/DEST
+indices, edge construction) but as typed arrays with static metadata, and
+replaces the reference's two dense O(N^2) structures with scalable forms:
+
+* ``adj_matrix[road, dest]`` used by withdraw (agents/base.py:361) collapses to
+  ``road_dest[R]`` — every road has exactly one outgoing DEST edge
+  (transportation_simulator.py:186-190), so the check is an equality.
+* the normalized ``src_adj`` used by random choice (agents/base.py:469-476)
+  becomes segment sampling over the SRC->road edge list.
+
+A dense boolean adjacency is still derivable via :meth:`Network.dense_adjacency`
+for parity tests and small-scenario tooling.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import PhysicsConfig, DEFAULT_PHYSICS
+
+
+@struct.dataclass
+class Network:
+    """Immutable dual-graph network. Shapes: R roads, I intersections,
+    N = R + 2*I nodes, E turn edges, Ef full edges, Ec choice edges."""
+
+    # --- static metadata (not traced) ---
+    num_roads: int = struct.field(pytree_node=False)
+    num_intersections: int = struct.field(pytree_node=False)
+    nmax: int = struct.field(pytree_node=False)
+
+    # --- per-road attributes (transportation_simulator.py:109-137) ---
+    capacity: jnp.ndarray             # float32[R] — MAX_NUMBER_OF_AGENT
+    free_flow: jnp.ndarray            # float32[R] — free-flow travel time (s)
+    length: jnp.ndarray               # float32[R] — metres
+    max_flow: jnp.ndarray             # float32[R] — capacity (veh/h)
+    critical_number: jnp.ndarray      # float32[R] — cap*fftt/3600 (ts.py:207)
+    congestion_constant: jnp.ndarray  # float32[R] — fftt*(Nmax_r+10-critical) (ts.py:208-210)
+    road_dest: jnp.ndarray            # int32[R] — DEST node of the road's "to" intersection
+
+    # --- turn edges: road -> road (edge_index_routes, ts.py:149-171) ---
+    edge_src: jnp.ndarray             # int32[E]
+    edge_dst: jnp.ndarray             # int32[E]
+    edge_attr: jnp.ndarray            # float32[E] — capacity-share weights
+
+    # --- full edges incl. SRC->road / road->DEST (ts.py:173-193) ---
+    full_src: jnp.ndarray             # int32[Ef]
+    full_dst: jnp.ndarray             # int32[Ef]
+    full_attr: jnp.ndarray            # float32[Ef] — 0.0 on virtual edges
+
+    # --- choice edges: full edges whose destination is a road; the domain of
+    # route choice for both road nodes and SRC nodes (agents/base.py:446-494) ---
+    choice_src: jnp.ndarray           # int32[Ec] — road or SRC node index
+    choice_dst: jnp.ndarray           # int32[Ec] — road index
+
+    @property
+    def num_nodes(self) -> int:
+        return self.num_roads + 2 * self.num_intersections
+
+    @property
+    def num_turn_edges(self) -> int:
+        return int(self.edge_src.shape[0])
+
+    @property
+    def num_full_edges(self) -> int:
+        return int(self.full_src.shape[0])
+
+    def src_node_indices(self) -> jnp.ndarray:
+        """Global indices of SRC nodes (ts.py:143: ``num_roads + 2*k``)."""
+        return self.num_roads + 2 * jnp.arange(self.num_intersections, dtype=jnp.int32)
+
+    def dest_node_indices(self) -> jnp.ndarray:
+        return self.num_roads + 2 * jnp.arange(self.num_intersections, dtype=jnp.int32) + 1
+
+    def dense_adjacency(self) -> jnp.ndarray:
+        """Dense bool[N, N] adjacency over the full edge list
+        (ts.py:196-198). For parity tests / small scenarios only."""
+        n = self.num_nodes
+        adj = jnp.zeros((n, n), dtype=bool)
+        return adj.at[self.full_src, self.full_dst].set(True)
+
+    def entry_cost(self) -> jnp.ndarray:
+        """Free-flow cost of *entering* each node: ``fftt`` for roads, 0 for
+        SRC/DEST (the MSA edge-weight convention, user_equilibrium_msa.py:111-120)."""
+        n = self.num_nodes
+        cost = jnp.zeros((n,), dtype=jnp.float32)
+        return cost.at[: self.num_roads].set(self.free_flow)
+
+
+def build_network(
+    *,
+    length: np.ndarray,
+    max_flow: np.ndarray,
+    free_speed: np.ndarray,
+    perm_lanes: np.ndarray,
+    from_inter: np.ndarray,   # int[R] — intersection ordinal of the link's tail
+    to_inter: np.ndarray,     # int[R] — intersection ordinal of the link's head
+    num_intersections: int,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> Network:
+    """Construct a :class:`Network` from raw per-link attributes.
+
+    Mirrors the reference network builder (transportation_simulator.py:96-224):
+
+    * per-road cell capacity ``int(length*lanes/cell_size) + 1`` (ts.py:122-124),
+    * ``Nmax = max(capacity) + 1`` (ts.py:128),
+    * turn edges between consecutive links with capacity-share weights
+      normalized per upstream link (ts.py:149-171),
+    * SRC->road and road->DEST edges with weight 0 (ts.py:173-193),
+    * precomputed ``critical_number`` / ``congestion_constant`` (ts.py:207-210).
+
+    Intersections must already be mapped to ordinals 0..I-1 in the order the
+    reference uses (sorted id strings, ts.py:142); SRC node of intersection k
+    is ``R + 2k``, DEST is ``R + 2k + 1``.
+    """
+    length = np.asarray(length, dtype=np.float64)
+    max_flow = np.asarray(max_flow, dtype=np.float64)
+    free_speed = np.asarray(free_speed, dtype=np.float64)
+    perm_lanes = np.asarray(perm_lanes, dtype=np.float64)
+    from_inter = np.asarray(from_inter, dtype=np.int64)
+    to_inter = np.asarray(to_inter, dtype=np.int64)
+    num_roads = int(length.shape[0])
+
+    free_flow = length / free_speed
+    capacity = (length * perm_lanes / physics.effective_cell_size).astype(np.int64) + 1
+    nmax = int(capacity.max()) + 1
+
+    # Turn edges: link u -> link v iff head(u) == tail(v); weight is v's share
+    # of the total outgoing capacity at that intersection (ts.py:153-168).
+    outgoing: list[list[int]] = [[] for _ in range(num_intersections)]
+    for i in range(num_roads):
+        outgoing[from_inter[i]].append(i)
+
+    e_src, e_dst, e_w = [], [], []
+    for u in range(num_roads):
+        downs = outgoing[to_inter[u]]
+        total = sum(max_flow[u] for _ in downs)  # cap of the *upstream* link
+        # NB: the reference appends the upstream link's own capacity per edge
+        # and normalizes by the group total (ts.py:160-168), which reduces to a
+        # uniform 1/len(downs) share; computed explicitly to match exactly.
+        for v in downs:
+            e_src.append(u)
+            e_dst.append(v)
+            e_w.append(max_flow[u] / total if total > 0 else 1.0)
+
+    # Full edges: turns + SRC(i)->road + road->DEST(j) (ts.py:173-193).
+    f_src = list(e_src)
+    f_dst = list(e_dst)
+    f_w = list(e_w)
+    for k in range(num_intersections):
+        src_idx = num_roads + 2 * k
+        for road in outgoing[k]:
+            f_src.append(src_idx)
+            f_dst.append(road)
+            f_w.append(0.0)
+    # each road has exactly one DEST edge: road -> DEST(to_inter[road])
+    road_dest = np.empty(num_roads, dtype=np.int64)
+    for road in range(num_roads):
+        dest_idx = num_roads + 2 * to_inter[road] + 1
+        road_dest[road] = dest_idx
+        f_src.append(road)
+        f_dst.append(dest_idx)
+        f_w.append(0.0)
+
+    critical = max_flow * free_flow / physics.seconds_per_hour
+    congestion_constant = free_flow * (
+        capacity + physics.congestion_softening - critical
+    )
+
+    e_src_np = np.asarray(e_src, dtype=np.int32)
+    e_dst_np = np.asarray(e_dst, dtype=np.int32)
+    f_src_np = np.asarray(f_src, dtype=np.int32)
+    f_dst_np = np.asarray(f_dst, dtype=np.int32)
+    choice_mask = f_dst_np < num_roads
+
+    return Network(
+        num_roads=num_roads,
+        num_intersections=num_intersections,
+        nmax=nmax,
+        capacity=jnp.asarray(capacity, dtype=jnp.float32),
+        free_flow=jnp.asarray(free_flow, dtype=jnp.float32),
+        length=jnp.asarray(length, dtype=jnp.float32),
+        max_flow=jnp.asarray(max_flow, dtype=jnp.float32),
+        critical_number=jnp.asarray(critical, dtype=jnp.float32),
+        congestion_constant=jnp.asarray(congestion_constant, dtype=jnp.float32),
+        road_dest=jnp.asarray(road_dest, dtype=jnp.int32),
+        edge_src=jnp.asarray(e_src_np),
+        edge_dst=jnp.asarray(e_dst_np),
+        edge_attr=jnp.asarray(e_w, dtype=jnp.float32),
+        full_src=jnp.asarray(f_src_np),
+        full_dst=jnp.asarray(f_dst_np),
+        full_attr=jnp.asarray(f_w, dtype=jnp.float32),
+        choice_src=jnp.asarray(f_src_np[choice_mask]),
+        choice_dst=jnp.asarray(f_dst_np[choice_mask]),
+    )
+
+
+def default_selected_road(network: Network) -> jnp.ndarray:
+    """Initial SELECTED_ROAD per node.
+
+    The reference initializes the packed matrix to zeros, so every node's
+    SELECTED_ROAD starts at road 0 (transportation_simulator.py:135) — an
+    accident of the packed layout.  We initialize each node to its first
+    outgoing road (or -1 when it has none), which is well-defined and keeps
+    the first-tick insert sensible.
+    """
+    n = network.num_nodes
+    sel = np.full((n,), -1, dtype=np.int32)
+    src = np.asarray(network.choice_src)
+    dst = np.asarray(network.choice_dst)
+    for s, d in zip(src[::-1], dst[::-1]):
+        sel[s] = d
+    return jnp.asarray(sel)

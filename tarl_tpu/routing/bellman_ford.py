@@ -1,0 +1,120 @@
+"""All-pairs shortest paths on device via masked Bellman-Ford relaxation.
+
+Replaces the reference's host-side ``networkx.all_pairs_dijkstra_path``
+round-trip (agents/base.py:553-570: device -> CPU graph -> Python Dijkstra ->
+dense ``next_hop_tensor`` -> device) with a min-plus relaxation fully on TPU,
+vectorized over **all destinations simultaneously**: each sweep gathers
+``cost_to_dest`` at every edge head and segment-min-reduces over each node's
+outgoing edges, so one sweep is O(E * N) elementwise work that XLA tiles onto
+the VPU, and the sweep count is bounded by the graph diameter (early exit via
+``lax.while_loop``).
+
+Cost convention: the weight of edge (u -> v) is the cost of *entering* v —
+the same convention the reference's MSA validator uses
+(user_equilibrium_msa.py:116-120).  The reference's Dijkstra agent computes
+edge times from a mix of source-node occupancy and target-node constants
+(agents/base.py:541-549); we implement the physically intended form — the
+congested traversal time of the target road — and document the deviation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConfig, DEFAULT_PHYSICS
+from ..network import Network
+from ..ops.segment import segment_min
+from ..state import RoadState
+
+BIG = jnp.float32(1e18)
+
+
+def node_entry_costs(
+    road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
+) -> jnp.ndarray:
+    """Congested cost of entering each node (0 for SRC/DEST nodes).
+
+    ``max(fftt, congestion_constant / (cap + 10 - n))`` — the congestion law of
+    direction_mpnn.py:185-190 evaluated at current occupancy.
+    """
+    n = network.num_nodes
+    count_f = road.count.astype(jnp.float32)
+    tc = network.congestion_constant / (
+        network.capacity + physics.congestion_softening - count_f
+    )
+    road_cost = jnp.maximum(network.free_flow, tc)
+    return jnp.zeros((n,), jnp.float32).at[: network.num_roads].set(road_cost)
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
+def all_pairs_next_hop(
+    edge_src: jnp.ndarray,
+    edge_dst: jnp.ndarray,
+    entry_cost: jnp.ndarray,
+    num_nodes: int,
+    max_iters: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute ``(dist[N, N], next_hop[N, N])`` for all ordered node pairs.
+
+    ``dist[v, d]`` is the cost of the cheapest v -> d path (sum of entry costs
+    of every node after v); ``next_hop[v, d]`` is the first node on that path,
+    ``v`` itself when v == d (base.py:568) and ``-1`` when unreachable
+    (base.py:561).
+    """
+    n = num_nodes
+    iters = (n - 1) if max_iters is None else max_iters
+    eye = jnp.eye(n, dtype=bool)
+    dist0 = jnp.where(eye, 0.0, BIG)
+
+    w_dst = entry_cost[edge_dst]  # cost of entering each edge's head
+
+    def sweep(dist):
+        # cand[e, d] = w(dst_e) + dist[dst_e, d]
+        cand = w_dst[:, None] + dist[edge_dst]
+        relaxed = segment_min(cand, edge_src, n)
+        return jnp.minimum(dist, relaxed)
+
+    def cond(carry):
+        i, dist, changed = carry
+        return changed & (i < iters)
+
+    def body(carry):
+        i, dist, _ = carry
+        new = sweep(dist)
+        return i + 1, new, jnp.any(new < dist)
+
+    _, dist, _ = jax.lax.while_loop(cond, body, (0, dist0, jnp.bool_(True)))
+
+    # next hop: argmin over outgoing edges of w(dst) + dist[dst, d]
+    cand = w_dst[:, None] + dist[edge_dst]  # [E, N]
+    best = segment_min(cand, edge_src, n)  # [N, N]
+    e_ids = jnp.arange(edge_src.shape[0], dtype=jnp.int32)
+    is_best = cand <= best[edge_src] + 1e-6
+    arg_e = segment_min(
+        jnp.where(is_best, e_ids[:, None], edge_src.shape[0]), edge_src, n
+    )
+    has_edge = arg_e < edge_src.shape[0]
+    hop = jnp.where(
+        has_edge, edge_dst[jnp.minimum(arg_e, edge_src.shape[0] - 1)], -1
+    )
+    reachable = dist < BIG
+    next_hop = jnp.where(reachable & ~eye, hop, -1)
+    next_hop = jnp.where(eye, jnp.arange(n, dtype=jnp.int32)[:, None], next_hop)
+    return dist, next_hop
+
+
+def congested_next_hop(
+    road: RoadState,
+    network: Network,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    max_iters: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pairs ``(dist, next_hop)`` under current congestion — the on-device
+    equivalent of the reference's periodic Dijkstra refresh (base.py:539-570)."""
+    cost = node_entry_costs(road, network, physics)
+    return all_pairs_next_hop(
+        network.full_src, network.full_dst, cost, network.num_nodes,
+        max_iters=max_iters,
+    )

@@ -1,0 +1,117 @@
+"""Route-choice policies (the reference's ``Agents.choice`` family).
+
+A policy is a pure function ``choice(state, network) -> (state, entry_road)``:
+it updates ``state.selected_road`` (the SELECTED_ROAD column of the packed
+layout) and optionally returns a per-agent entry road used by insertion.
+
+* :func:`random_choice` — uniform next-road sampling over each node's
+  outgoing roads (reference: agents/base.py:446-494, where multinomial over
+  the normalized 0/1 adjacency row is exactly a uniform draw).
+* :func:`shortest_path_choice` — periodic congested all-pairs refresh +
+  per-node next-hop lookup (reference: DijkstraAgents.choice,
+  agents/base.py:519-584), with the Dijkstra solve replaced by the on-device
+  Bellman-Ford sweep of :mod:`tarl_tpu.routing.bellman_ford`.
+
+Deviation from the reference, documented: the reference routes *entering*
+agents through their origin SRC node's SELECTED_ROAD, which is computed from
+the SRC node's (always empty) FIFO head — i.e. from the dummy agent's
+destination (base.py:573-579).  Here the shortest-path policy returns a
+per-agent ``entry_road = next_hop[origin, dest]`` so entrants head toward
+their own destination.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RoutingConfig, DEFAULT_ROUTING, PhysicsConfig, DEFAULT_PHYSICS
+from ..network import Network
+from ..ops.segment import segment_sample
+from ..routing.bellman_ford import node_entry_costs, all_pairs_next_hop
+from ..state import SimState
+
+# choice(state, network) -> (state, entry_road | None)
+ChoiceFn = Callable[[SimState, Network], tuple[SimState, Optional[jnp.ndarray]]]
+
+
+def random_choice(state: SimState, network: Network):
+    """Sample a uniform outgoing road for every road and SRC node
+    (agents/base.py:446-494)."""
+    key, sub = jax.random.split(state.key)
+    ec = network.choice_src.shape[0]
+    logits = jnp.zeros((ec,), jnp.float32)
+    arg = segment_sample(sub, logits, network.choice_src, network.num_nodes)
+    has = arg < ec
+    sel = jnp.where(
+        has,
+        network.choice_dst[jnp.minimum(arg, ec - 1)],
+        state.selected_road,
+    ).astype(jnp.int32)
+    return state._replace(selected_road=sel, key=key), None
+
+
+def make_shortest_path_choice(
+    routing: RoutingConfig = DEFAULT_ROUTING,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> ChoiceFn:
+    """Shortest-path (Dijkstra-equivalent) policy with periodic refresh.
+
+    Every ``routing.refresh_rate`` calls the congested all-pairs next-hop
+    table is recomputed (base.py:539-570); every call each road's
+    SELECTED_ROAD is set to the next hop toward its head agent's destination
+    (base.py:573-583).
+    """
+
+    def choice(state: SimState, network: Network):
+        n = network.num_nodes
+
+        def refresh(_):
+            cost = node_entry_costs(state.road, network, physics)
+            _, nh = all_pairs_next_hop(
+                network.full_src, network.full_dst, cost, n,
+                max_iters=routing.max_bf_iters,
+            )
+            return nh
+
+        do_refresh = state.choice_count % routing.refresh_rate == 0
+        next_hop = jax.lax.cond(
+            do_refresh, refresh, lambda _: state.next_hop, operand=None
+        )
+
+        # Roads route their head agent toward its destination.
+        head_ids = state.road.head_ids()
+        dests = state.agents.dest[head_ids]
+        road_ids = jnp.arange(network.num_roads, dtype=jnp.int32)
+        sel_roads = next_hop[road_ids, dests]
+        sel = state.selected_road.at[: network.num_roads].set(sel_roads)
+
+        # Entrants route from their origin SRC node toward their own
+        # destination (see module docstring for the deviation note).
+        entry_road = next_hop[state.agents.origin, state.agents.dest]
+
+        new_state = state._replace(
+            selected_road=sel,
+            next_hop=next_hop,
+            choice_count=state.choice_count + 1,
+        )
+        return new_state, entry_road
+
+    return choice
+
+
+class ExternalChoice(NamedTuple):
+    """Apply an externally supplied multi-hot edge action (the RL env path,
+    reinforcement_learning.py:224-231): for every active full edge (u -> v),
+    set SELECTED_ROAD[u] = v."""
+
+    action: jnp.ndarray  # bool[Ef]
+
+    def __call__(self, state: SimState, network: Network):
+        act = self.action.astype(bool)
+        src = jnp.where(act, network.full_src, network.num_nodes)  # drop inactive
+        sel = state.selected_road.at[src].set(
+            network.full_dst.astype(jnp.int32), mode="drop"
+        )
+        return state._replace(selected_road=sel), None

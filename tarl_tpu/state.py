@@ -1,0 +1,178 @@
+"""Device-resident simulation state as typed pytrees.
+
+The reference mutates one packed float matrix ``x[N, 3*Nmax+7]`` in place
+(feature_helpers.py:1-54, transportation_simulator.py:135) and pops FIFO heads
+by shifting every queue left (response_mpnn.py:110-122, agents/base.py:377-396)
+— O(R*Nmax) memory traffic per tick.  The TPU-native redesign keeps
+
+* a structure-of-arrays :class:`RoadState` whose FIFOs are **ring buffers**
+  (``head`` pointer + ``count``): pushes/pops are pointer arithmetic plus a
+  single scatter, never a shift;
+* a typed :class:`AgentState` (columns of the reference's
+  ``agent_features [A, 9]``, agents/base.py:212) so integer ids stay int32;
+* a :class:`SimState` pytree carried through ``lax.scan`` with on-device
+  metric accumulators replacing the reference's host-side event lists
+  (response_mpnn.py:125, agents/base.py:402).
+
+All arrays are static-shaped; every function touching them is pure.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RoadState(NamedTuple):
+    """Per-road FIFO queues as ring buffers.
+
+    Logical slot ``j`` of road ``r`` lives at physical column
+    ``(head[r] + j) % Nmax``.  Slot 0 is the FIFO head.  Agent id 0 is the
+    reference's sentinel non-agent (direction_mpnn.py:194).
+    """
+
+    fifo_ids: jnp.ndarray        # int32[R, Nmax]
+    fifo_arrival: jnp.ndarray    # float32[R, Nmax] — tick the agent entered the road
+    fifo_departure: jnp.ndarray  # float32[R, Nmax] — earliest tick it may leave
+    head: jnp.ndarray            # int32[R] — physical index of logical slot 0
+    count: jnp.ndarray           # int32[R] — number of agents on the road
+
+    @property
+    def num_roads(self) -> int:
+        return self.fifo_ids.shape[0]
+
+    @property
+    def nmax(self) -> int:
+        return self.fifo_ids.shape[1]
+
+    def phys(self, logical: jnp.ndarray) -> jnp.ndarray:
+        """Physical column(s) for logical slot index/array ``logical``."""
+        return (self.head[:, None] + jnp.atleast_2d(logical)) % self.nmax
+
+    def head_ids(self) -> jnp.ndarray:
+        """Agent id at each FIFO head (reference: HEAD_FIFO column)."""
+        return jnp.take_along_axis(self.fifo_ids, self.head[:, None], axis=1)[:, 0]
+
+    def head_arrival(self) -> jnp.ndarray:
+        return jnp.take_along_axis(self.fifo_arrival, self.head[:, None], axis=1)[:, 0]
+
+    def head_departure(self) -> jnp.ndarray:
+        return jnp.take_along_axis(self.fifo_departure, self.head[:, None], axis=1)[:, 0]
+
+    def tail_ids(self) -> jnp.ndarray:
+        """Agent id at each FIFO tail (last pushed; response_mpnn.py:72-77).
+
+        Roads with empty queues return the id stored at the head slot, which
+        callers must gate on ``count > 0`` exactly as the reference does.
+        """
+        tail = (self.head + jnp.maximum(self.count - 1, 0)) % self.nmax
+        return jnp.take_along_axis(self.fifo_ids, tail[:, None], axis=1)[:, 0]
+
+    def logical_view(self):
+        """(ids, arrival, departure) re-ordered so column 0 is the head —
+        the layout of the reference's AGENT_* slices."""
+        logical = (self.head[:, None] + jnp.arange(self.nmax)[None, :]) % self.nmax
+        return (
+            jnp.take_along_axis(self.fifo_ids, logical, axis=1),
+            jnp.take_along_axis(self.fifo_arrival, logical, axis=1),
+            jnp.take_along_axis(self.fifo_departure, logical, axis=1),
+        )
+
+
+def init_road_state(num_roads: int, nmax: int) -> RoadState:
+    return RoadState(
+        fifo_ids=jnp.zeros((num_roads, nmax), dtype=jnp.int32),
+        fifo_arrival=jnp.zeros((num_roads, nmax), dtype=jnp.float32),
+        fifo_departure=jnp.zeros((num_roads, nmax), dtype=jnp.float32),
+        head=jnp.zeros((num_roads,), dtype=jnp.int32),
+        count=jnp.zeros((num_roads,), dtype=jnp.int32),
+    )
+
+
+class AgentState(NamedTuple):
+    """Typed columns of the reference's ``agent_features [A, 9]`` tensor
+    (feature_helpers.py:56-71, agents/base.py:212).  Row 0 is the dummy agent
+    whose departure is forced past the horizon (agents/base.py:443-444)."""
+
+    origin: jnp.ndarray     # int32[A] — SRC node index of the origin intersection
+    dest: jnp.ndarray       # int32[A] — DEST node index of the destination
+    departure: jnp.ndarray  # float32[A] — scheduled departure (s)
+    arrival: jnp.ndarray    # float32[A] — realized arrival (s), 0 until DONE
+    age: jnp.ndarray        # float32[A]
+    sex: jnp.ndarray        # float32[A] — 1.0 = female
+    employed: jnp.ndarray   # float32[A]
+    on_way: jnp.ndarray     # bool[A]
+    done: jnp.ndarray       # bool[A]
+
+    @property
+    def num_agents(self) -> int:
+        return self.origin.shape[0]
+
+
+def init_agent_state(
+    origin, dest, departure, age=None, sex=None, employed=None
+) -> AgentState:
+    origin = jnp.asarray(origin, dtype=jnp.int32)
+    n = origin.shape[0]
+    zeros = jnp.zeros((n,), dtype=jnp.float32)
+    return AgentState(
+        origin=origin,
+        dest=jnp.asarray(dest, dtype=jnp.int32),
+        departure=jnp.asarray(departure, dtype=jnp.float32),
+        arrival=zeros,
+        age=zeros if age is None else jnp.asarray(age, jnp.float32),
+        sex=zeros if sex is None else jnp.asarray(sex, jnp.float32),
+        employed=zeros if employed is None else jnp.asarray(employed, jnp.float32),
+        on_way=jnp.zeros((n,), dtype=bool),
+        done=jnp.zeros((n,), dtype=bool),
+    )
+
+
+class MetricState(NamedTuple):
+    """On-device metric accumulators.
+
+    Replaces the reference's host-side ``update_history`` /
+    ``withdraw_history`` event lists (response_mpnn.py:125, agents/base.py:402)
+    with an ``[H, R]`` hourly traffic-count matrix — the only statistic those
+    lists are ever reduced to (transportation_simulator.py:563-746).
+    """
+
+    hourly_counts: jnp.ndarray  # int32[H, R] — link traversals per hour
+    on_way_before: jnp.ndarray  # float32[] — previous-tick totals for the
+    done_before: jnp.ndarray    # float32[]   leg histogram deltas (ts.py:344-349)
+
+
+def init_metric_state(num_roads: int, num_hours: int) -> MetricState:
+    return MetricState(
+        hourly_counts=jnp.zeros((num_hours, num_roads), dtype=jnp.int32),
+        on_way_before=jnp.zeros((), dtype=jnp.float32),
+        done_before=jnp.zeros((), dtype=jnp.float32),
+    )
+
+
+class SimState(NamedTuple):
+    """Complete per-tick carry for the episode ``lax.scan``."""
+
+    road: RoadState
+    agents: AgentState
+    selected_road: jnp.ndarray  # int32[N] — SELECTED_ROAD per node (roads + SRC/DEST)
+    time: jnp.ndarray           # float32[] — seconds since midnight
+    key: jax.Array              # PRNG key
+    metrics: MetricState
+    # Routing scratch: dense next-hop table refreshed every k ticks by the
+    # shortest-path policy (reference: agents/base.py:560-570).  A [1,1]
+    # placeholder when the active policy does not need it.
+    next_hop: jnp.ndarray       # int32[N, N] or int32[1, 1]
+    choice_count: jnp.ndarray   # int32[] — ticks since policy refresh (base.py:524)
+
+
+class TickLog(NamedTuple):
+    """Per-tick scan outputs (the reference's per-tick appends,
+    transportation_simulator.py:344-351)."""
+
+    departures: jnp.ndarray       # float32[] — newly departed this tick
+    arrivals: jnp.ndarray         # float32[] — newly arrived this tick
+    on_way: jnp.ndarray           # float32[] — agents currently en route
+    time: jnp.ndarray             # float32[]
+    road_delta_tt: jnp.ndarray    # float32[R] or float32[0] — congestion delay

@@ -1,0 +1,234 @@
+"""Core physics unit tests, mirroring the reference's agent lifecycle tests
+(reference tests/agents_test.py) plus ring-buffer/conservation invariants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.config import PhysicsConfig
+from tarl_tpu.core.direction import direction_step
+from tarl_tpu.core.insert import insert_agents
+from tarl_tpu.core.response import response_step
+from tarl_tpu.core.withdraw import withdraw_agents
+from tarl_tpu.network import build_network, default_selected_road
+from tarl_tpu.state import init_agent_state, init_road_state
+
+
+def _single_road_network(capacity_slots=5, fftt=10.0):
+    """One road A->B (road 0) plus return link so the dual graph is closed.
+
+    Road capacities are derived from length*lanes/cell_size + 1; choose
+    length so MAX_NUMBER_OF_AGENT == capacity_slots.
+    """
+    length = (capacity_slots - 1) * 7.5
+    return build_network(
+        length=np.array([length, length]),
+        max_flow=np.array([10.0, 10.0]),
+        free_speed=np.array([length / fftt, length / fftt]),
+        perm_lanes=np.array([1.0, 1.0]),
+        from_inter=np.array([0, 1]),
+        to_inter=np.array([1, 0]),
+        num_intersections=2,
+    )
+
+
+class TestInsertWithdraw:
+    def test_insert_and_withdraw(self):
+        """Mirrors reference tests/agents_test.py:12-41: two agents insert at
+        t=0 onto road 0, cannot withdraw before departure time, withdraw at
+        t>=fftt and are marked DONE."""
+        net = _single_road_network(capacity_slots=6, fftt=10.0)
+        road = init_road_state(net.num_roads, net.nmax)
+        agents = init_agent_state(origin=[2, 2], dest=[5, 5], departure=[0.0, 0.0])
+        sel = default_selected_road(net)
+
+        t0 = jnp.float32(0.0)
+        road, agents = insert_agents(road, agents, sel, net, t0)
+        assert int(road.count[0]) == 2
+        assert bool(agents.on_way[0]) and bool(agents.on_way[1])
+        # FIFO order: agent 0 at head, agent 1 behind.
+        assert int(road.head_ids()[0]) == 0
+        ids, _, _ = road.logical_view()
+        assert int(ids[0, 1]) == 1
+
+        # Not yet departed -> nothing withdrawn.
+        road, agents, mask = withdraw_agents(road, agents, net, t0)
+        assert int(road.count[0]) == 2
+        assert not bool(mask[0])
+
+        # At t=10 both are due and consecutive from the head -> both leave.
+        t1 = jnp.float32(10.0)
+        road, agents, mask = withdraw_agents(road, agents, net, t1)
+        assert int(road.count[0]) == 0
+        assert bool(mask[0])
+        assert bool(agents.done[0]) and bool(agents.done[1])
+        assert not bool(agents.on_way[0])
+        assert float(agents.arrival[0]) == 10.0
+
+    def test_insert_capacity_limit(self):
+        """Mirrors reference tests/agents_test.py:43-73: capacity 5 minus the
+        CONGESTION_FILE buffer (3) admits exactly 2 of 4 ready agents."""
+        net = _single_road_network(capacity_slots=5)
+        road = init_road_state(net.num_roads, net.nmax)
+        agents = init_agent_state(
+            origin=[2, 2, 2, 2], dest=[5, 5, 5, 5], departure=[0.0] * 4
+        )
+        sel = default_selected_road(net)
+        road, agents = insert_agents(road, agents, sel, net, jnp.float32(0.0))
+        assert int(road.count[0]) == 2
+        assert bool(agents.on_way[0]) and bool(agents.on_way[1])
+        assert not bool(agents.on_way[2]) and not bool(agents.on_way[3])
+
+    def test_insert_respects_departure_time(self):
+        net = _single_road_network(capacity_slots=8)
+        road = init_road_state(net.num_roads, net.nmax)
+        agents = init_agent_state(
+            origin=[2, 2], dest=[5, 5], departure=[0.0, 100.0]
+        )
+        sel = default_selected_road(net)
+        road, agents = insert_agents(road, agents, sel, net, jnp.float32(0.0))
+        assert int(road.count[0]) == 1
+        assert not bool(agents.on_way[1])
+
+    def test_departure_time_congestion_formula(self):
+        """departure = time + max(fftt, congestion_constant/(cap+10-count))
+        (agents/base.py:313-325)."""
+        net = _single_road_network(capacity_slots=6, fftt=10.0)
+        road = init_road_state(net.num_roads, net.nmax)
+        agents = init_agent_state(origin=[2], dest=[5], departure=[0.0])
+        sel = default_selected_road(net)
+        road, agents = insert_agents(road, agents, sel, net, jnp.float32(0.0))
+        cap = float(net.capacity[0])
+        cc = float(net.congestion_constant[0])
+        expected = max(10.0, cc / (cap + 10.0 - 0.0))
+        assert float(road.head_departure()[0]) == pytest.approx(expected, rel=1e-5)
+
+
+def _chain_network():
+    """Three roads in a cycle 0 -> 1 -> 2 -> 0 (the braess_graph topology of
+    reference tests/conftest.py:45-91), built from a 3-intersection loop."""
+    return build_network(
+        length=np.array([75.0, 75.0, 75.0]),
+        max_flow=np.array([10.0, 10.0, 10.0]),
+        free_speed=np.array([7.5, 7.5, 7.5]),
+        perm_lanes=np.array([1.0, 1.0, 1.0]),
+        from_inter=np.array([0, 1, 2]),
+        to_inter=np.array([1, 2, 0]),
+        num_intersections=3,
+    )
+
+
+class TestDirectionResponse:
+    def test_transfer_moves_one_agent(self):
+        """An agent past its departure time moves from road 0 to road 1 via
+        direction + response; counts are conserved."""
+        net = _chain_network()
+        road = init_road_state(net.num_roads, net.nmax)
+        agents = init_agent_state(
+            origin=[0, 3], dest=[100, 100], departure=[1e9, 1e9]
+        )
+        # Hand-place agent 1 on road 0, due to leave at t=5.
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(1),
+            fifo_arrival=road.fifo_arrival.at[0, 0].set(0.0),
+            fifo_departure=road.fifo_departure.at[0, 0].set(5.0),
+            count=road.count.at[0].set(1),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+
+        key = jax.random.PRNGKey(0)
+        t = jnp.float32(10.0)
+        road2, delta = direction_step(road, sel, net, t, key)
+        # Road 1 received the agent at its tail.
+        assert int(road2.count[1]) == 1
+        assert int(road2.tail_ids()[1]) == 1
+        # Road 0 still holds it until the response confirms.
+        assert int(road2.count[0]) == 1
+
+        road3, popped = response_step(road2, net)
+        assert int(road3.count[0]) == 0
+        assert bool(popped[0])
+        assert not bool(popped[1])
+        assert int(jnp.sum(road3.count)) == 1
+
+    def test_no_transfer_before_departure(self):
+        net = _chain_network()
+        road = init_road_state(net.num_roads, net.nmax)
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(1),
+            fifo_departure=road.fifo_departure.at[0, 0].set(50.0),
+            count=road.count.at[0].set(1),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == 0
+        road3, popped = response_step(road2, net)
+        assert int(jnp.sum(popped)) == 0
+
+    def test_no_transfer_wrong_selection(self):
+        net = _chain_network()
+        road = init_road_state(net.num_roads, net.nmax)
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(1),
+            fifo_departure=road.fifo_departure.at[0, 0].set(0.0),
+            count=road.count.at[0].set(1),
+        )
+        # Road 0 selects road 2, but its only turn edge goes to road 1.
+        sel = jnp.array([2, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == 0
+
+    def test_full_downstream_blocks(self):
+        net = _chain_network()
+        cap1 = int(net.capacity[1])
+        road = init_road_state(net.num_roads, net.nmax)
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(1),
+            fifo_departure=road.fifo_departure.at[0, 0].set(0.0),
+            # fill road 1 to capacity - CONGESTION_FILE
+            count=road.count.at[0].set(1).at[1].set(cap1 - 3),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == cap1 - 3  # unchanged
+
+    def test_gridlock_escape(self):
+        """Stuck >10 s + upstream nearly full + downstream at least as free
+        -> transfer allowed into the congestion buffer (direction_mpnn.py:87-90)."""
+        net = _chain_network()
+        cap0 = int(net.capacity[0])
+        cap1 = int(net.capacity[1])
+        road = init_road_state(net.num_roads, net.nmax)
+        ids0 = jnp.arange(1, cap0 - 3 + 1, dtype=jnp.int32)
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, : cap0 - 3].set(ids0),
+            fifo_departure=road.fifo_departure.at[0, : cap0 - 3].set(0.0),
+            count=road.count.at[0].set(cap0 - 3).at[1].set(cap1 - 3),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        # t - departure = 20 > 10 -> gridlock path; downstream equally free.
+        road2, _ = direction_step(road, sel, net, jnp.float32(20.0), jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == cap1 - 3 + 1
+
+
+class TestRingBuffer:
+    def test_wraparound(self):
+        """Pushes and pops across the physical end of the buffer keep logical
+        FIFO order."""
+        net = _single_road_network(capacity_slots=6)
+        road = init_road_state(net.num_roads, net.nmax)
+        nmax = net.nmax
+        # Start head near the end so pushes wrap.
+        road = road._replace(head=road.head.at[0].set(nmax - 1))
+        agents = init_agent_state(
+            origin=[2, 2, 2], dest=[5, 5, 5], departure=[0.0, 0.0, 0.0]
+        )
+        sel = default_selected_road(net)
+        road, agents = insert_agents(road, agents, sel, net, jnp.float32(0.0))
+        assert int(road.count[0]) == 3
+        ids, _, _ = road.logical_view()
+        np.testing.assert_array_equal(np.asarray(ids[0, :3]), [0, 1, 2])
+        # Withdraw pops them in order.
+        road, agents, _ = withdraw_agents(road, agents, net, jnp.float32(100.0))
+        assert int(road.count[0]) == 0
+        assert bool(agents.done[2])
