@@ -1,0 +1,145 @@
+"""Simulator facade, metrics and MSA tests (mirrors the reference's
+transportation_simulator_test.py end-to-end pattern)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.algorithms.msa import build_od_demand, run_msa, solve_msa
+from tarl_tpu.config import SimConfig
+from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+from tarl_tpu.io.matsim import load_network, load_population
+from tarl_tpu.io.scenarios import ensure_scenario
+from tarl_tpu.metrics.equilibrium import equilibrium_report, nash_gap, tstt
+from tarl_tpu.routing.policies import make_shortest_path_choice, random_choice
+from tarl_tpu.simulator import TransportationSimulator, make_policy
+
+
+@pytest.fixture(scope="module")
+def twolink_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scen")
+    ensure_scenario(str(root), "TwoLink")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def braess_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scen2")
+    ensure_scenario(str(root), "Braess")
+    return str(root)
+
+
+def _make_sim(root, scenario, save_root, **params):
+    sim = TransportationSimulator(data_root=root, save_root=save_root)
+    sim.load_network(scenario)
+    sim.load_population(scenario)
+    sim.set_policy(make_policy("random"))
+    sim.config_parameters(**params)
+    return sim
+
+
+class TestSimulatorFacade:
+    def test_run_until_done(self, twolink_dirs, tmp_path):
+        """Mirrors reference transportation_simulator_test.py:14-25: drive
+        run() until the single agent is DONE; clock bookkeeping holds."""
+        sim = _make_sim(twolink_dirs, "TwoLink", str(tmp_path / "save"),
+                        timestep_size=1, start_time=0)
+        start = sim.time
+        steps = 0
+        while not bool(sim.state.agents.done[1]) and steps < 20:
+            sim.run()
+            steps += 1
+        assert bool(sim.state.agents.done[1])
+        assert sim.time == start + steps * sim.sim.timestep
+        assert sim.timers.total > 0
+        assert len(sim.leg_histogram_values) == steps
+
+    def test_network_cache_roundtrip(self, twolink_dirs, tmp_path):
+        save = str(tmp_path / "save")
+        sim1 = _make_sim(twolink_dirs, "TwoLink", save)
+        assert os.path.exists(os.path.join(save, "TwoLink", "network.npz"))
+        sim2 = _make_sim(twolink_dirs, "TwoLink", save)
+        assert sim2.network.num_roads == sim1.network.num_roads
+        np.testing.assert_allclose(
+            np.asarray(sim2.network.congestion_constant),
+            np.asarray(sim1.network.congestion_constant),
+        )
+
+    def test_run_fast_matches_semantics(self, twolink_dirs, tmp_path):
+        """Fused scan drives the same agent to completion."""
+        sim = _make_sim(twolink_dirs, "TwoLink", str(tmp_path / "save"),
+                        timestep_size=1, start_time=0)
+        sim.run_fast(20)
+        assert bool(sim.state.agents.done[1])
+        assert len(sim.leg_histogram_values) == 20
+        assert float(sim.average_travel_time()) == pytest.approx(10.0)
+
+    def test_reports_and_plots(self, braess_dirs, tmp_path):
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"),
+                        timestep_size=5, start_time=6 * 3600)
+        sim.set_policy(make_policy("dijkstra"))
+        sim.config_parameters(timestep_size=5, start_time=6 * 3600)
+        sim.run_fast(1200)
+        out = str(tmp_path / "out")
+        sim.plot_leg_histogram(out)
+        sim.plot_road_optimality(out)
+        sim.run()  # one eager tick so phase timers are nonzero
+        sim.plot_computation_time(out)
+        metrics = sim.compute_node_metrics(out)
+        assert os.path.exists(os.path.join(out, "node_metrics.csv"))
+        assert os.path.exists(os.path.join(out, "leg_histogram.png"))
+        assert len(metrics) == sim.network.num_roads
+        expected = run_msa(sim.network, sim.state.agents)
+        sim.plot_daily_counts(expected, out)
+        assert os.path.exists(os.path.join(out, "daily_counts.csv"))
+
+    def test_packed_x_layout(self, twolink_dirs, tmp_path):
+        """The packed compatibility view matches the reference column map."""
+        sim = _make_sim(twolink_dirs, "TwoLink", str(tmp_path / "save"),
+                        timestep_size=1, start_time=0)
+        sim.run()
+        x = np.asarray(sim.packed_x())
+        h = sim.h
+        assert x.shape == (sim.network.num_nodes, 3 * h.Nmax + 7)
+        # Agent 1 inserted on road 0 at t=0: head of FIFO is agent id 1.
+        assert x[0, h.HEAD_FIFO] == 1.0
+        assert x[0, h.NUMBER_OF_AGENT] == 1.0
+        assert x[0, h.MAX_NUMBER_OF_AGENT] == float(sim.network.capacity[0])
+        assert x[-1, h.ROAD_INDEX] == -1.0
+
+
+class TestMSAAndEquilibrium:
+    def test_demand_matrix_skips_dummy(self, braess_dirs, tmp_path):
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"))
+        o, d, vol = build_od_demand(sim.state.agents, sim.network.num_nodes)
+        assert float(vol.sum()) == sim.state.agents.num_agents - 1
+
+    def test_msa_converges_and_conserves(self, braess_dirs, tmp_path):
+        """All S->T demand must cross the S cut (roads SU=0?, SD) exactly once."""
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"))
+        net = sim.network
+        o, d, vol = build_od_demand(sim.state.agents, net.num_nodes)
+        res = solve_msa(net, o, d, vol)
+        assert float(res.gap) < 1.0  # converged (L1 over flows)
+        flow = np.asarray(res.flow)
+        # Outgoing roads of intersection S carry the full demand.
+        # Identify roads leaving S: from_inter of links SU, SD.
+        total_demand = float(vol.sum())
+        # roads 0..5 in declared order: SU, SD, UT, DT, UD, TS
+        assert flow[0] + flow[1] == pytest.approx(total_demand, rel=1e-3)
+        assert flow[2] + flow[3] == pytest.approx(total_demand, rel=1e-3)
+
+    def test_equilibrium_report(self, braess_dirs, tmp_path):
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"),
+                        timestep_size=5, start_time=6 * 3600)
+        sim.set_policy(make_policy("dijkstra"))
+        sim.config_parameters(timestep_size=5, start_time=6 * 3600)
+        sim.run_fast(1500)
+        rep = equilibrium_report(
+            sim.state.agents, sim.state.road, sim.network, sim.state.time
+        )
+        assert rep["tstt_simulated"] > 0
+        assert rep["tstt_ue"] >= rep["tstt_so"] > 0
+        assert rep["price_of_anarchy"] >= 1.0 - 1e-6
+        assert rep["relative_nash_gap"] >= 0.0
