@@ -1,0 +1,161 @@
+"""Pure-functional RL environment over the traffic simulator.
+
+Replaces the reference's TorchRL ``EnvBase`` wrapper (``SimulatorEnv``,
+reinforcement_learning.py:102-309) with two pure functions, ``env_reset`` and
+``env_step``, so the whole rollout lives inside one compiled program
+(``lax.scan`` in rl.ppo) — no host<->device environment stepping.
+
+Semantics matched to the reference ``_step`` (rl.py:222-309):
+
+* phase order choice -> core -> withdraw -> insert (NB: differs from the
+  classical ``run()`` order, SURVEY.md §7 "hard parts");
+* the action is a multi-hot vector over the FULL edge list; every active
+  edge (u -> v) writes SELECTED_ROAD[u] = v (rl.py:224-231);
+* reward = -(total agents on the network) (rl.py:266-267); the per-agent
+  ``100 * 600 / travel_time`` bonus the reference computes and discards
+  (rl.py:259-265) is returned in ``info`` for completeness;
+* event-time clock: time only advances when the occupancy vector is
+  unchanged from the previous step (rl.py:269-272);
+* episode terminates past ``rl.episode_end`` (7 h; rl.py:273-276), reset
+  rewinds to ``rl.episode_start`` (6 h - 60 s; rl.py:203).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    DEFAULT_PHYSICS,
+    DEFAULT_RL,
+    DEFAULT_SIM,
+    PhysicsConfig,
+    RLConfig,
+    SimConfig,
+)
+from ..core.direction import direction_step
+from ..core.insert import insert_agents
+from ..core.response import response_step
+from ..core.withdraw import withdraw_agents
+from ..network import Network
+from ..routing.policies import ExternalChoice
+from ..state import MetricState, SimState
+from .observation import observe
+
+
+class EnvState(NamedTuple):
+    sim: SimState
+    old_counts: jnp.ndarray  # int32[R] — previous occupancy (rl.py:179,269-272)
+    done: jnp.ndarray        # bool[]
+
+
+class Observation(NamedTuple):
+    """The composite observation spec (rl.py:140-166)."""
+
+    node_features: jnp.ndarray  # float32[N, 7]
+    edge_features: jnp.ndarray  # float32[Ef, 1]
+    agent_index: jnp.ndarray    # int32[N]
+    time: jnp.ndarray           # float32[1]
+
+
+def _observe(sim: SimState, network: Network) -> Observation:
+    nf, ef, _, ai = observe(sim, network)
+    return Observation(
+        node_features=nf,
+        edge_features=ef,
+        agent_index=ai,
+        time=sim.time.reshape(1),
+    )
+
+
+def env_reset(
+    sim_state: SimState,
+    network: Network,
+    rl: RLConfig = DEFAULT_RL,
+) -> tuple[EnvState, Observation]:
+    """Rewind to the episode start (rl.py:186-219)."""
+    from ..core.step import reset_sim_state
+
+    sim = reset_sim_state(sim_state, rl.episode_start)
+    env = EnvState(
+        sim=sim,
+        old_counts=sim.road.count,
+        done=jnp.zeros((), bool),
+    )
+    return env, _observe(sim, network)
+
+
+def env_step(
+    env: EnvState,
+    action: jnp.ndarray,  # bool[Ef] multi-hot over full edges
+    network: Network,
+    rl: RLConfig = DEFAULT_RL,
+    sim_cfg: SimConfig = DEFAULT_SIM,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> tuple[EnvState, Observation, jnp.ndarray, jnp.ndarray, dict]:
+    """One environment transition. Returns (env, obs, reward, done, info)."""
+    sim = env.sim
+    t = sim.time
+
+    # --- choice: apply the action (rl.py:224-231) ---
+    sim, _ = ExternalChoice(action)(sim, network)
+
+    # Head agents before the core step — the candidates for the discarded
+    # individual reward (rl.py:243,259-265).
+    last_people = sim.road.head_ids()
+
+    # --- core (rl.py:237) ---
+    key, k_dir = jax.random.split(sim.key)
+    road, _ = direction_step(sim.road, sim.selected_road, network, t, k_dir, physics)
+    road, popped = response_step(road, network)
+
+    # --- withdraw (rl.py:243-248) ---
+    road, agents, withdrawn = withdraw_agents(
+        road, sim.agents, network, t, depth=sim_cfg.withdraw_depth
+    )
+
+    # --- insert (rl.py:252-254) ---
+    road, agents = insert_agents(
+        road, agents, sim.selected_road, network, t, physics
+    )
+
+    # --- reward (rl.py:256-267) ---
+    new_counts = road.count
+    reward = -jnp.sum(new_counts).astype(jnp.float32)
+    arrived = agents.done[last_people]
+    travel = agents.arrival[last_people] - agents.departure[last_people]
+    individual_reward = jnp.sum(
+        jnp.where(arrived & (travel > 0), 100.0 * 600.0 / jnp.maximum(travel, 1.0), 0.0)
+    )
+
+    # --- event-time clock (rl.py:269-272) ---
+    unchanged = jnp.all(env.old_counts == new_counts)
+    new_time = jnp.where(unchanged, t + sim_cfg.timestep, t)
+    done = new_time > rl.episode_end
+
+    # --- metric accumulators (rl.py:279-294 analogue) ---
+    hour = jnp.clip((t / 3600.0).astype(jnp.int32), 0, sim_cfg.num_hours - 1)
+    m = sim.metrics
+    hourly = m.hourly_counts.at[hour].add((withdrawn | popped).astype(jnp.int32))
+    on_way_total = jnp.sum(new_counts).astype(jnp.float32)
+    done_total = jnp.sum(agents.done).astype(jnp.float32)
+
+    new_sim = sim._replace(
+        road=road,
+        agents=agents,
+        time=new_time,
+        key=key,
+        metrics=MetricState(
+            hourly_counts=hourly,
+            on_way_before=on_way_total,
+            done_before=done_total,
+        ),
+    )
+    new_env = EnvState(sim=new_sim, old_counts=new_counts, done=done)
+    info = {
+        "individual_reward": individual_reward,
+        "on_network": on_way_total,
+        "arrivals": done_total - m.done_before,
+    }
+    return new_env, _observe(new_sim, network), reward, done, info

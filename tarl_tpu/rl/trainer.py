@@ -1,0 +1,184 @@
+"""Host-side PPO training loop: logging, evaluation, checkpointing.
+
+The reference's ``ppo_train`` (rl/ppo_trainer.py:12-160) drives a TorchRL
+collector and logs TensorBoard scalars/figures per iteration.  Here the
+compute-heavy work is one jitted call per iteration (:class:`tarl_tpu.rl.ppo.PPO`);
+this module is only the thin orchestration shell around it: scalar logging
+(TensorBoard when available, always CSV), periodic greedy/stochastic
+evaluation rollouts with figures, and Orbax checkpointing with resume.
+"""
+from __future__ import annotations
+
+import csv
+import os
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_RL, RLConfig
+from ..core.step import average_travel_time
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .ppo import PPO, TrainState
+
+
+class MetricLogger:
+    """TensorBoard (via torch.utils.tensorboard, same backend the reference
+    uses) + CSV fallback."""
+
+    def __init__(self, log_dir: Optional[str]):
+        self.writer = None
+        self.csv_path = None
+        self._csv_rows = []
+        if log_dir is None:
+            return
+        os.makedirs(log_dir, exist_ok=True)
+        self.csv_path = os.path.join(log_dir, "metrics.csv")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir)
+        except Exception:
+            self.writer = None
+
+    def scalars(self, step: int, values: dict) -> None:
+        if self.writer is not None:
+            for k, v in values.items():
+                self.writer.add_scalar(k, float(v), step)
+        if self.csv_path is not None:
+            row = {"step": step, **{k: float(v) for k, v in values.items()}}
+            write_header = not os.path.exists(self.csv_path)
+            with open(self.csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(row.keys()))
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
+
+    def figure(self, step: int, tag: str, fig) -> None:
+        if self.writer is not None and fig is not None:
+            self.writer.add_figure(tag, fig, step)
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+
+
+def ppo_train(
+    ppo: PPO,
+    sim_state,
+    *,
+    num_iterations: int,
+    key=None,
+    rl: RLConfig = DEFAULT_RL,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_interval: int = 10,
+    eval_interval: int = 0,
+    eval_steps: Optional[int] = None,
+    stochastic_eval: bool = False,
+    resume: bool = False,
+    verbose: bool = True,
+) -> TrainState:
+    """Train for ``num_iterations`` PPO iterations.
+
+    Mirrors the reference trainer's surface (collect/update/log/eval/save,
+    rl/ppo_trainer.py:129-160) with real mid-training resume.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(rl.episode_start)
+    ts = ppo.init(sim_state, key)
+
+    start_iter = 0
+    if resume and checkpoint_dir:
+        path = latest_checkpoint(checkpoint_dir)
+        if path:
+            restored = restore_checkpoint(
+                path,
+                template={
+                    "params": ts.params,
+                    "opt_state": ts.opt_state,
+                    "iteration": 0,
+                },
+            )
+            start_iter = int(restored["iteration"])
+            ts = ts._replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                iteration=jnp.asarray(start_iter, jnp.int32),
+            )
+            if verbose:
+                print(f"🔁 | Resumed from {path} (iteration {start_iter})")
+
+    logger = MetricLogger(log_dir)
+    eval_steps = eval_steps or rl.rollout_steps
+
+    t0 = _time.time()
+    for it in range(start_iter, num_iterations):
+        ts, metrics = ppo.train_iteration(ts)
+        step = (it + 1) * rl.rollout_steps
+        scalars = {
+            "loss/objective": metrics.loss_objective,
+            "loss/value": metrics.loss_critic,
+            "loss/entropy": metrics.loss_entropy,
+            "loss/total": metrics.loss_total,
+            "approx_kl": metrics.approx_kl,
+            "clip_fraction": metrics.clip_fraction,
+            "grad_global_norm": metrics.grad_norm,
+            "PPO/avg_reward": metrics.avg_reward,
+            "PPO/avg_return": metrics.avg_return,
+            "transport/avg_on_network": metrics.avg_on_network,
+        }
+        # Transport metrics from the live env state (ppo_trainer.py:69-87).
+        agents = ts.env.sim.agents
+        att = float(average_travel_time(agents))
+        counts = np.asarray(ts.env.sim.road.count, dtype=np.float64)
+        caps = np.maximum(np.asarray(ppo.network.capacity, dtype=np.float64), 1.0)
+        vc = counts / caps
+        scalars["transport/avg_travel_time"] = att
+        scalars["transport/avg_vc_ratio"] = float(vc.mean())
+        scalars["transport/std_vc_ratio"] = float(vc.std())
+        logger.scalars(step, scalars)
+
+        if verbose:
+            print(
+                f"iter {it + 1}/{num_iterations} "
+                f"reward {float(metrics.avg_reward):.1f} "
+                f"kl {float(metrics.approx_kl):.4f} "
+                f"loss {float(metrics.loss_total):.3f} "
+                f"({_time.time() - t0:.1f}s)"
+            )
+
+        if eval_interval and (it + 1) % eval_interval == 0:
+            for det, tag in ((True, "eval"), (False, "eval_stochastic")):
+                if not det and not stochastic_eval:
+                    continue
+                t_eval = _time.time()
+                _, rewards, dones = ppo.eval_rollout(
+                    ts.params, sim_state, jax.random.PRNGKey(it), eval_steps,
+                    deterministic=det,
+                )
+                comp_ms = (_time.time() - t_eval) * 1000.0
+                logger.scalars(
+                    step,
+                    {
+                        f"{tag}/avg_return": float(np.asarray(rewards).sum()),
+                        f"{tag}/episode_len": int(np.asarray(rewards).shape[0]),
+                        f"{tag}/computation_time_ms": comp_ms,
+                    },
+                )
+
+        if checkpoint_dir and (it + 1) % checkpoint_interval == 0:
+            save_checkpoint(
+                os.path.join(checkpoint_dir, f"ckpt_{it + 1}"),
+                ts.params, ts.opt_state, it + 1,
+            )
+
+    if checkpoint_dir:
+        save_checkpoint(
+            os.path.join(checkpoint_dir, f"ckpt_{num_iterations}"),
+            ts.params, ts.opt_state, num_iterations,
+        )
+    logger.close()
+    return ts
