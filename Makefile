@@ -1,0 +1,19 @@
+# Dev tooling (reference: Makefile:1-37)
+PYTEST_ENV = env -u PALLAS_AXON_POOL_IPS PYTHONPATH= JAX_PLATFORMS=cpu
+
+.PHONY: run test lint coverage bench
+
+run:
+	python main.py --algo dijkstra --scenario Easy --mode eval --start-end-time 21600 28800
+
+test:
+	$(PYTEST_ENV) python -m pytest --ff tests
+
+lint:
+	python -m flake8 tarl_tpu tests --max-line-length 100 || true
+
+coverage:
+	$(PYTEST_ENV) python -m pytest --cov=tarl_tpu --cov-report=term tests || true
+
+bench:
+	python bench.py

@@ -1,0 +1,255 @@
+"""Unified experiment orchestration: the reference's ``Runner`` re-imagined.
+
+Reference: src/runner.py:10-226 (RunnerArgs dataclass, setup/train/eval) and
+main.py:6-34 (argparse CLI).  Differences by design:
+
+* no ``--device`` plumbing — JAX owns device placement (the single ``--device``
+  string of runner.py:31 becomes a no-op informational flag);
+* ``--torch-compile`` becomes ``--exec {fused,eager}``: fused runs the whole
+  episode as on-device ``lax.scan`` chunks, eager reproduces the reference's
+  per-tick host loop with phase timers;
+* train/eval share one scenario setup; training uses the in-graph PPO.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .algorithms.episode import run_episode
+from .algorithms.msa import run_msa
+from .config import RLConfig, RoutingConfig, SimConfig
+from .core.step import Policy, init_sim_state
+from .metrics.equilibrium import equilibrium_report
+from .models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
+from .rl.ppo import PPO
+from .rl.trainer import ppo_train
+from .routing.policies import random_choice
+from .simulator import TransportationSimulator, make_policy
+
+
+@dataclasses.dataclass
+class RunnerArgs:
+    """CLI arguments (reference: RunnerArgs, runner.py:10-23)."""
+
+    algo: str = "dijkstra"            # dijkstra | random | mpnn | mpnn+ppo
+    scenario: str = "Easy"
+    mode: str = "eval"                # eval | train
+    timestep_size: int = 1
+    start_end_time: tuple = (0, 86400)
+    epochs: int = 1
+    rollout_steps: int = 32
+    iterations: int = 10              # PPO iterations (new; the reference
+                                      # conflated total_frames/rollout_steps)
+    seed: int = 0
+    device: str = "tpu"               # informational only
+    output_dir: str = "runs"
+    profile: bool = False
+    exec_mode: str = "fused"          # fused | eager
+    data_root: str = "data"
+    save_root: str = "save"
+
+
+class Runner:
+    """Entry point for classical and RL experiments (runner.py:26-226)."""
+
+    def __init__(self, args: RunnerArgs):
+        self.args = args
+        self.key = jax.random.PRNGKey(args.seed)
+
+    # ------------------------------------------------------------------
+    def setup(self) -> None:
+        a = self.args
+        self.sim = TransportationSimulator(
+            sim=SimConfig(
+                timestep=a.timestep_size,
+                start_time=a.start_end_time[0],
+                end_time=a.start_end_time[1],
+                seed=a.seed,
+                # Per-tick [T, R] series are only affordable on small runs.
+                record_road_optimality=(
+                    a.start_end_time[1] - a.start_end_time[0]
+                ) // a.timestep_size <= 20000,
+            ),
+            data_root=a.data_root,
+            save_root=a.save_root,
+        )
+        self.sim.load_network(a.scenario)
+        self.sim.load_population(a.scenario)
+
+        if a.algo in {"dijkstra", "random"}:
+            self.sim.set_policy(make_policy(a.algo))
+            self.sim.config_parameters(
+                timestep_size=a.timestep_size, start_time=a.start_end_time[0]
+            )
+        elif a.algo in {"mpnn", "mpnn+ppo"}:
+            net = self.sim.network
+            self.rl_cfg = RLConfig(
+                rollout_steps=a.rollout_steps,
+                num_epochs=a.epochs,
+                episode_start=a.start_end_time[0] or RLConfig.episode_start,
+            )
+            self.policy_net = MPNNPolicyNet(
+                num_nodes=net.num_nodes,
+                num_node_embeddings=net.num_roads + 1,
+            )
+            self.value_net = MPNNValueNetSimple()
+            self.ppo = PPO(
+                net, self.policy_net, self.value_net,
+                rl=self.rl_cfg,
+                sim_cfg=self.sim.sim,
+            )
+            self.sim.set_policy(Policy(choice=random_choice))
+            self.sim.config_parameters(
+                timestep_size=a.timestep_size, start_time=a.start_end_time[0]
+            )
+        else:
+            raise ValueError(f"Unknown algorithm {a.algo!r}")
+
+    # ------------------------------------------------------------------
+    def train(self):
+        a = self.args
+        if a.algo != "mpnn+ppo" or a.mode != "train":
+            raise RuntimeError("Training is only supported for algo 'mpnn+ppo'")
+        out = Path(a.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.train_state = ppo_train(
+            self.ppo,
+            self.sim.state,
+            num_iterations=a.iterations,
+            key=self.key,
+            rl=self.rl_cfg,
+            log_dir=str(out),
+            checkpoint_dir=str(out / "checkpoints"),
+            eval_interval=1,
+        )
+        return self.train_state
+
+    # ------------------------------------------------------------------
+    def eval(self):
+        a = self.args
+        n_timesteps = (a.start_end_time[1] - a.start_end_time[0]) // a.timestep_size
+
+        if a.algo in {"dijkstra", "random"}:
+            run_episode(
+                self.sim,
+                steps=n_timesteps,
+                mode=a.exec_mode,
+                profile=a.profile,
+                profile_output=(
+                    Path(a.output_dir) / "profile.txt" if a.profile else None
+                ),
+            )
+            self._summary(self.sim)
+        else:
+            # Greedy rollout with (possibly trained) policy params
+            # (runner.py:177-226).
+            params = getattr(self, "train_state", None)
+            if params is None:
+                ts = self.ppo.init(self.sim.state, self.key)
+                params = ts.params
+            else:
+                params = self.train_state.params
+            env, rewards, dones = self.ppo.eval_rollout(
+                params, self.sim.state, self.key, n_timesteps
+            )
+            # Adopt the env's final state so the metric suite reads it.
+            self.sim.state = env.sim
+            self._summary(self.sim)
+
+    # ------------------------------------------------------------------
+    def _summary(self, sim: TransportationSimulator):
+        a = self.args
+        avg_travel = sim.average_travel_time()
+        t = sim.timers
+        print("\n=== Simulation Summary ===")
+        print(f"{'Average travel time:':25} {avg_travel:10.2f} s")
+        print(f"{'Agent Insertion time:':25} {t.inserting_time:10.2f} s")
+        print(f"{'Route Choice time:':25} {t.choice_time:10.2f} s")
+        print(f"{'Core Model time:':25} {t.core_time:10.2f} s")
+        print(f"{'Agent Withdrawal time:':25} {t.withdraw_time:10.2f} s")
+        print("-" * 42)
+        print(f"{'Total simulation time:':25} {t.total:10.2f} s")
+
+        print("\n=== Computing Metrics... ===")
+        out = a.output_dir
+        sim.plot_computation_time(out)
+        sim.compute_node_metrics(out)
+        sim.plot_leg_histogram(out)
+        if sim.road_optimality_values:
+            sim.plot_road_optimality(out)
+        expected = run_msa(sim.network, sim.state.agents)
+        sim.plot_daily_counts(expected, out)
+
+        report = equilibrium_report(
+            sim.state.agents, sim.state.road, sim.network, sim.state.time
+        )
+        print("\n=== Equilibrium Report (TSTT / Nash gap / PoA) ===")
+        for k, v in report.items():
+            print(f"{k:25} {v:12.4f}" if isinstance(v, float) else f"{k:25} {v}")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "equilibrium_report.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        return report
+
+
+def main(argv=None):
+    """CLI entry (reference: main.py:6-34)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Unified runner for classical and RL traffic-assignment experiments (TPU-native)"
+    )
+    parser.add_argument("--algo", choices=["dijkstra", "random", "mpnn", "mpnn+ppo"],
+                        default="dijkstra")
+    parser.add_argument("--scenario", type=str, default="Easy",
+                        help="Scenario directory under data/ (builtin generators: "
+                             "TwoLink, Braess, Easy, Grid4x4, Grid8x8)")
+    parser.add_argument("--mode", choices=["eval", "train"], default="eval")
+    parser.add_argument("--timestep_size", type=int, default=1)
+    parser.add_argument("--start-end-time", type=int, nargs=2, default=[0, 86400])
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--rollout-steps", type=int, default=32)
+    parser.add_argument("--iterations", type=int, default=10,
+                        help="PPO training iterations")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Informational; JAX owns placement")
+    parser.add_argument("--output-dir", type=str, default="runs")
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--exec", dest="exec_mode", choices=["fused", "eager"],
+                        default="fused",
+                        help="fused = whole episode as on-device lax.scan; "
+                             "eager = per-tick host loop with phase timers")
+    args = parser.parse_args(argv)
+
+    runner = Runner(
+        RunnerArgs(
+            algo=args.algo,
+            scenario=args.scenario,
+            mode=args.mode,
+            timestep_size=args.timestep_size,
+            start_end_time=tuple(args.start_end_time),
+            epochs=args.epochs,
+            rollout_steps=args.rollout_steps,
+            iterations=args.iterations,
+            seed=args.seed,
+            device=args.device,
+            output_dir=args.output_dir,
+            profile=args.profile,
+            exec_mode=args.exec_mode,
+        )
+    )
+    runner.setup()
+    if args.mode == "train":
+        runner.train()
+    runner.eval()
+
+
+if __name__ == "__main__":
+    main()
