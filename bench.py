@@ -1,0 +1,91 @@
+"""Headline benchmark: agent-steps/sec of the fused episode scan on TPU.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Definition: one agent-step = one agent advanced through one simulation tick;
+the simulator is fully vectorized, so every tick processes the whole
+population (insert scan, queue dynamics, choice).  Throughput =
+``num_agents * num_ticks / wall_seconds`` over a large-scale scenario,
+matching the BASELINE.json north star "≥10^6 agent-steps/sec on TPU";
+``vs_baseline`` is the ratio against that 10^6 target (the reference itself
+publishes no numbers, BASELINE.md).
+
+Scenario: 16x16 Manhattan grid (960 roads) with 50,000 commuters, random
+route choice, 2 h of simulated time at 1 s ticks.  Compile time is excluded
+(one warmup chunk); wall time covers the full on-device scan including all
+metric accumulators.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import jax
+
+
+ROWS = COLS = 16
+NUM_AGENTS = 50_000
+SIM_SECONDS = 7200
+TIMESTEP = 1
+WARMUP_TICKS = 256
+
+
+def main() -> None:
+    from tarl_tpu.config import SimConfig
+    from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+    from tarl_tpu.io.matsim import load_network, load_population
+    from tarl_tpu.io.scenarios import grid_scenario
+    from tarl_tpu.routing.policies import random_choice
+
+    cache = os.environ.get("TARL_BENCH_DIR") or os.path.join(
+        tempfile.gettempdir(), "tarl_bench_scen"
+    )
+    name = f"BenchGrid{ROWS}x{COLS}_{NUM_AGENTS}"
+    base = os.path.join(cache, name)
+    if not os.path.exists(os.path.join(base, "network.xml")):
+        grid_scenario(cache, name, rows=ROWS, cols=COLS, num_agents=NUM_AGENTS,
+                      peak_start=6 * 3600, peak_spread=2 * 3600)
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+
+    sim_cfg = SimConfig(
+        timestep=TIMESTEP,
+        start_time=6 * 3600,
+        end_time=6 * 3600 + SIM_SECONDS,
+        record_road_optimality=False,
+    )
+    policy = Policy(choice=random_choice)
+    state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
+
+    # Warmup (compile both chunk sizes).
+    num_ticks = SIM_SECONDS // TIMESTEP
+    state, _ = run_episode(state, net, policy, WARMUP_TICKS, sim=sim_cfg)
+    jax.block_until_ready(state.road.count)
+
+    t0 = time.time()
+    final, logs = run_episode(
+        state, net, policy, num_ticks - WARMUP_TICKS, sim=sim_cfg
+    )
+    jax.block_until_ready(final.road.count)
+    wall = time.time() - t0
+
+    measured_ticks = num_ticks - WARMUP_TICKS
+    agent_steps = agents.num_agents * measured_ticks
+    value = agent_steps / wall
+
+    result = {
+        "metric": "agent_steps_per_sec",
+        "value": round(value, 1),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(value / 1e6, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Multi-device PPO training: env replicas over ``dp``, update batch over
+``dp x sp``.
+
+The reference is strictly single-process / single-device (SURVEY.md §2.10) —
+its only "batching" is the 3-D observation reshape hack in the policy nets
+(mpnn_agent.py:138-165).  Here the scale-out story is native SPMD:
+
+* **Rollout phase (dp)**: ``num_envs`` independent environment replicas are
+  stacked on a leading batch axis sharded over the ``dp`` mesh axis; the
+  vmapped rollout partitions with zero communication (each device steps its
+  own simulators).
+* **Update phase (dp x sp)**: the ``[B, T]`` trajectory buffer is flattened
+  to ``[B*T]`` and resharded over the *whole* mesh, so the PPO gradient
+  all-reduce rides every ICI link; parameters are replicated.
+
+All of it is one ``jax.jit`` with NamedSharding annotations — XLA GSPMD
+inserts the collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..rl.env import env_reset
+from ..rl.gae import gae, normalize
+from ..rl.ppo import PPO, IterationMetrics
+
+
+class BatchTrainState(NamedTuple):
+    params: Any           # replicated
+    opt_state: Any        # replicated
+    envs: Any             # EnvState leaves stacked [B, ...], sharded over dp
+    obss: Any             # Observation leaves stacked [B, ...]
+    keys: jnp.ndarray     # [B, 2] per-env PRNG keys
+    iteration: jnp.ndarray
+
+
+class BatchedPPO:
+    """Data-parallel PPO over a device mesh.
+
+    Wraps a single-env :class:`~tarl_tpu.rl.ppo.PPO` (reusing its rollout and
+    loss) and runs ``num_envs`` replicas per iteration.  ``num_envs`` must be
+    a multiple of the mesh's ``dp`` size and ``rollout_steps * num_envs`` a
+    multiple of ``dp * sp``.
+    """
+
+    def __init__(self, ppo: PPO, mesh: Mesh, num_envs: int):
+        self.ppo = ppo
+        self.mesh = mesh
+        self.num_envs = num_envs
+        dp = mesh.shape["dp"]
+        sp = mesh.shape["sp"]
+        assert num_envs % dp == 0, f"num_envs {num_envs} % dp {dp} != 0"
+        assert (num_envs * ppo.rl.rollout_steps) % (dp * sp) == 0
+
+        self._repl = NamedSharding(mesh, P())
+        self._batch = NamedSharding(mesh, P("dp"))
+        self._flat = NamedSharding(mesh, P(("dp", "sp")))
+        self._train_step = jax.jit(self._train_step_impl)
+
+    # ------------------------------------------------------------------
+    def init(self, sim_state, key: jax.Array) -> BatchTrainState:
+        ts = self.ppo.init(sim_state, key)
+        env0, obs0 = env_reset(ts.env.sim, self.ppo.network, self.ppo.rl)
+
+        keys = jax.random.split(key, self.num_envs)
+
+        def stack(leaf):
+            return jnp.broadcast_to(leaf, (self.num_envs,) + leaf.shape)
+
+        envs = jax.tree.map(stack, env0)
+        # Decorrelate the per-env PRNG streams.
+        sim_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            env0.sim.key, jnp.arange(self.num_envs)
+        )
+        envs = envs._replace(sim=envs.sim._replace(key=sim_keys))
+        obss = jax.tree.map(stack, obs0)
+
+        envs = jax.device_put(envs, self._batch)
+        obss = jax.device_put(obss, self._batch)
+        keys = jax.device_put(keys, self._batch)
+        params = jax.device_put(ts.params, self._repl)
+        opt_state = jax.device_put(ts.opt_state, self._repl)
+        return BatchTrainState(
+            params=params, opt_state=opt_state, envs=envs, obss=obss,
+            keys=keys, iteration=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(self, ts: BatchTrainState):
+        ppo = self.ppo
+        B = self.num_envs
+        T = ppo.rl.rollout_steps
+
+        def one_rollout(env, obs, key):
+            return ppo._rollout(ts.params, env, obs, key)
+
+        envs, obss, keys, trajs, last_values = jax.vmap(one_rollout)(
+            ts.envs, ts.obss, ts.keys
+        )
+
+        adv, ret = jax.vmap(
+            lambda r, v, lv, d: gae(r, v, lv, d, ppo.rl.gamma, ppo.rl.gae_lambda)
+        )(trajs.reward, trajs.value, last_values, trajs.done)
+
+        # Flatten [B, T] -> [B*T] and respread over the whole mesh.
+        flat = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a.reshape((B * T,) + a.shape[2:]), self._flat
+            ),
+            trajs,
+        )
+        adv = normalize(adv.reshape(B * T))
+        ret = ret.reshape(B * T)
+
+        def update(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(ppo._loss, has_aux=True)(
+                params, flat, adv, ret
+            )
+            updates, opt_state = ppo.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, aux, optax.global_norm(grads))
+
+        (params, opt_state), (loss, aux, gnorm) = jax.lax.scan(
+            update, (ts.params, ts.opt_state), length=ppo.rl.num_epochs
+        )
+        l_obj, l_crit, l_ent, kl, clip_frac = aux
+
+        metrics = IterationMetrics(
+            loss_objective=l_obj.mean(),
+            loss_critic=l_crit.mean(),
+            loss_entropy=l_ent.mean(),
+            loss_total=loss.mean(),
+            approx_kl=kl.mean(),
+            clip_fraction=clip_frac.mean(),
+            grad_norm=gnorm.mean(),
+            avg_reward=trajs.reward.mean(),
+            avg_return=ret.mean(),
+            avg_on_network=-trajs.reward.mean(),
+        )
+        new_ts = BatchTrainState(
+            params=params, opt_state=opt_state, envs=envs, obss=obss,
+            keys=keys, iteration=ts.iteration + 1,
+        )
+        return new_ts, metrics
+
+    def train_step(self, ts: BatchTrainState):
+        """One jitted data-parallel PPO iteration over the mesh."""
+        with self.mesh:
+            return self._train_step(ts)

@@ -1,0 +1,79 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4 'multi-node story')."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.config import RLConfig
+from tarl_tpu.core.step import Policy, init_sim_state
+from tarl_tpu.io.matsim import load_network, load_population
+from tarl_tpu.io.scenarios import ensure_scenario
+from tarl_tpu.models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
+from tarl_tpu.parallel.mesh import make_mesh
+from tarl_tpu.parallel.shard import BatchedPPO
+from tarl_tpu.rl.ppo import PPO
+from tarl_tpu.routing.policies import random_choice
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("par_scen"))
+    base = ensure_scenario(root, "TwoLink")
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    state = init_sim_state(net, agents, policy=Policy(choice=random_choice))
+    return net, state
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    mesh = make_mesh(2)
+    assert mesh.shape["sp"] == 1
+
+
+def test_batched_ppo_train_step(setup):
+    net, state = setup
+    assert jax.device_count() == 8, "conftest must force an 8-device CPU mesh"
+    mesh = make_mesh(8)  # dp=4, sp=2
+    rl = RLConfig(rollout_steps=8, minibatch_size=8, num_epochs=1)
+    ppo = PPO(
+        net,
+        MPNNPolicyNet(num_nodes=net.num_nodes,
+                      num_node_embeddings=net.num_roads + 1),
+        MPNNValueNetSimple(),
+        rl=rl,
+    )
+    bp = BatchedPPO(ppo, mesh, num_envs=4)
+    ts = bp.init(state, jax.random.PRNGKey(0))
+    # env leaves carry the dp sharding
+    spec = ts.envs.sim.road.count.sharding.spec
+    assert spec[0] == "dp"
+    ts2, metrics = bp.train_step(ts)
+    assert int(ts2.iteration) == 1
+    assert np.isfinite(float(metrics.loss_total))
+    # params stay replicated
+    leaf = jax.tree.leaves(ts2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_batched_envs_decorrelated(setup):
+    net, state = setup
+    mesh = make_mesh(8)
+    rl = RLConfig(rollout_steps=8, minibatch_size=8)
+    ppo = PPO(
+        net,
+        MPNNPolicyNet(num_nodes=net.num_nodes,
+                      num_node_embeddings=net.num_roads + 1),
+        MPNNValueNetSimple(),
+        rl=rl,
+    )
+    bp = BatchedPPO(ppo, mesh, num_envs=4)
+    ts = bp.init(state, jax.random.PRNGKey(0))
+    keys = np.asarray(ts.envs.sim.key)
+    assert len({tuple(k) for k in keys}) == 4, "per-env PRNG streams must differ"
