@@ -65,6 +65,7 @@ class ParsedNetwork:
     sorted_intersections: list[str]
     node_positions: dict[str, tuple[float, float]]
     effective_cell_size: float
+    _source_path: Optional[str] = None  # resolved XML path (native fast path)
 
     @property
     def num_roads(self) -> int:
@@ -87,9 +88,29 @@ def parse_network_xml(file_path: str) -> ParsedNetwork:
     """Parse a MATSim network file into a raw link table.
 
     ``file_path`` is the path *without* extension, as in the reference
-    (transportation_simulator.py:61-83).
+    (transportation_simulator.py:61-83).  Uses the native C++ parser
+    (io.native) when available; set ``TARL_NATIVE=0`` to force pure Python.
     """
     actual = resolve_xml_path(file_path)
+
+    if os.environ.get("TARL_NATIVE", "1") != "0":
+        from . import native
+
+        parsed = native.parse_network_native(actual)
+        if parsed is not None:
+            return ParsedNetwork(
+                link_ids=[str(i) for i in range(len(parsed["length"]))],
+                length=parsed["length"],
+                max_flow=parsed["max_flow"],
+                free_speed=parsed["free_speed"],
+                perm_lanes=parsed["perm_lanes"],
+                from_inter=parsed["from_inter"],
+                to_inter=parsed["to_inter"],
+                sorted_intersections=parsed["sorted_intersections"],
+                node_positions=parsed["node_positions"],
+                effective_cell_size=parsed["effective_cell_size"],
+                _source_path=actual,
+            )
     root = _parse_root(actual)
     links = root.find("links")
     if links is None:
@@ -139,6 +160,7 @@ def parse_network_xml(file_path: str) -> ParsedNetwork:
         sorted_intersections=sorted_inters,
         node_positions=node_positions,
         effective_cell_size=cell_size,
+        _source_path=actual,
     )
 
 
@@ -237,6 +259,33 @@ def parse_population_xml(
     ``AgentFeatureHelpers`` column order plus ingestion statistics.
     """
     actual = resolve_xml_path(population_path)
+
+    if os.environ.get("TARL_NATIVE", "1") != "0":
+        from . import native
+
+        # The native path is only usable when the network paths are real
+        # files it can re-parse; pass through the resolved network path via
+        # the parsed table's source if available.
+        net_actual = getattr(parsed_network, "_source_path", None)
+        if net_actual is not None:
+            result = native.parse_population_native(actual, net_actual)
+            if result is not None:
+                rows, stats_d = result
+                stats = PopulationStats(
+                    total_agents=stats_d["total_agents"],
+                    selected_agents=stats_d["selected_agents"],
+                    total_trips=rows.shape[0] - 1,
+                    exclusions={
+                        k: stats_d[k]
+                        for k in ("car_avail_not_always", "no_plan",
+                                  "too_few_activities", "no_valid_trip")
+                    },
+                    invalid_trip_coords=stats_d["invalid_trip_coords"],
+                )
+                if verbose:
+                    print("👥 | Population created (native):", stats.summary())
+                return rows, stats
+
     population = _parse_root(actual)
 
     inter_index = {
