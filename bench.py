@@ -58,23 +58,25 @@ def main() -> None:
         start_time=6 * 3600,
         end_time=6 * 3600 + SIM_SECONDS,
         record_road_optimality=False,
+        insert_window=4096,
     )
     policy = Policy(choice=random_choice)
     state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
 
-    # Warmup (compile both chunk sizes).
-    num_ticks = SIM_SECONDS // TIMESTEP
-    state, _ = run_episode(state, net, policy, WARMUP_TICKS, sim=sim_cfg)
+    # One chunk size -> one compile; first chunk is the warmup.
+    chunk = 1024
+    num_chunks = SIM_SECONDS // TIMESTEP // chunk
+    state, _ = run_episode(state, net, policy, chunk, sim=sim_cfg)
     jax.block_until_ready(state.road.count)
 
     t0 = time.time()
-    final, logs = run_episode(
-        state, net, policy, num_ticks - WARMUP_TICKS, sim=sim_cfg
-    )
+    final = state
+    for _ in range(num_chunks - 1):
+        final, logs = run_episode(final, net, policy, chunk, sim=sim_cfg)
     jax.block_until_ready(final.road.count)
     wall = time.time() - t0
 
-    measured_ticks = num_ticks - WARMUP_TICKS
+    measured_ticks = (num_chunks - 1) * chunk
     agent_steps = agents.num_agents * measured_ticks
     value = agent_steps / wall
 

@@ -116,3 +116,110 @@ def insert_agents(
         ),
         agents._replace(on_way=on_way),
     )
+
+
+def insert_agents_windowed(
+    road: RoadState,
+    agents: AgentState,
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    order: jnp.ndarray,      # int32[A] — agent ids sorted by departure time
+    ptr: jnp.ndarray,        # int32[] — first order[] position still pending
+    window: int,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    entry_road: jnp.ndarray | None = None,
+) -> tuple[RoadState, AgentState, jnp.ndarray]:
+    """Windowed insertion: O(W log W) per tick instead of O(A log A).
+
+    The reference scans the whole population every tick (base.py:247-251);
+    for multi-million-agent populations the per-tick argsort dominates.
+    Since readiness is monotone in departure time, candidates live in a
+    moving window of the departure-sorted order: ``order[ptr : ptr + W]``.
+    ``ptr`` advances past the leading run of agents that are ON_WAY or DONE.
+    Capacity-blocked agents pin the pointer and retry next tick; if more than
+    ``W`` agents are simultaneously pending, the overflow waits extra ticks
+    (bounded, documented deviation from the all-at-once reference scan).
+
+    Returns ``(road, agents, new_ptr)``.
+    """
+    R = road.num_roads
+    Nmax = road.nmax
+    A = agents.num_agents
+    W = min(window, A)
+
+    # Explicit clamped start: dynamic_slice clamps anyway, but the pointer
+    # arithmetic below must use the *actual* slice start.
+    start = jnp.minimum(ptr, A - W).astype(jnp.int32)
+    win_ids = jax.lax.dynamic_slice_in_dim(order, start, W)
+
+    ready = (
+        (agents.departure[win_ids] <= time)
+        & (~agents.on_way[win_ids])
+        & (~agents.done[win_ids])
+    )
+    if entry_road is None:
+        win_entry = selected_road[agents.origin[win_ids]]
+    else:
+        win_entry = entry_road[win_ids]
+    valid_road = (win_entry >= 0) & (win_entry < R)
+    road_key = jnp.where(ready & valid_road, win_entry, R).astype(jnp.int32)
+
+    w_order = jnp.argsort(road_key, stable=True)
+    road_sorted = road_key[w_order]
+    agent_sorted = win_ids[w_order]
+
+    pos = jnp.arange(W, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
+    )
+    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = pos - group_start
+
+    safe_road = jnp.minimum(road_sorted, R - 1)
+    count_before = road.count[safe_road]
+    remaining = (
+        network.capacity[safe_road]
+        - physics.congestion_buffer
+        - count_before.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
+
+    slot = (road.head[safe_road] + count_before + rank) % Nmax
+    rows = jnp.where(ok, road_sorted, R)
+
+    time_congestion = network.congestion_constant[safe_road] / (
+        network.capacity[safe_road]
+        + physics.congestion_softening
+        - count_before.astype(jnp.float32)
+    )
+    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
+
+    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
+    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
+        jnp.broadcast_to(time, (W,)), mode="drop"
+    )
+    fifo_departure = road.fifo_departure.at[rows, slot].set(
+        time + travel_time, mode="drop"
+    )
+    count_add = jax.ops.segment_sum(ok.astype(jnp.int32), rows, num_segments=R + 1)[:R]
+
+    inserted_agents = jnp.where(ok, agent_sorted, A)
+    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
+
+    # Advance past the leading settled run (ON_WAY or DONE after this insert),
+    # measured from the actual slice start.
+    settled = on_way[win_ids] | agents.done[win_ids]
+    advance = jnp.cumprod(settled.astype(jnp.int32)).sum()
+    new_ptr = jnp.minimum(start + advance, A).astype(jnp.int32)
+
+    return (
+        road._replace(
+            fifo_ids=fifo_ids,
+            fifo_arrival=fifo_arrival,
+            fifo_departure=fifo_departure,
+            count=road.count + count_add,
+        ),
+        agents._replace(on_way=on_way),
+        new_ptr,
+    )

@@ -81,6 +81,8 @@ def init_sim_state(
         metrics=init_metric_state(network.num_roads, sim.num_hours),
         next_hop=next_hop,
         choice_count=jnp.zeros((), jnp.int32),
+        insert_order=jnp.argsort(agents.departure, stable=True).astype(jnp.int32),
+        insert_ptr=jnp.zeros((), jnp.int32),
     )
 
 
@@ -100,6 +102,7 @@ def reset_sim_state(state: SimState, start_time) -> SimState:
         time=jnp.asarray(start_time, jnp.float32),
         metrics=init_metric_state(R, H),
         choice_count=jnp.zeros((), jnp.int32),
+        insert_ptr=jnp.zeros((), jnp.int32),
     )
 
 
@@ -117,10 +120,20 @@ def tick(
 
     # --- insert (agents/base.py:244-331) ---
     entry_road = policy.entry(state, network) if policy.entry is not None else None
-    road, agents = insert_agents(
-        state.road, state.agents, state.selected_road, network, t, physics,
-        entry_road=entry_road,
-    )
+    insert_ptr = state.insert_ptr
+    if sim.insert_window is not None:
+        from .insert import insert_agents_windowed
+
+        road, agents, insert_ptr = insert_agents_windowed(
+            state.road, state.agents, state.selected_road, network, t,
+            state.insert_order, state.insert_ptr, sim.insert_window, physics,
+            entry_road=entry_road,
+        )
+    else:
+        road, agents = insert_agents(
+            state.road, state.agents, state.selected_road, network, t, physics,
+            entry_road=entry_road,
+        )
 
     # --- withdraw (agents/base.py:334-403) ---
     road, agents, withdrawn = withdraw_agents(
@@ -159,6 +172,7 @@ def tick(
         agents=agents,
         time=new_time,
         key=key,
+        insert_ptr=insert_ptr,
         metrics=MetricState(
             hourly_counts=hourly,
             on_way_before=on_way_total,

@@ -46,7 +46,9 @@ def segment_argmax(scores, segment_ids, num_segments: int):
     seg_best = segment_max(scores, segment_ids, num_segments)
     is_best = (scores == seg_best[segment_ids]) & jnp.isfinite(scores)
     idx = jnp.where(is_best, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    return segment_min(idx, segment_ids, num_segments)
+    # Clamp the empty-segment identity (INT32_MAX from segment_min) to n so
+    # every "no element" case uses the same sentinel.
+    return jnp.minimum(segment_min(idx, segment_ids, num_segments), n)
 
 
 def segment_softmax(logits, segment_ids, num_segments: int):

@@ -116,9 +116,18 @@ def env_step(
     )
 
     # --- insert (rl.py:252-254) ---
-    road, agents = insert_agents(
-        road, agents, sim.selected_road, network, t, physics
-    )
+    insert_ptr = sim.insert_ptr
+    if sim_cfg.insert_window is not None:
+        from ..core.insert import insert_agents_windowed
+
+        road, agents, insert_ptr = insert_agents_windowed(
+            road, agents, sim.selected_road, network, t,
+            sim.insert_order, sim.insert_ptr, sim_cfg.insert_window, physics,
+        )
+    else:
+        road, agents = insert_agents(
+            road, agents, sim.selected_road, network, t, physics
+        )
 
     # --- reward (rl.py:256-267) ---
     new_counts = road.count
@@ -146,6 +155,7 @@ def env_step(
         agents=agents,
         time=new_time,
         key=key,
+        insert_ptr=insert_ptr,
         metrics=MetricState(
             hourly_counts=hourly,
             on_way_before=on_way_total,

@@ -181,6 +181,16 @@ class TransportationSimulator:
             @jax.jit
             def phase_insert(state):
                 entry = policy.entry(state, self.network) if policy.entry else None
+                if simc.insert_window is not None:
+                    from .core.insert import insert_agents_windowed
+
+                    road, agents, ptr = insert_agents_windowed(
+                        state.road, state.agents, state.selected_road,
+                        self.network, state.time, state.insert_order,
+                        state.insert_ptr, simc.insert_window, physics,
+                        entry_road=entry,
+                    )
+                    return state._replace(road=road, agents=agents, insert_ptr=ptr)
                 road, agents = insert_agents(
                     state.road, state.agents, state.selected_road, self.network,
                     state.time, physics, entry_road=entry,

@@ -165,6 +165,10 @@ class SimState(NamedTuple):
     # placeholder when the active policy does not need it.
     next_hop: jnp.ndarray       # int32[N, N] or int32[1, 1]
     choice_count: jnp.ndarray   # int32[] — ticks since policy refresh (base.py:524)
+    # Windowed-insertion scratch (core.insert.insert_agents_windowed):
+    # departure-sorted agent order and the moving pending pointer.
+    insert_order: jnp.ndarray   # int32[A]
+    insert_ptr: jnp.ndarray     # int32[]
 
 
 class TickLog(NamedTuple):

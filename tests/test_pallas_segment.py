@@ -1,0 +1,72 @@
+"""Pallas segment-kernel correctness (interpret mode on CPU; the same kernels
+compile natively on TPU — see ops/pallas_segment.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from tarl_tpu.ops import segment as seg_ops
+from tarl_tpu.ops import pallas_segment as ps
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    """Run pallas kernels interpreted on CPU."""
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _random_case(e=700, r=37, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=e).astype(np.float32)
+    seg = rng.integers(0, r, size=e).astype(np.int32)
+    # leave some segments empty
+    seg[seg == 3] = 4
+    return jnp.asarray(data), jnp.asarray(seg), r
+
+
+class TestPallasSegment:
+    def test_sum_matches_xla(self):
+        data, seg, r = _random_case()
+        got = ps.segment_sum_pallas(data, seg, r)
+        want = seg_ops.segment_sum(data, seg, r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sum_drop_sentinel(self):
+        data = jnp.array([1.0, 2.0, 3.0])
+        seg = jnp.array([0, 5, 1], dtype=jnp.int32)  # 5 out of range -> drop
+        got = ps.segment_sum_pallas(data, seg, 3)
+        np.testing.assert_allclose(np.asarray(got), [1.0, 3.0, 0.0])
+
+    def test_max_matches_xla(self):
+        data, seg, r = _random_case(seed=1)
+        got = np.asarray(ps.segment_max_pallas(data, seg, r))
+        want = np.asarray(seg_ops.segment_max(data, seg, r))
+        nonempty = np.isfinite(want)
+        np.testing.assert_allclose(got[nonempty], want[nonempty], rtol=1e-5)
+        assert np.all(got[~nonempty] < -1e37)  # empty segments
+
+    def test_argmax_matches_reference_impl(self):
+        data, seg, r = _random_case(seed=2)
+        got = np.asarray(ps.segment_argmax_pallas(data, seg, r))
+        want = np.asarray(seg_ops.segment_argmax(data, seg, r))
+        np.testing.assert_array_equal(got, want)
+
+    def test_argmax_all_neginf_segment(self):
+        data = jnp.array([-jnp.inf, 1.0, -jnp.inf])
+        seg = jnp.array([0, 1, 0], dtype=jnp.int32)
+        got = np.asarray(ps.segment_argmax_pallas(data, seg, 2))
+        assert got[0] == 3  # empty sentinel = len(scores)
+        assert got[1] == 1
+
+    def test_multi_tile(self):
+        data, seg, r = _random_case(e=2048 + 13, r=200, seed=3)
+        got = ps.segment_sum_pallas(data, seg, r, tile_e=512)
+        want = seg_ops.segment_sum(data, seg, r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        got_a = np.asarray(ps.segment_argmax_pallas(data, seg, r, tile_e=512))
+        want_a = np.asarray(seg_ops.segment_argmax(data, seg, r))
+        np.testing.assert_array_equal(got_a, want_a)
