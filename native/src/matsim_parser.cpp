@@ -346,8 +346,9 @@ PopulationData* parse_population(const char* pop_path, const char* net_path) {
     float employed =
         lower(attrs.count("employed") ? attrs["employed"] : "no") == "yes" ? 1.f
                                                                            : 0.f;
+    // Default age 20 (the reference's attribute default, base.py:71).
     float age =
-        attrs.count("age") ? std::strtof(attrs["age"].c_str(), nullptr) : 0.f;
+        attrs.count("age") ? std::strtof(attrs["age"].c_str(), nullptr) : 20.f;
     int valid = 0;
     for (size_t i = 0; i + 1 < acts.size(); ++i) {
       auto o = inter_ord.find(acts[i].link);

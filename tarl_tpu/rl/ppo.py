@@ -318,7 +318,10 @@ class PPO:
                      deterministic: bool = True):
         """Greedy/stochastic evaluation episode, fully on device.
 
-        Returns (env_state, rewards [T], dones [T]).
+        Returns ``(env_state, rewards [T], dones [T], logs)`` where ``logs``
+        is a dict of per-step series (arrivals, on_network, time) — the data
+        the classical path records for the leg histogram
+        (transportation_simulator.py:344-349).
         """
 
         @functools.partial(jax.jit, static_argnames=())
@@ -329,14 +332,18 @@ class PPO:
                 env, obs, key = carry
                 key, k = jax.random.split(key)
                 action = self.act(params, env, obs, k, deterministic)
-                env, obs, reward, done, _ = env_step(
+                env, obs, reward, done, info = env_step(
                     env, action, self.network, self.rl, self.sim_cfg, self.physics
                 )
-                return (env, obs, key), (reward, done)
+                out = (reward, done, info["arrivals"], info["on_network"],
+                       env.sim.time)
+                return (env, obs, key), out
 
-            (env, obs, key), (rewards, dones) = jax.lax.scan(
-                step, (env, obs, key), length=num_steps
+            (env, obs, key), (rewards, dones, arrivals, on_net, times) = (
+                jax.lax.scan(step, (env, obs, key), length=num_steps)
             )
-            return env, rewards, dones
+            return env, rewards, dones, arrivals, on_net, times
 
-        return run(params, sim_state, key)
+        env, rewards, dones, arrivals, on_net, times = run(params, sim_state, key)
+        logs = {"arrivals": arrivals, "on_network": on_net, "time": times}
+        return env, rewards, dones, logs

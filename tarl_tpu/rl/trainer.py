@@ -155,7 +155,7 @@ def ppo_train(
                 if not det and not stochastic_eval:
                     continue
                 t_eval = _time.time()
-                _, rewards, dones = ppo.eval_rollout(
+                _, rewards, dones, _ = ppo.eval_rollout(
                     ts.params, sim_state, jax.random.PRNGKey(it), eval_steps,
                     deterministic=det,
                 )

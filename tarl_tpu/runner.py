@@ -155,11 +155,24 @@ class Runner:
                 params = ts.params
             else:
                 params = self.train_state.params
-            env, rewards, dones = self.ppo.eval_rollout(
+            env, rewards, dones, logs = self.ppo.eval_rollout(
                 params, self.sim.state, self.key, n_timesteps
             )
-            # Adopt the env's final state so the metric suite reads it.
+            # Adopt the env's final state so the metric suite reads it, and
+            # rebuild the leg-histogram series from the rollout logs.
             self.sim.state = env.sim
+            import numpy as _np
+
+            arrivals = _np.asarray(logs["arrivals"])
+            on_net = _np.asarray(logs["on_network"])
+            times = _np.asarray(logs["time"])
+            prev_on = _np.concatenate([[0.0], on_net[:-1]])
+            departures = on_net - prev_on + arrivals
+            self.sim.leg_histogram_values = [
+                [float(departures[i]), float(arrivals[i]), float(on_net[i]),
+                 float(times[i])]
+                for i in range(len(times))
+            ]
             self._summary(self.sim)
 
     # ------------------------------------------------------------------

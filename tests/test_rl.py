@@ -173,9 +173,10 @@ class TestPPO:
             rl=rl,
         )
         ts = ppo.init(state, jax.random.PRNGKey(0))
-        env, rewards, dones = ppo.eval_rollout(
+        env, rewards, dones, logs = ppo.eval_rollout(
             ts.params, state, jax.random.PRNGKey(2), 6
         )
+        assert logs["arrivals"].shape == (6,)
         assert rewards.shape == (6,)
         assert np.all(np.isfinite(np.asarray(rewards)))
 
