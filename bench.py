@@ -58,7 +58,8 @@ def main() -> None:
         start_time=6 * 3600,
         end_time=6 * 3600 + SIM_SECONDS,
         record_road_optimality=False,
-        insert_window=4096,
+        insert_window=1024,
+        withdraw_depth=8,
     )
     policy = Policy(choice=random_choice)
     state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)

@@ -13,18 +13,45 @@ Pallas kernels for the hot shapes.  All functions take a static
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
 
+# Route float32 1-D segment reductions through the Pallas one-hot kernels on
+# TPU (ops/pallas_segment.py). TARL_PALLAS=0 disables.
+_PALLAS_ENABLED = os.environ.get("TARL_PALLAS", "1") != "0"
+_PALLAS_MAX_SEGMENTS = 16384  # one-hot tile width bound (VMEM)
+
+
+def _pallas_ok(data, num_segments: int) -> bool:
+    if not _PALLAS_ENABLED:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return (
+        data.ndim == 1
+        and data.dtype == jnp.float32
+        and num_segments <= _PALLAS_MAX_SEGMENTS
+    )
+
 
 def segment_sum(data, segment_ids, num_segments: int):
+    if _pallas_ok(data, num_segments):
+        from .pallas_segment import segment_sum_pallas
+
+        return segment_sum_pallas(data, segment_ids, num_segments)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
                                indices_are_sorted=False)
 
 
 def segment_max(data, segment_ids, num_segments: int):
+    if _pallas_ok(data, num_segments):
+        from .pallas_segment import segment_max_pallas
+
+        return segment_max_pallas(data, segment_ids, num_segments)
     return jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
                                indices_are_sorted=False)
 
@@ -42,6 +69,10 @@ def segment_argmax(scores, segment_ids, num_segments: int):
     Segments with no elements (or only ``-inf`` scores) return ``len(scores)``
     as an out-of-range sentinel the caller can mask on.
     """
+    if _pallas_ok(scores, num_segments):
+        from .pallas_segment import segment_argmax_pallas
+
+        return segment_argmax_pallas(scores, segment_ids, num_segments)
     n = scores.shape[0]
     seg_best = segment_max(scores, segment_ids, num_segments)
     is_best = (scores == seg_best[segment_ids]) & jnp.isfinite(scores)
