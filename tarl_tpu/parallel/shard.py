@@ -154,3 +154,20 @@ class BatchedPPO:
         """One jitted data-parallel PPO iteration over the mesh."""
         with self.mesh:
             return self._train_step(ts)
+
+    # --- trainer-shell interface parity with rl.ppo.PPO -------------------
+    train_iteration = train_step
+
+    @property
+    def network(self):
+        return self.ppo.network
+
+    @property
+    def rl(self):
+        return self.ppo.rl
+
+    def eval_rollout(self, params, sim_state, key, num_steps: int,
+                     deterministic: bool = True):
+        """Single-env evaluation rollout (delegated)."""
+        return self.ppo.eval_rollout(params, sim_state, key, num_steps,
+                                     deterministic=deterministic)

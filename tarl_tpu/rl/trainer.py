@@ -131,9 +131,15 @@ def ppo_train(
             "transport/avg_on_network": metrics.avg_on_network,
         }
         # Transport metrics from the live env state (ppo_trainer.py:69-87).
-        agents = ts.env.sim.agents
+        # Batched trainers (parallel.BatchedPPO) expose ``envs``; report the
+        # first replica.
+        if hasattr(ts, "envs"):
+            sim = jax.tree.map(lambda a: a[0], ts.envs).sim
+        else:
+            sim = ts.env.sim
+        agents = sim.agents
         att = float(average_travel_time(agents))
-        counts = np.asarray(ts.env.sim.road.count, dtype=np.float64)
+        counts = np.asarray(sim.road.count, dtype=np.float64)
         caps = np.maximum(np.asarray(ppo.network.capacity, dtype=np.float64), 1.0)
         vc = counts / caps
         scalars["transport/avg_travel_time"] = att

@@ -51,6 +51,8 @@ class RunnerArgs:
     output_dir: str = "runs"
     profile: bool = False
     exec_mode: str = "fused"          # fused | eager
+    num_envs: int = 1                 # PPO environment replicas (vmapped,
+                                      # sharded over the device mesh)
     data_root: str = "data"
     save_root: str = "save"
 
@@ -104,6 +106,14 @@ class Runner:
                 rl=self.rl_cfg,
                 sim_cfg=self.sim.sim,
             )
+            self.trainer = self.ppo
+            if a.num_envs > 1:
+                from .parallel.mesh import make_mesh
+                from .parallel.shard import BatchedPPO
+
+                n_dev = min(jax.device_count(), a.num_envs)
+                mesh = make_mesh(n_dev, sp=1)
+                self.trainer = BatchedPPO(self.ppo, mesh, num_envs=a.num_envs)
             self.sim.set_policy(Policy(choice=random_choice))
             self.sim.config_parameters(
                 timestep_size=a.timestep_size, start_time=a.start_end_time[0]
@@ -119,7 +129,7 @@ class Runner:
         out = Path(a.output_dir)
         out.mkdir(parents=True, exist_ok=True)
         self.train_state = ppo_train(
-            self.ppo,
+            self.trainer,
             self.sim.state,
             num_iterations=a.iterations,
             key=self.key,
@@ -239,6 +249,9 @@ def main(argv=None):
                         default="fused",
                         help="fused = whole episode as on-device lax.scan; "
                              "eager = per-tick host loop with phase timers")
+    parser.add_argument("--num-envs", type=int, default=1,
+                        help="PPO environment replicas (data-parallel over "
+                             "the device mesh)")
     args = parser.parse_args(argv)
 
     runner = Runner(
@@ -256,6 +269,7 @@ def main(argv=None):
             output_dir=args.output_dir,
             profile=args.profile,
             exec_mode=args.exec_mode,
+            num_envs=args.num_envs,
         )
     )
     runner.setup()
