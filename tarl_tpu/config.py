@@ -12,7 +12,6 @@ so every subsystem reads one source of truth and experiments can override them.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

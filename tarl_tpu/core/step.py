@@ -24,7 +24,6 @@ from ..network import Network, default_selected_road
 from ..state import (
     AgentState,
     MetricState,
-    RoadState,
     SimState,
     TickLog,
     init_metric_state,

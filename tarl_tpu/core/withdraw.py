@@ -12,7 +12,6 @@ by advancing ``head`` — zero data movement.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..network import Network

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import PhysicsConfig, DEFAULT_PHYSICS
 from ..network import Network, build_network
-from ..state import AgentState, init_agent_state
+from ..state import AgentState
 
 
 def resolve_xml_path(file_path: str) -> str:

@@ -16,7 +16,6 @@ and the MSA-vs-simulated daily-count comparison.  Definitions used here:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..config import MSAConfig, PhysicsConfig, DEFAULT_MSA, DEFAULT_PHYSICS

@@ -23,7 +23,7 @@ import numpy as np
 
 from ...network import Network
 from ...rl.distribution import GraphDistribution
-from .embedding import degree_structural_encoding, laplacian_positional_encoding
+from .embedding import laplacian_positional_encoding
 from .model import GraphTransformerNet
 
 

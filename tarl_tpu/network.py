@@ -21,8 +21,6 @@ for parity tests and small-scenario tooling.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from ..ops.segment import (
     segment_argmax,
     segment_log_softmax,
-    segment_max,
     segment_sample,
     segment_softmax,
     segment_sum,

@@ -16,15 +16,13 @@ import dataclasses
 import json
 import os
 from pathlib import Path
-from typing import Optional
 
 import jax
-import numpy as np
 
 from .algorithms.episode import run_episode
 from .algorithms.msa import run_msa
-from .config import RLConfig, RoutingConfig, SimConfig
-from .core.step import Policy, init_sim_state
+from .config import RLConfig, SimConfig
+from .core.step import Policy
 from .metrics.equilibrium import equilibrium_report
 from .models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
 from .rl.ppo import PPO

@@ -17,8 +17,6 @@ device:
 from __future__ import annotations
 
 import dataclasses
-import functools
-import os
 import time as _time
 from typing import Optional
 
@@ -27,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import (
-    DEFAULT_MSA,
     DEFAULT_PHYSICS,
     DEFAULT_ROUTING,
     PhysicsConfig,
@@ -40,7 +37,6 @@ from .core.step import (
     init_sim_state,
     reset_sim_state,
     run_episode,
-    tick,
 )
 from .io.cache import load_or_build_network, load_or_build_population
 from .network import Network

@@ -18,7 +18,7 @@ All arrays are static-shaped; every function touching them is pure.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
