@@ -135,9 +135,10 @@ def tick(
         )
 
     # --- withdraw (agents/base.py:334-403) ---
-    road, agents, withdrawn = withdraw_agents(
+    road, agents, wcount = withdraw_agents(
         road, agents, network, t, depth=sim.withdraw_depth
     )
+    withdrawn = wcount > 0
     state = state._replace(road=road, agents=agents)
 
     # --- choice (agents/base.py:446-494 / 519-584) ---
@@ -160,7 +161,8 @@ def tick(
     hourly = metrics.hourly_counts.at[hour].add(traversals)
 
     on_way_total = jnp.sum(road.count).astype(jnp.float32)
-    done_total = jnp.sum(agents.done).astype(jnp.float32)
+    # Incremental DONE counter: avoids an O(A) reduction every tick.
+    done_total = metrics.done_before + jnp.sum(wcount).astype(jnp.float32)
     departures = (
         on_way_total - metrics.on_way_before + done_total - metrics.done_before
     )

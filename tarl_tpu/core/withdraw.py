@@ -35,8 +35,10 @@ def withdraw_agents(
         caps per-tick memory traffic for very deep queues at the cost of
         spreading bursts over consecutive ticks.
 
-    Returns ``(road, agents, withdrawn_mask)`` where ``withdrawn_mask`` is the
-    per-road bool the reference appends to ``withdraw_history`` (base.py:402).
+    Returns ``(road, agents, withdraw_counts)`` where ``withdraw_counts`` is
+    int32[R] agents popped per road this tick; ``withdraw_counts > 0`` is the
+    mask the reference appends to ``withdraw_history`` (base.py:402), and its
+    sum feeds the incremental DONE counter (no O(A) reduction per tick).
     """
     R = road.num_roads
     Nmax = road.nmax
@@ -57,7 +59,6 @@ def withdraw_agents(
     # Consecutive run from the head (cumprod trick, base.py:370).
     cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
     wcount = cum.sum(axis=1).astype(jnp.int32)
-    withdrawn_mask = wcount > 0
 
     # Pop: advance head pointers, nothing else moves.
     new_head = (road.head + wcount) % Nmax
@@ -74,5 +75,5 @@ def withdraw_agents(
     return (
         road._replace(head=new_head, count=new_count),
         agents._replace(done=done, on_way=on_way, arrival=arrival),
-        withdrawn_mask,
+        wcount,
     )

@@ -111,9 +111,10 @@ def env_step(
     road, popped = response_step(road, network)
 
     # --- withdraw (rl.py:243-248) ---
-    road, agents, withdrawn = withdraw_agents(
+    road, agents, wcount = withdraw_agents(
         road, sim.agents, network, t, depth=sim_cfg.withdraw_depth
     )
+    withdrawn = wcount > 0
 
     # --- insert (rl.py:252-254) ---
     insert_ptr = sim.insert_ptr
@@ -148,7 +149,7 @@ def env_step(
     m = sim.metrics
     hourly = m.hourly_counts.at[hour].add((withdrawn | popped).astype(jnp.int32))
     on_way_total = jnp.sum(new_counts).astype(jnp.float32)
-    done_total = jnp.sum(agents.done).astype(jnp.float32)
+    done_total = m.done_before + jnp.sum(wcount).astype(jnp.float32)
 
     new_sim = sim._replace(
         road=road,

@@ -195,11 +195,11 @@ class TransportationSimulator:
 
             @jax.jit
             def phase_withdraw(state):
-                road, agents, withdrawn = withdraw_agents(
+                road, agents, wcount = withdraw_agents(
                     state.road, state.agents, self.network, state.time,
                     depth=simc.withdraw_depth,
                 )
-                return state._replace(road=road, agents=agents), withdrawn
+                return state._replace(road=road, agents=agents), wcount > 0
 
             @jax.jit
             def phase_choice(state):
@@ -223,6 +223,7 @@ class TransportationSimulator:
                 )
                 on_way_total = jnp.sum(road.count).astype(jnp.float32)
                 done_total = jnp.sum(state.agents.done).astype(jnp.float32)
+                # (eager path keeps the exact reduction; it is not hot)
                 log = (
                     on_way_total - m.on_way_before + done_total - m.done_before,
                     done_total - m.done_before,

@@ -52,15 +52,15 @@ class TestInsertWithdraw:
         assert int(ids[0, 1]) == 1
 
         # Not yet departed -> nothing withdrawn.
-        road, agents, mask = withdraw_agents(road, agents, net, t0)
+        road, agents, wcount = withdraw_agents(road, agents, net, t0)
         assert int(road.count[0]) == 2
-        assert not bool(mask[0])
+        assert int(wcount[0]) == 0
 
         # At t=10 both are due and consecutive from the head -> both leave.
         t1 = jnp.float32(10.0)
-        road, agents, mask = withdraw_agents(road, agents, net, t1)
+        road, agents, wcount = withdraw_agents(road, agents, net, t1)
         assert int(road.count[0]) == 0
-        assert bool(mask[0])
+        assert int(wcount[0]) == 2
         assert bool(agents.done[0]) and bool(agents.done[1])
         assert not bool(agents.on_way[0])
         assert float(agents.arrival[0]) == 10.0
