@@ -48,6 +48,40 @@ def load_population_cache(path: str) -> AgentState:
         return agents_from_matrix(data["agent_features"])
 
 
+def save_sim_state(state, path: str) -> None:
+    """Checkpoint a full :class:`~tarl_tpu.state.SimState` mid-episode.
+
+    The reference can only pickle the graph tensor (``TransportationSimulator
+    .save``, ts.py:763); here the complete world state — queues, agents,
+    clock, PRNG key, metric accumulators, routing scratch — round-trips, so
+    an 86,400-tick day can be resumed at any tick.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    leaves, treedef = _flatten_sim(state)
+    np.savez_compressed(path, **{f"leaf_{i}": np.asarray(v)
+                                 for i, v in enumerate(leaves)})
+
+
+def load_sim_state(template, path: str):
+    """Restore a SimState saved by :func:`save_sim_state`; ``template`` is a
+    structurally identical state (e.g. from ``init_sim_state``)."""
+    import jax
+
+    leaves, treedef = _flatten_sim(template)
+    with np.load(path) as data:
+        new_leaves = [
+            jnp.asarray(data[f"leaf_{i}"], dtype=leaf.dtype)
+            for i, leaf in enumerate(leaves)
+        ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def _flatten_sim(state):
+    import jax
+
+    return jax.tree_util.tree_flatten(state)
+
+
 def load_or_build_network(scenario: str, data_root: str = "data",
                           save_root: str = "save") -> Network:
     """Cache-or-XML network load (transportation_simulator.py:246-267)."""

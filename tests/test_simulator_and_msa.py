@@ -143,3 +143,31 @@ class TestMSAAndEquilibrium:
         assert rep["tstt_ue"] >= rep["tstt_so"] > 0
         assert rep["price_of_anarchy"] >= 1.0 - 1e-6
         assert rep["relative_nash_gap"] >= 0.0
+
+
+class TestSimStateCheckpoint:
+    def test_mid_episode_roundtrip(self, twolink_dirs, tmp_path):
+        """Save at tick 5, run to 20; restore and re-run -> identical end state
+        (bitwise: same PRNG stream)."""
+        from tarl_tpu.core.step import run_episode
+        from tarl_tpu.io.cache import load_sim_state, save_sim_state
+
+        sim = _make_sim(twolink_dirs, "TwoLink", str(tmp_path / "save"),
+                        timestep_size=1, start_time=0)
+        policy = sim.policy
+        state, _ = run_episode(sim.state, sim.network, policy, 5, sim=sim.sim)
+        path = str(tmp_path / "ckpt" / "sim.npz")
+        save_sim_state(state, path)
+
+        final_a, _ = run_episode(state, sim.network, policy, 15, sim=sim.sim)
+        restored = load_sim_state(sim.state, path)
+        final_b, _ = run_episode(restored, sim.network, policy, 15, sim=sim.sim)
+
+        np.testing.assert_array_equal(
+            np.asarray(final_a.agents.done), np.asarray(final_b.agents.done)
+        )
+        np.testing.assert_allclose(
+            np.asarray(final_a.road.fifo_departure),
+            np.asarray(final_b.road.fifo_departure),
+        )
+        assert float(final_a.time) == float(final_b.time)
