@@ -100,6 +100,14 @@ class RLConfig:
     minibatch_size: int = 32
     num_envs: int = 1                    # vmapped env replicas (data parallel)
     max_grad_norm: float | None = None
+    # Reward shaping:
+    #   "on_network"  — -(agents on the network), the reference's live reward
+    #                   (reinforcement_learning.py:266-267);
+    #   "individual"  — sum of 100*600/travel_time over agents arriving this
+    #                   step, the reward the reference computes and discards
+    #                   (rl.py:259-265);
+    #   "throughput"  — number of arrivals this step (a denser variant).
+    reward_mode: str = "on_network"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -132,12 +132,17 @@ def env_step(
 
     # --- reward (rl.py:256-267) ---
     new_counts = road.count
-    reward = -jnp.sum(new_counts).astype(jnp.float32)
     arrived = agents.done[last_people]
     travel = agents.arrival[last_people] - agents.departure[last_people]
     individual_reward = jnp.sum(
         jnp.where(arrived & (travel > 0), 100.0 * 600.0 / jnp.maximum(travel, 1.0), 0.0)
     )
+    if rl.reward_mode == "individual":
+        reward = individual_reward
+    elif rl.reward_mode == "throughput":
+        reward = jnp.sum(wcount).astype(jnp.float32)
+    else:  # "on_network" — the reference's live reward
+        reward = -jnp.sum(new_counts).astype(jnp.float32)
 
     # --- event-time clock (rl.py:269-272) ---
     unchanged = jnp.all(env.old_counts == new_counts)

@@ -77,3 +77,52 @@ def test_batched_envs_decorrelated(setup):
     ts = bp.init(state, jax.random.PRNGKey(0))
     keys = np.asarray(ts.envs.sim.key)
     assert len({tuple(k) for k in keys}) == 4, "per-env PRNG streams must differ"
+
+
+def test_sharded_episode_matches_unsharded(tmp_path_factory):
+    """The same episode run with road/agent state sharded across 8 devices
+    produces the same trajectory (same program, same PRNG stream)."""
+    import os
+    from tarl_tpu.config import SimConfig
+    from tarl_tpu.core.step import run_episode, init_sim_state
+    from tarl_tpu.io.matsim import load_network, load_population
+    from tarl_tpu.io.scenarios import ensure_scenario
+    from tarl_tpu.parallel.sharded_episode import (
+        pad_agents, run_episode_sharded, shard_sim_state,
+    )
+
+    root = str(tmp_path_factory.mktemp("shard_scen"))
+    base = ensure_scenario(root, "Grid4x4")
+    net = load_network(os.path.join(base, "network"))
+    assert net.num_roads % 8 == 0  # 48 roads over 8 devices
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    agents = pad_agents(agents, 8)
+    assert agents.num_agents % 8 == 0
+
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 400,
+                    record_road_optimality=False)
+    from tarl_tpu.routing.policies import random_choice
+    from tarl_tpu.core.step import Policy
+
+    policy = Policy(choice=random_choice)
+    state = init_sim_state(net, agents, sim=sim, policy=policy)
+
+    ref, _ = run_episode(state, net, policy, 400, sim=sim)
+
+    mesh = make_mesh(8)
+    sharded_final, _ = run_episode_sharded(state, net, policy, 400, mesh, sim=sim)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.agents.done), np.asarray(sharded_final.agents.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.road.count), np.asarray(sharded_final.road.count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.agents.arrival), np.asarray(sharded_final.agents.arrival)
+    )
+    # The road shards really live on different devices.
+    spec = sharded_final.road.count.sharding
+    assert not spec.is_fully_replicated
