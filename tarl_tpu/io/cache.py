@@ -19,10 +19,15 @@ from ..schema import agent_features_matrix, agents_from_matrix
 
 _NET_STATIC = ("num_roads", "num_intersections", "nmax")
 
+# Bump when the Network/AgentState array schema changes; mismatched caches
+# are rebuilt from XML (the reference's torch.load would deserialize stale
+# objects silently).
+CACHE_VERSION = 1
+
 
 def save_network(network: Network, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    arrays = {}
+    arrays = {"__version__": np.asarray(CACHE_VERSION)}
     for f in dataclasses.fields(network):
         v = getattr(network, f.name)
         arrays[f.name] = np.asarray(v)
@@ -31,6 +36,8 @@ def save_network(network: Network, path: str) -> None:
 
 def load_network_cache(path: str) -> Network:
     with np.load(path) as data:
+        if int(data.get("__version__", -1)) != CACHE_VERSION:
+            raise ValueError(f"stale network cache {path}")
         kwargs = {}
         for f in dataclasses.fields(Network):
             v = data[f.name]
@@ -40,11 +47,17 @@ def load_network_cache(path: str) -> Network:
 
 def save_population(agents: AgentState, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path, agent_features=np.asarray(agent_features_matrix(agents)))
+    np.savez_compressed(
+        path,
+        __version__=np.asarray(CACHE_VERSION),
+        agent_features=np.asarray(agent_features_matrix(agents)),
+    )
 
 
 def load_population_cache(path: str) -> AgentState:
     with np.load(path) as data:
+        if int(data.get("__version__", -1)) != CACHE_VERSION:
+            raise ValueError(f"stale population cache {path}")
         return agents_from_matrix(data["agent_features"])
 
 
@@ -87,7 +100,10 @@ def load_or_build_network(scenario: str, data_root: str = "data",
     """Cache-or-XML network load (transportation_simulator.py:246-267)."""
     cache_path = os.path.join(save_root, scenario, "network.npz")
     if os.path.exists(cache_path):
-        return load_network_cache(cache_path)
+        try:
+            return load_network_cache(cache_path)
+        except (ValueError, KeyError):
+            print(f"♻️  | Stale cache {cache_path}; rebuilding from XML")
     from .matsim import load_network
     from .scenarios import ensure_scenario
 
@@ -102,7 +118,10 @@ def load_or_build_population(scenario: str, data_root: str = "data",
     """Cache-or-XML population load (agents/base.py:420-444)."""
     cache_path = os.path.join(save_root, scenario, "population.npz")
     if os.path.exists(cache_path):
-        return load_population_cache(cache_path)
+        try:
+            return load_population_cache(cache_path)
+        except (ValueError, KeyError):
+            print(f"♻️  | Stale cache {cache_path}; rebuilding from XML")
     from .matsim import load_population
     from .scenarios import ensure_scenario
 
