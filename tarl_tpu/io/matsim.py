@@ -377,9 +377,26 @@ def parse_population_xml(
             stats.exclusions["no_valid_trip"] += 1
 
     stats.total_trips = len(rows) - 1
+    rows_np = np.asarray(rows, dtype=np.float32)
     if verbose:
         print("👥 | Population created:", stats.summary())
-    return np.asarray(rows, dtype=np.float32), stats
+        print_departure_histogram(rows_np)
+    return rows_np, stats
+
+
+def print_departure_histogram(rows: np.ndarray) -> None:
+    """Hourly departure histogram of the trip table (the ingestion stats the
+    reference prints, agents/base.py:227-241)."""
+    dep = rows[1:, 2]
+    dep = dep[dep > 0]
+    if dep.size == 0:
+        return
+    hours = (dep // 3600).astype(int)
+    counts = np.bincount(hours, minlength=24)
+    print("📊 | Departure histogram (1h bins, empty hours omitted):")
+    for h in range(min(len(counts), 24)):
+        if counts[h] >= 1:
+            print(f"{h:02d}h : {counts[h]}")
 
 
 def load_population(
