@@ -59,6 +59,11 @@ class SimConfig:
     # Record per-tick road-optimality series (delta travel time per road,
     # reference: transportation_simulator.py:351).  Costs T x R floats.
     record_road_optimality: bool = True
+    # Use the fused Pallas direction+response kernel (core/fused_core.py) on
+    # TPU. Distribution-equivalent sampling with a different RNG stream;
+    # requires record_road_optimality=False (the fused path skips the
+    # per-road delay series).
+    fused_core: bool = False
     # Number of hour buckets for the on-device traffic-count accumulator
     # (reference rebuilds these from host-side event lists,
     # transportation_simulator.py:563-669).

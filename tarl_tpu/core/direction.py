@@ -39,6 +39,7 @@ def direction_step(
     time: jnp.ndarray,
     key: jax.Array,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    compute_delta: bool = True,
 ) -> tuple[RoadState, jnp.ndarray]:
     """Returns ``(road_state, road_delta_tt)`` where ``road_delta_tt[R]`` is
     the congestion delay of each road's head agent summed over its outgoing
@@ -96,10 +97,13 @@ def direction_step(
     new_count = road.count + accept.astype(jnp.int32)
 
     # --- road-optimality data (direction_mpnn.py:94-96) ---
-    edge_delta = jnp.maximum(
-        (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
-    )
-    road_delta_tt = segment_sum(edge_delta, u, R)
+    if compute_delta:
+        edge_delta = jnp.maximum(
+            (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
+        )
+        road_delta_tt = segment_sum(edge_delta, u, R)
+    else:
+        road_delta_tt = jnp.zeros((0,), jnp.float32)
 
     return (
         road._replace(

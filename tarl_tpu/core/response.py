@@ -34,7 +34,8 @@ def response_step(
     has_dn = road.count[v] > 0
     accepted = has_up & has_dn & (tail_id[v] == head_id[u])
 
-    popped = segment_max(accepted.astype(jnp.int32), u, R) > 0
+    # float32 so the reduction routes through the Pallas segment kernel on TPU
+    popped = segment_max(accepted.astype(jnp.float32), u, R) > 0.0
 
     new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
     new_count = road.count - popped.astype(jnp.int32)

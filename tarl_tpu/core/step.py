@@ -146,10 +146,19 @@ def tick(
 
     # --- core: direction + response (simulation_core_model.py:41-83) ---
     key, k_dir = jax.random.split(state.key)
-    road, road_delta_tt = direction_step(
-        state.road, state.selected_road, network, t, k_dir, physics
-    )
-    road, popped = response_step(road, network)
+    if sim.fused_core and not sim.record_road_optimality:
+        from .fused_core import fused_core_step
+
+        road, popped = fused_core_step(
+            state.road, state.selected_road, network, t, k_dir, physics
+        )
+        road_delta_tt = jnp.zeros((0,), jnp.float32)
+    else:
+        road, road_delta_tt = direction_step(
+            state.road, state.selected_road, network, t, k_dir, physics,
+            compute_delta=sim.record_road_optimality,
+        )
+        road, popped = response_step(road, network)
 
     # --- clock + metrics (ts.py:342-351) ---
     new_time = t + sim.timestep
@@ -185,11 +194,7 @@ def tick(
         arrivals=arrivals,
         on_way=on_way_total,
         time=new_time,
-        road_delta_tt=(
-            road_delta_tt
-            if sim.record_road_optimality
-            else jnp.zeros((0,), jnp.float32)
-        ),
+        road_delta_tt=road_delta_tt,
     )
     return new_state, log
 
