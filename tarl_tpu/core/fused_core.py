@@ -108,8 +108,8 @@ def _fused_kernel(seed_ref, time_ref, src_ref, dst_ref, attr_ref,
 
     prob = attr * mask.astype(jnp.float32)
 
-    # Gumbel-max scores from the in-kernel PRNG.
-    bits = pltpu.prng_random_bits((tile_e,))
+    # Gumbel-max scores from the in-kernel PRNG (Mosaic needs rank >= 2).
+    bits = pltpu.prng_random_bits((1, tile_e))[0, :]
     uniform = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
     gumbel = -jnp.log(-jnp.log(uniform + 1e-7) + 1e-7)
     score = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)) + gumbel,
