@@ -60,6 +60,7 @@ def main() -> None:
         record_road_optimality=False,
         insert_window=1024,
         withdraw_depth=8,
+        fused_core=True,
     )
     policy = Policy(choice=random_choice)
     state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)

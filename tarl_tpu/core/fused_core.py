@@ -1,4 +1,4 @@
-"""Fused direction+response as one Pallas TPU kernel.
+"""Fused direction+response edge phase with a Pallas argmax-payload kernel.
 
 The two-phase commit (DirectionMPNN propose + ResponseMPNN confirm,
 direction_mpnn.py:44-196 / response_mpnn.py:42-127) reduces to: for every
@@ -6,29 +6,27 @@ downstream road, pick one incoming proposal by Gumbel-max over eligible turn
 edges; the upstream source of the winning proposal pops its head.  The
 response's ``tail == head`` check is exactly "my proposal won" — an agent
 sits on one road only, so the downstream tail can equal the upstream head iff
-the transfer just happened (see response_mpnn.py:62-80).
+the transfer just happened (see response_mpnn.py:62-80).  Fusing removes the
+entire second message-passing pass.
 
-This kernel evaluates the whole edge phase in one pass over turn-edge tiles:
+Division of labor (learned the hard way — see the precision note below):
 
-* per-road upstream/downstream features are **gathered via one-hot MXU
-  contraction** (``onehot(edge_endpoint) @ feature_matrix``) — TPU Pallas has
-  no vector gather, but the MXU makes the one-hot product cheap at these
-  shapes;
-* eligibility + gridlock masks and edge probabilities are computed on the
-  VPU (direction_mpnn.py:81-91);
-* Gumbel noise comes from the in-kernel PRNG (``pltpu.prng_random_bits``),
-  reseeded per tile from a scalar-prefetch seed;
-* a running (best score, winning head id, winning source road) triple per
-  downstream road is accumulated across tiles (TPU grid steps execute
-  sequentially, so output revisiting is race-free).
+* the eligibility + gridlock masks and probabilities are exact f32 gathers/
+  compares, computed in XLA over the edge list (identical math to
+  core.direction);
+* ONE Pallas kernel then does the per-downstream Gumbel-max *with payloads*:
+  in-kernel PRNG, masked-max sweep per road column, carrying (best score,
+  winning agent id, winning source road) across edge tiles — all on the VPU,
+  where f32 is exact.
 
-Outputs: ``chosen_agent[R]`` (0 = none), ``win_src[R]`` (source road of the
-winning proposal, R = none).  FIFO pushes/pops stay outside as cheap
-[R]-indexed XLA updates (see :func:`fused_core_step`).
+Precision note: an earlier version gathered per-road features inside the
+kernel via one-hot MXU contraction; the MXU's default bf16 passes rounded
+road indices and departure times, silently breaking equality/comparison masks
+on real hardware (interpret mode hid it).  Anything needing exact integers or
+comparisons stays off the MXU.
 
-The jnp implementation (core.direction/core.response) remains the reference
-path and the CPU fallback; sampling here is distribution-equivalent but uses
-a different RNG stream.
+Agent ids ride through the kernel as f32 payloads — exact below 2**24
+(16.7M agents); the jnp path has no such bound.
 """
 from __future__ import annotations
 
@@ -47,138 +45,81 @@ LANE = 128
 TILE_E = 512
 NEG_LARGE = -3.4e38
 
-# Columns of the upstream feature matrix.
-U_HEAD_DEP, U_HEAD_ID, U_COUNT, U_CAP, U_SEL = range(5)
-# Columns of the downstream feature matrix.
-D_COUNT, D_CAP = range(2)
-
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fused_kernel(seed_ref, time_ref, src_ref, dst_ref, attr_ref,
-                  up_ref, dn_ref,
-                  best_ref, agent_ref, winsrc_ref, *,
-                  congestion_buffer, gridlock_patience):
-    r_pad = up_ref.shape[0]
-    tile_e = src_ref.shape[1]
+def _argmax_payload_kernel(seed_ref, dst_ref, logit_ref, pay_a_ref, pay_b_ref,
+                           best_ref, out_a_ref, out_b_ref):
+    """Per-segment Gumbel-max with two payload channels (VPU only)."""
+    r_pad = best_ref.shape[1]
+    tile_e = dst_ref.shape[1]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         best_ref[:] = jnp.full_like(best_ref, NEG_LARGE)
-        agent_ref[:] = jnp.zeros_like(agent_ref)
-        winsrc_ref[:] = jnp.full_like(winsrc_ref, float(r_pad))
+        out_a_ref[:] = jnp.zeros_like(out_a_ref)
+        out_b_ref[:] = jnp.full_like(out_b_ref, float(r_pad))
 
     pltpu.prng_seed(seed_ref[0] + step)
+    # bitcast before shifting: prng_random_bits yields signed int32 on TPU,
+    # and an arithmetic shift would sign-extend half the lanes into negative
+    # "uniforms" (NaN Gumbel noise).  Mosaic cannot cast uint32 -> f32, so
+    # bitcast the (now < 2**24, sign-clear) shifted value back to int32 first.
+    bits = pltpu.bitcast(pltpu.prng_random_bits((1, tile_e)), jnp.uint32)
+    shifted = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)[0, :]
+    uniform = shifted.astype(jnp.float32) * (1.0 / (1 << 24))
+    gumbel = -jnp.log(-jnp.log(uniform + 1e-7) + 1e-7)
 
-    src = src_ref[0, :]   # int32[tile_e] upstream road (padded rows -> r_pad-1
-    dst = dst_ref[0, :]   # with attr 0, masked out by prob == 0)
-    attr = attr_ref[0, :]
-    t = time_ref[0]
+    dst = dst_ref[0, :]
+    logit = logit_ref[0, :]
+    score = jnp.where(logit > NEG_LARGE, logit + gumbel, NEG_LARGE)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 1)
-    onehot_u = (src[:, None] == col).astype(jnp.float32)
-    onehot_v = (dst[:, None] == col).astype(jnp.float32)
-
-    # One-hot MXU gathers of per-road features.
-    up = jax.lax.dot_general(
-        onehot_u, up_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tile_e, 5]
-    dn = jax.lax.dot_general(
-        onehot_v, dn_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [tile_e, 2]
-
-    dst_f = dst.astype(jnp.float32)
-    dep_ok = up[:, U_HEAD_DEP] <= t
-    space_ok = dn[:, D_COUNT] < dn[:, D_CAP] - congestion_buffer
-    wants_v = up[:, U_SEL] == dst_f
-    nonempty = up[:, U_COUNT] > 0
-    mask = dep_ok & space_ok & wants_v & nonempty
-
-    stuck = (up[:, U_HEAD_DEP] - t) < -gridlock_patience
-    u_full = up[:, U_CAP] - congestion_buffer <= up[:, U_COUNT]
-    v_freer = up[:, U_CAP] - up[:, U_COUNT] <= dn[:, D_CAP] - dn[:, D_COUNT]
-    mask = mask | (stuck & u_full & v_freer & wants_v)
-
-    prob = attr * mask.astype(jnp.float32)
-
-    # Gumbel-max scores from the in-kernel PRNG (Mosaic needs rank >= 2).
-    bits = pltpu.prng_random_bits((1, tile_e))[0, :]
-    uniform = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
-    gumbel = -jnp.log(-jnp.log(uniform + 1e-7) + 1e-7)
-    score = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)) + gumbel,
-                      NEG_LARGE)
-
-    # Per-downstream tile best + payloads (winning head id / source road).
-    masked = jnp.where(onehot_v > 0, score[:, None], NEG_LARGE)
+    onehot_v = dst[:, None] == col
+    masked = jnp.where(onehot_v, score[:, None], NEG_LARGE)
     tile_best = masked.max(axis=0)  # [r_pad]
     row = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 0)
     attains = (masked == tile_best[None, :]) & (masked > NEG_LARGE)
     best_row = jnp.where(attains, row, tile_e).min(axis=0)
-    is_winner = attains & (row == best_row[None, :])
-    win_f = is_winner.astype(jnp.float32)
-    tile_agent = (win_f * up[:, U_HEAD_ID][:, None]).sum(axis=0)
-    tile_src = (win_f * src.astype(jnp.float32)[:, None]).sum(axis=0)
+    is_winner = (attains & (row == best_row[None, :])).astype(jnp.float32)
+    tile_a = (is_winner * pay_a_ref[0, :][:, None]).sum(axis=0)
+    tile_b = (is_winner * pay_b_ref[0, :][:, None]).sum(axis=0)
     has = tile_best > NEG_LARGE
-    tile_src = jnp.where(has, tile_src, float(r_pad))
+    tile_b = jnp.where(has, tile_b, float(r_pad))
 
     better = tile_best[None, :] > best_ref[:]
-    agent_ref[:] = jnp.where(better, tile_agent[None, :], agent_ref[:])
-    winsrc_ref[:] = jnp.where(better, tile_src[None, :], winsrc_ref[:])
+    out_a_ref[:] = jnp.where(better, tile_a[None, :], out_a_ref[:])
+    out_b_ref[:] = jnp.where(better, tile_b[None, :], out_b_ref[:])
     best_ref[:] = jnp.maximum(best_ref[:], tile_best[None, :])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_roads", "congestion_buffer", "gridlock_patience"),
-)
-def fused_edge_phase(
-    edge_src, edge_dst, edge_attr,
-    head_dep, head_id, count, cap, selected,
-    time, seed,
-    num_roads: int,
-    congestion_buffer: float,
-    gridlock_patience: float,
-):
-    """Run the fused kernel; returns (chosen_agent i32[R], win_src i32[R])
-    with ``win_src == R`` where no proposal won."""
-    e = edge_src.shape[0]
-    r_pad = _round_up(num_roads + 1, LANE)
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def gumbel_argmax_payload(logits, segment_ids, payload_a, payload_b, seed,
+                          num_segments: int):
+    """Sample one element per segment ∝ softmax(logits) (Gumbel-max, in-kernel
+    PRNG) and return its two payload values.
+
+    Returns ``(a f32[S], b f32[S])`` with ``a = 0`` and
+    ``b = num_segments`` for segments with no finite-logit element.
+    """
+    e = logits.shape[0]
+    r_pad = _round_up(num_segments + 1, LANE)
     e_pad = _round_up(max(e, TILE_E), TILE_E)
-
     pad_e = e_pad - e
-    src = jnp.pad(edge_src.astype(jnp.int32), (0, pad_e),
+
+    logit = jnp.where(jnp.isfinite(logits), logits, NEG_LARGE)
+    logit = jnp.pad(logit.astype(jnp.float32), (0, pad_e),
+                    constant_values=NEG_LARGE)
+    dst = jnp.pad(segment_ids.astype(jnp.int32), (0, pad_e),
                   constant_values=r_pad - 1)
-    dst = jnp.pad(edge_dst.astype(jnp.int32), (0, pad_e),
-                  constant_values=r_pad - 1)
-    attr = jnp.pad(edge_attr.astype(jnp.float32), (0, pad_e))
+    pa = jnp.pad(payload_a.astype(jnp.float32), (0, pad_e))
+    pb = jnp.pad(payload_b.astype(jnp.float32), (0, pad_e))
 
-    def pad_r(x, fill=0.0):
-        return jnp.pad(x.astype(jnp.float32), (0, r_pad - num_roads),
-                       constant_values=fill)
-
-    up = jnp.stack(
-        [pad_r(head_dep, 1e30), pad_r(head_id.astype(jnp.float32)),
-         pad_r(count.astype(jnp.float32)), pad_r(cap), pad_r(selected, -1.0)],
-        axis=1,
-    )  # [r_pad, 5]
-    dn = jnp.stack(
-        [pad_r(count.astype(jnp.float32)), pad_r(cap)], axis=1
-    )  # [r_pad, 2]
-
-    kernel = functools.partial(
-        _fused_kernel,
-        congestion_buffer=float(congestion_buffer),
-        gridlock_patience=float(gridlock_patience),
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # seed, time
+        num_scalar_prefetch=1,  # seed
         grid=(e_pad // TILE_E,),
         in_specs=[
             pl.BlockSpec((1, TILE_E), lambda i, *_: (0, i),
@@ -187,9 +128,7 @@ def fused_edge_phase(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_E), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, 8), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_pad, 8), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, TILE_E), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -201,29 +140,17 @@ def fused_edge_phase(
                          memory_space=pltpu.VMEM),
         ),
     )
-    # Pad the feature matrices' trailing dim to the lane-friendly width 8.
-    up8 = jnp.pad(up, ((0, 0), (0, 8 - up.shape[1])))
-    dn8 = jnp.pad(dn, ((0, 0), (0, 8 - dn.shape[1])))
-
-    _, agent_f, winsrc_f = pl.pallas_call(
-        kernel,
+    _, out_a, out_b = pl.pallas_call(
+        _argmax_payload_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
         ),
-    )(
-        jnp.asarray([seed], jnp.int32),
-        jnp.asarray([time], jnp.float32),
-        src[None, :], dst[None, :], attr[None, :],
-        up8, dn8,
-    )
-    chosen_agent = agent_f[0, :num_roads].astype(jnp.int32)
-    win_src = jnp.minimum(
-        winsrc_f[0, :num_roads].astype(jnp.int32), num_roads
-    )
-    return chosen_agent, win_src
+    )(jnp.asarray([seed], jnp.int32), dst[None, :], logit[None, :],
+      pa[None, :], pb[None, :])
+    return out_a[0, :num_segments], out_b[0, :num_segments]
 
 
 def fused_core_step(
@@ -235,29 +162,44 @@ def fused_core_step(
     physics: PhysicsConfig = DEFAULT_PHYSICS,
 ) -> tuple[RoadState, jnp.ndarray]:
     """Drop-in replacement for ``direction_step`` + ``response_step`` (minus
-    the optional road-optimality series): one kernel for the edge phase, then
-    cheap [R]-indexed updates for the push/pop."""
+    the optional road-optimality series)."""
     R = road.num_roads
     Nmax = road.nmax
-    seed = jax.random.randint(key, (), 0, 2**31 - 1)
+    u = network.edge_src
+    v = network.edge_dst
 
-    chosen_agent, win_src = fused_edge_phase(
-        network.edge_src, network.edge_dst, network.edge_attr,
-        road.head_departure(), road.head_ids(),
-        road.count, network.capacity, selected_road[:R].astype(jnp.float32),
-        time, seed,
-        num_roads=R,
-        congestion_buffer=physics.congestion_buffer,
-        gridlock_patience=physics.gridlock_patience,
+    head_id = road.head_ids()
+    head_departure = road.head_departure()
+    count_f = road.count.astype(jnp.float32)
+    cap = network.capacity
+
+    # Exact f32 message phase in XLA (identical to core.direction).
+    dep_ok = head_departure[u] <= time
+    space_ok = count_f[v] < cap[v] - physics.congestion_buffer
+    wants_v = selected_road[:R][u] == v
+    nonempty = road.count[u] > 0
+    mask = dep_ok & space_ok & wants_v & nonempty
+    stuck = (head_departure[u] - time) < -physics.gridlock_patience
+    u_full = cap[u] - physics.congestion_buffer <= count_f[u]
+    v_freer = cap[u] - count_f[u] <= cap[v] - count_f[v]
+    mask = mask | (stuck & u_full & v_freer & wants_v)
+    prob = network.edge_attr * mask.astype(jnp.float32)
+    logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
+
+    seed = jax.random.randint(key, (), 0, 2**31 - 1)
+    agent_f, src_f = gumbel_argmax_payload(
+        logits, v, head_id[u].astype(jnp.float32), u.astype(jnp.float32),
+        seed, R,
     )
+    chosen_agent = agent_f.astype(jnp.int32)
+    win_src = jnp.minimum(src_f.astype(jnp.int32), R)
     accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
 
-    # Push at downstream tails.
-    count_f = road.count.astype(jnp.float32)
+    # Push at downstream tails (direction update, direction_mpnn.py:171-195).
     slot = (road.head + road.count) % Nmax
     rows = jnp.where(accept, jnp.arange(R, dtype=jnp.int32), R)
     time_congestion = network.congestion_constant / (
-        network.capacity + physics.congestion_softening - count_f
+        cap + physics.congestion_softening - count_f
     )
     travel_time = jnp.maximum(network.free_flow, time_congestion)
     fifo_ids = road.fifo_ids.at[rows, slot].set(chosen_agent, mode="drop")
@@ -269,7 +211,7 @@ def fused_core_step(
     )
     new_count = road.count + accept.astype(jnp.int32)
 
-    # Pop at winning upstream heads (the response phase).
+    # Pop at winning upstream heads (the fused response phase).
     pop_src = jnp.where(accept, win_src, R)
     popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
     new_head = (road.head + popped.astype(jnp.int32)) % Nmax

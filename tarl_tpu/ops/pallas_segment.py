@@ -59,11 +59,13 @@ def _segment_sum_kernel(seg_ref, data_ref, out_ref):
     data = data_ref[0, :]
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 1)
     onehot = (seg[:, None] == col).astype(jnp.float32)
-    # [1, TILE_E] @ [TILE_E, R_pad] on the MXU.
+    # [1, TILE_E] @ [TILE_E, R_pad] on the MXU.  HIGHEST precision: the MXU's
+    # default bf16 passes would round the data before summation.
     partial = jax.lax.dot_general(
         data[None, :], onehot,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     out_ref[:] += partial
 

@@ -104,3 +104,38 @@ class TestFusedCore:
         np.testing.assert_array_equal(
             np.asarray(f_road.head_ids()), [3, 1, 2]
         )
+
+    def test_competing_proposals_always_resolve(self):
+        """Two competing upstream proposals: exactly one must win and pop
+        every tick (catches NaN-noise regressions structurally).
+
+        NB: pltpu.prng_random_bits is stubbed to zeros in interpret mode, so
+        the Gumbel-max *law* cannot be asserted here; the 50/50 frequency
+        check runs on real TPU (see /tmp ablation scripts + CLAUDE.md).
+        With zero noise the tie-break is deterministic toward the lower edge
+        index.
+        """
+        # Roads 0 and 1 both feed road 2 (two intersections merging).
+        net = build_network(
+            length=np.array([75.0, 75.0, 75.0, 75.0]),
+            max_flow=np.array([30.0, 10.0, 10.0, 10.0]),
+            free_speed=np.array([7.5] * 4),
+            perm_lanes=np.array([1.0] * 4),
+            from_inter=np.array([0, 1, 2, 3]),
+            to_inter=np.array([2, 2, 3, 0]),
+            num_intersections=4,
+        )
+        # turn edges: 0->2, 1->2 (both from intersection-2 inflows), 2->3, 3->0
+        road0 = init_road_state(net.num_roads, net.nmax)
+        road0 = _seed_agent(road0, 0, 5, 0.0)
+        road0 = _seed_agent(road0, 1, 6, 0.0)
+        sel = jnp.array([2, 2, 3, 0] + [-1] * 8, dtype=jnp.int32)
+
+        for i in range(20):
+            f_road, popped = fused_core_step(
+                road0, sel, net, jnp.float32(10.0), jax.random.PRNGKey(i)
+            )
+            winner = int(f_road.tail_ids()[2])
+            assert winner in (5, 6), "one of the two proposals must always win"
+            assert int(jnp.sum(popped)) == 1
+            assert int(jnp.sum(f_road.count)) == 2
