@@ -49,6 +49,7 @@ class RunnerArgs:
     output_dir: str = "runs"
     profile: bool = False
     exec_mode: str = "fused"          # fused | eager
+    checkpoint: str = ""              # restore policy/value params for eval
     num_envs: int = 1                 # PPO environment replicas (vmapped,
                                       # sharded over the device mesh)
     data_root: str = "data"
@@ -161,6 +162,16 @@ class Runner:
             if params is None:
                 ts = self.ppo.init(self.sim.state, self.key)
                 params = ts.params
+                if a.checkpoint:
+                    from .rl.checkpoint import restore_checkpoint
+
+                    restored = restore_checkpoint(
+                        a.checkpoint,
+                        template={"params": ts.params,
+                                  "opt_state": ts.opt_state, "iteration": 0},
+                    )
+                    params = restored["params"]
+                    print(f"🔁 | Loaded policy checkpoint {a.checkpoint}")
             else:
                 params = self.train_state.params
             env, rewards, dones, logs = self.ppo.eval_rollout(
@@ -247,6 +258,9 @@ def main(argv=None):
                         default="fused",
                         help="fused = whole episode as on-device lax.scan; "
                              "eager = per-tick host loop with phase timers")
+    parser.add_argument("--checkpoint", type=str, default="",
+                        help="Checkpoint directory to restore policy params "
+                             "for evaluation (saved by --mode train)")
     parser.add_argument("--num-envs", type=int, default=1,
                         help="PPO environment replicas (data-parallel over "
                              "the device mesh)")
@@ -267,6 +281,7 @@ def main(argv=None):
             output_dir=args.output_dir,
             profile=args.profile,
             exec_mode=args.exec_mode,
+            checkpoint=args.checkpoint,
             num_envs=args.num_envs,
         )
     )
