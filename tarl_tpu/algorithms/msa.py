@@ -133,3 +133,80 @@ def run_msa(network: Network, agents: AgentState,
     result = solve_msa(network, od_o, od_d, od_vol, msa=msa)
     flow = np.asarray(result.flow)
     return {int(i): float(flow[i]) for i in range(network.num_roads)}
+
+
+# ---------------------------------------------------------------------------
+# Host-exact fallback (independent implementation for cross-validation)
+# ---------------------------------------------------------------------------
+
+def _dijkstra_host(num_nodes, adj, cost, source):
+    """Textbook binary-heap Dijkstra over node-entry costs; returns the
+    predecessor array (the independent oracle for the device Bellman-Ford)."""
+    import heapq
+
+    dist = np.full(num_nodes, np.inf)
+    pred = np.full(num_nodes, -1, dtype=np.int64)
+    dist[source] = 0.0
+    heap = [(0.0, source)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        for v in adj[u]:
+            nd = d + cost[v]
+            if nd < dist[v] - 1e-12:
+                dist[v] = nd
+                pred[v] = u
+                heapq.heappush(heap, (nd, v))
+    return dist, pred
+
+
+def run_msa_host(network: Network, agents: AgentState,
+                 msa: MSAConfig = DEFAULT_MSA) -> dict[int, float]:
+    """Pure-NumPy MSA with heap Dijkstra — an independent implementation of
+    the reference algorithm (um.py:65-165) used to cross-validate the
+    on-device solver in tests. Same BPR parameters, MSA step and L1 gap."""
+    n = network.num_nodes
+    num_roads = network.num_roads
+    src = np.asarray(network.full_src)
+    dst = np.asarray(network.full_dst)
+    adj = [[] for _ in range(n)]
+    for u, v in zip(src, dst):
+        adj[u].append(int(v))
+
+    free_flow = np.zeros(n)
+    capacity = np.full(n, 1e-8)
+    free_flow[:num_roads] = np.asarray(network.free_flow)
+    capacity[:num_roads] = np.maximum(np.asarray(network.max_flow), 1e-8)
+    is_road = np.zeros(n, bool)
+    is_road[:num_roads] = True
+
+    od_o, od_d, od_vol = build_od_demand(agents, n)
+    od_o = np.asarray(od_o)
+    od_d = np.asarray(od_d)
+    od_vol = np.asarray(od_vol)
+
+    flow = np.zeros(n)
+    cost = np.where(is_road, free_flow, 0.0)
+    for it in range(1, msa.max_iter + 1):
+        aux = np.zeros(n)
+        for o in np.unique(od_o):
+            _, pred = _dijkstra_host(n, adj, cost, int(o))
+            for d, vol in zip(od_d[od_o == o], od_vol[od_o == o]):
+                node = int(d)
+                while node != o and node >= 0:
+                    if is_road[node]:
+                        aux[node] += vol
+                    node = int(pred[node])
+        step = 1.0 / it
+        new_flow = flow + step * (aux - flow)
+        gap = np.abs(new_flow - flow).sum()
+        flow = new_flow
+        cost = np.where(
+            is_road,
+            free_flow * (1.0 + msa.bpr_alpha * (flow / capacity) ** msa.bpr_beta),
+            0.0,
+        )
+        if gap < msa.tol:
+            break
+    return {int(i): float(flow[i]) for i in range(num_roads)}

@@ -1,0 +1,88 @@
+"""Robustness edge cases: degenerate networks and populations."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.config import SimConfig
+from tarl_tpu.core.step import (
+    Policy,
+    average_travel_time,
+    init_sim_state,
+    run_episode,
+)
+from tarl_tpu.network import build_network
+from tarl_tpu.routing.policies import make_shortest_path_choice, random_choice
+from tarl_tpu.state import init_agent_state
+
+
+def _dead_end_network():
+    """A -> B -> C with no return from C: road 1 (B->C) has no outgoing turn
+    edges; C's DEST node is still reachable."""
+    return build_network(
+        length=np.array([75.0, 75.0]),
+        max_flow=np.array([10.0, 10.0]),
+        free_speed=np.array([7.5, 7.5]),
+        perm_lanes=np.array([1.0, 1.0]),
+        from_inter=np.array([0, 1]),
+        to_inter=np.array([1, 2]),
+        num_intersections=3,
+    )
+
+
+class TestDegenerateNetworks:
+    def test_dead_end_trip_completes(self):
+        """Agent travels A -> C through the dead-end chain and withdraws at
+        DEST(C); roads with no outgoing turns must not break choice/core."""
+        net = _dead_end_network()
+        # SRC(A)=2, DEST(C)=7
+        agents = init_agent_state(origin=[2, 2], dest=[7, 7],
+                                  departure=[1e9, 0.0])
+        sim = SimConfig(start_time=0, end_time=100)
+        policy = Policy(
+            choice=make_shortest_path_choice(),
+            entry=lambda s, n: s.next_hop[s.agents.origin, s.agents.dest],
+            needs_next_hop=True,
+        )
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        final, _ = run_episode(state, net, policy, 100, sim=sim)
+        assert bool(final.agents.done[1])
+        assert float(average_travel_time(final.agents)) > 0
+        assert int(jnp.sum(final.road.count)) == 0
+
+    def test_unreachable_destination_stays_on_network(self):
+        """An agent whose destination is unreachable keeps circulating (or
+        parks); nothing crashes and conservation holds."""
+        net = _dead_end_network()
+        # dest = DEST(A) = 3, unreachable from SRC(A) without a return link.
+        agents = init_agent_state(origin=[2, 2], dest=[3, 3],
+                                  departure=[1e9, 0.0])
+        sim = SimConfig(start_time=0, end_time=60)
+        policy = Policy(choice=random_choice)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        final, _ = run_episode(state, net, policy, 60, sim=sim)
+        assert not bool(final.agents.done[1])
+        total = int(jnp.sum(final.road.count)) + int(
+            (~final.agents.on_way[1:] & ~final.agents.done[1:]).sum()
+        )
+        assert total == 1  # the agent is either queued or still pending
+
+    def test_empty_population(self):
+        net = _dead_end_network()
+        agents = init_agent_state(origin=[0], dest=[0], departure=[48 * 3600.0])
+        sim = SimConfig(start_time=0, end_time=50)
+        policy = Policy(choice=random_choice)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        final, logs = run_episode(state, net, policy, 50, sim=sim)
+        assert int(jnp.sum(final.road.count)) == 0
+        assert float(logs.arrivals.sum()) == 0.0
+
+    def test_windowed_insert_tiny_population(self):
+        """Window larger than the population must clamp cleanly."""
+        net = _dead_end_network()
+        agents = init_agent_state(origin=[2, 2], dest=[7, 7],
+                                  departure=[1e9, 0.0])
+        sim = SimConfig(start_time=0, end_time=60, insert_window=4096)
+        policy = Policy(choice=random_choice)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        final, _ = run_episode(state, net, policy, 60, sim=sim)
+        assert bool(final.agents.on_way[1]) or bool(final.agents.done[1])

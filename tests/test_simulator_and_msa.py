@@ -171,3 +171,34 @@ class TestSimStateCheckpoint:
             np.asarray(final_b.road.fifo_departure),
         )
         assert float(final_a.time) == float(final_b.time)
+
+
+class TestMSAHostCrossValidation:
+    def test_device_matches_host_oracle(self, braess_dirs, tmp_path):
+        """The on-device MSA (Bellman-Ford + vectorized walk) must agree with
+        an independent host NumPy implementation (heap Dijkstra)."""
+        from tarl_tpu.algorithms.msa import run_msa_host
+
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"))
+        dev = run_msa(sim.network, sim.state.agents)
+        host = run_msa_host(sim.network, sim.state.agents)
+        for r in dev:
+            assert dev[r] == pytest.approx(host[r], abs=1.0), (r, dev, host)
+
+    def test_grid_cross_validation(self, tmp_path_factory):
+        from tarl_tpu.algorithms.msa import run_msa_host
+        from tarl_tpu.io.matsim import load_network, load_population
+
+        root = str(tmp_path_factory.mktemp("msa_scen"))
+        base = ensure_scenario(root, "Easy")
+        net = load_network(os.path.join(base, "network"))
+        agents, _ = load_population(
+            os.path.join(base, "population"), os.path.join(base, "network")
+        )
+        dev = run_msa(net, agents)
+        host = run_msa_host(net, agents)
+        # Tie-broken equal-cost paths may differ; compare total assigned
+        # flow and per-road flows loosely.
+        assert sum(dev.values()) == pytest.approx(sum(host.values()), rel=0.05)
+        diffs = [abs(dev[r] - host[r]) for r in dev]
+        assert np.mean(diffs) < 5.0, (dev, host)
