@@ -13,6 +13,8 @@ Pallas kernels for the hot shapes.  All functions take a static
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax
@@ -25,9 +27,25 @@ NEG_INF = jnp.float32(-jnp.inf)
 _PALLAS_ENABLED = os.environ.get("TARL_PALLAS", "1") != "0"
 _PALLAS_MAX_SEGMENTS = 16384  # one-hot tile width bound (VMEM)
 
+# vmap of pallas_call fails Mosaic lowering on this TPU stack ("grid_context"
+# assertion); callers that trace segment ops under vmap (the PPO loss, the
+# batched multi-env rollout) wrap themselves in no_pallas() so those regions
+# fall back to XLA.  The flag acts at trace time.
+_NO_PALLAS = contextvars.ContextVar("tarl_no_pallas", default=False)
+
+
+@contextlib.contextmanager
+def no_pallas():
+    """Disable the Pallas fast path for ops traced inside this context."""
+    token = _NO_PALLAS.set(True)
+    try:
+        yield
+    finally:
+        _NO_PALLAS.reset(token)
+
 
 def _pallas_ok(data, num_segments: int) -> bool:
-    if not _PALLAS_ENABLED:
+    if not _PALLAS_ENABLED or _NO_PALLAS.get():
         return False
     if jax.default_backend() != "tpu":
         return False

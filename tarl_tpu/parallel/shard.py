@@ -92,6 +92,13 @@ class BatchedPPO:
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, ts: BatchTrainState):
+        from ..rl.env import env_reset  # noqa: F401 (kept for readability)
+        from ..ops.segment import no_pallas
+
+        with no_pallas():  # whole step traces under vmap (see ops.segment)
+            return self._train_step_body(ts)
+
+    def _train_step_body(self, ts: BatchTrainState):
         ppo = self.ppo
         B = self.num_envs
         T = ppo.rl.rollout_steps

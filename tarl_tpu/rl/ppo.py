@@ -201,6 +201,12 @@ class PPO:
 
     # ------------------------------------------------------------------
     def _loss(self, params, batch: Transition, advantages, returns):
+        from ..ops.segment import no_pallas
+
+        with no_pallas():  # vmapped segment ops must stay on XLA (see ops.segment)
+            return self._loss_impl(params, batch, advantages, returns)
+
+    def _loss_impl(self, params, batch: Transition, advantages, returns):
         logits = jax.vmap(lambda x: self._policy_logits(params["policy"], x))(
             batch.x
         )

@@ -215,6 +215,13 @@ class Runner:
         sim.plot_leg_histogram(out)
         if sim.road_optimality_values:
             sim.plot_road_optimality(out)
+        # The MSA validator / equilibrium report solve all-pairs assignments
+        # per iteration; guard very large networks (same cost class as the
+        # reference's host MSA, user_equilibrium_msa.py:125-144).
+        if sim.network.num_nodes > 4096:
+            print("(skipping MSA comparison / equilibrium report: "
+                  f"{sim.network.num_nodes} nodes > 4096)")
+            return None
         expected = run_msa(sim.network, sim.state.agents)
         sim.plot_daily_counts(expected, out)
 
