@@ -31,7 +31,6 @@ class MetricLogger:
     def __init__(self, log_dir: Optional[str]):
         self.writer = None
         self.csv_path = None
-        self._csv_rows = []
         if log_dir is None:
             return
         os.makedirs(log_dir, exist_ok=True)
@@ -161,7 +160,7 @@ def ppo_train(
                 if not det and not stochastic_eval:
                     continue
                 t_eval = _time.time()
-                _, rewards, dones, _ = ppo.eval_rollout(
+                _, rewards, dones, logs = ppo.eval_rollout(
                     ts.params, sim_state, jax.random.PRNGKey(it), eval_steps,
                     deterministic=det,
                 )
@@ -174,6 +173,27 @@ def ppo_train(
                         f"{tag}/computation_time_ms": comp_ms,
                     },
                 )
+                # Eval figures into TensorBoard (ppo_trainer.py:104-116).
+                try:
+                    from ..metrics.reporting import plot_leg_histogram
+
+                    arrivals = np.asarray(logs["arrivals"])
+                    on_net = np.asarray(logs["on_network"])
+                    times = np.asarray(logs["time"])
+                    prev = np.concatenate([[0.0], on_net[:-1]])
+                    values = [
+                        [float(on_net[i] - prev[i] + arrivals[i]),
+                         float(arrivals[i]), float(on_net[i]), float(times[i])]
+                        for i in range(len(times))
+                    ]
+                    fig = plot_leg_histogram(values, 1, output_dir=None)
+                    logger.figure(step, f"{tag}/leg_histogram", fig)
+                    if fig is not None:
+                        import matplotlib.pyplot as plt
+
+                        plt.close(fig)
+                except Exception:
+                    pass
 
         if checkpoint_dir and (it + 1) % checkpoint_interval == 0:
             save_checkpoint(
