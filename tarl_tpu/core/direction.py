@@ -63,10 +63,16 @@ def direction_step(
     nonempty = road.count[u] > 0
     mask = dep_ok & space_ok & wants_v & nonempty
 
+    # Gridlock escape (direction_mpnn.py:87-90) with two safety guards the
+    # reference gets implicitly from its zero-filled FIFO / flat layout:
+    # the upstream must actually hold an agent, and the downstream must stay
+    # below its hard slot capacity (else the ring write would wrap onto the
+    # head slot once count reached Nmax).
     stuck = (head_departure[u] - time) < -physics.gridlock_patience
     u_full = cap[u] - physics.congestion_buffer <= count_f[u]
     v_freer = cap[u] - count_f[u] <= cap[v] - count_f[v]
-    gridlock = stuck & u_full & v_freer & wants_v
+    v_has_slot = count_f[v] < cap[v]
+    gridlock = stuck & u_full & v_freer & wants_v & nonempty & v_has_slot
     mask = mask | gridlock
 
     prob = network.edge_attr * mask.astype(jnp.float32)

@@ -179,10 +179,12 @@ def fused_core_step(
     wants_v = selected_road[:R][u] == v
     nonempty = road.count[u] > 0
     mask = dep_ok & space_ok & wants_v & nonempty
+    # Gridlock escape with the same safety guards as core.direction.
     stuck = (head_departure[u] - time) < -physics.gridlock_patience
     u_full = cap[u] - physics.congestion_buffer <= count_f[u]
     v_freer = cap[u] - count_f[u] <= cap[v] - count_f[v]
-    mask = mask | (stuck & u_full & v_freer & wants_v)
+    v_has_slot = count_f[v] < cap[v]
+    mask = mask | (stuck & u_full & v_freer & wants_v & nonempty & v_has_slot)
     prob = network.edge_attr * mask.astype(jnp.float32)
     logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
 

@@ -129,8 +129,13 @@ def insert_agents_windowed(
     window: int,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     entry_road: jnp.ndarray | None = None,
+    entry_lookup=None,
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Windowed insertion: O(W log W) per tick instead of O(A log A).
+
+    ``entry_lookup(agent_ids) -> roads`` supplies per-agent entry roads for
+    the window only (preferred: keeps the tick independent of A);
+    ``entry_road`` is the full [A] array fallback.
 
     The reference scans the whole population every tick (base.py:247-251);
     for multi-million-agent populations the per-tick argsort dominates.
@@ -158,10 +163,12 @@ def insert_agents_windowed(
         & (~agents.on_way[win_ids])
         & (~agents.done[win_ids])
     )
-    if entry_road is None:
-        win_entry = selected_road[agents.origin[win_ids]]
-    else:
+    if entry_lookup is not None:
+        win_entry = entry_lookup(win_ids)
+    elif entry_road is not None:
         win_entry = entry_road[win_ids]
+    else:
+        win_entry = selected_road[agents.origin[win_ids]]
     valid_road = (win_entry >= 0) & (win_entry < R)
     road_key = jnp.where(ready & valid_road, win_entry, R).astype(jnp.int32)
 

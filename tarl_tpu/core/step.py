@@ -38,12 +38,16 @@ from .withdraw import withdraw_agents
 class Policy(NamedTuple):
     """A route-choice policy as pure functions (see routing.policies).
 
-    ``entry`` (optional) maps state -> per-agent entry road used at insertion;
+    ``entry`` (optional) maps state -> per-agent entry road [A] used at
+    insertion; ``entry_lookup`` (optional) is the O(W) variant
+    ``(state, network, agent_ids) -> roads`` used by windowed insertion so
+    the per-tick cost stays independent of the population size;
     ``needs_next_hop`` requests the dense next-hop table in the scan carry.
     """
 
     choice: object                # ChoiceFn
     entry: Optional[object] = None
+    entry_lookup: Optional[object] = None
     needs_next_hop: bool = False
 
 
@@ -118,17 +122,26 @@ def tick(
     t = state.time
 
     # --- insert (agents/base.py:244-331) ---
-    entry_road = policy.entry(state, network) if policy.entry is not None else None
     insert_ptr = state.insert_ptr
     if sim.insert_window is not None:
         from .insert import insert_agents_windowed
 
+        if policy.entry_lookup is not None:
+            entry_fn = lambda ids: policy.entry_lookup(state, network, ids)  # noqa: E731
+        elif policy.entry is not None:
+            full_entry = policy.entry(state, network)
+            entry_fn = lambda ids: full_entry[ids]  # noqa: E731
+        else:
+            entry_fn = None
         road, agents, insert_ptr = insert_agents_windowed(
             state.road, state.agents, state.selected_road, network, t,
             state.insert_order, state.insert_ptr, sim.insert_window, physics,
-            entry_road=entry_road,
+            entry_lookup=entry_fn,
         )
     else:
+        entry_road = (
+            policy.entry(state, network) if policy.entry is not None else None
+        )
         road, agents = insert_agents(
             state.road, state.agents, state.selected_road, network, t, physics,
             entry_road=entry_road,

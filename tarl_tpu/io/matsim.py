@@ -294,12 +294,12 @@ def parse_population_xml(
     }
 
     kdtree = None
-    coords = None
     if parsed_network.node_positions:
-        coords = np.array(
-            [parsed_network.node_positions[i] for i in parsed_network.sorted_intersections
-             if i in parsed_network.node_positions]
-        )
+        # Keep ids parallel to the coordinate rows: intersections without a
+        # <node> entry must not shift the KDTree index mapping.
+        kd_ids = [i for i in parsed_network.sorted_intersections
+                  if i in parsed_network.node_positions]
+        coords = np.array([parsed_network.node_positions[i] for i in kd_ids])
         if coords.size:
             from scipy.spatial import cKDTree  # host-side preprocessing only
 
@@ -307,7 +307,7 @@ def parse_population_xml(
 
     def nearest_intersection(x: float, y: float) -> str:
         idx = int(kdtree.query([x, y])[1])
-        return parsed_network.sorted_intersections[idx]
+        return kd_ids[idx]
 
     rows = [[0.0, 0.0, DUMMY_DEPARTURE, 0.0, 20.0, 0.0, 0.0, 0.0, 0.0]]
     stats = PopulationStats(

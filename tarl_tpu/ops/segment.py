@@ -134,9 +134,3 @@ def segment_sample(key, logits, segment_ids, num_segments: int):
     scores = jnp.where(jnp.isfinite(logits), logits + gumbel, NEG_INF)
     return segment_argmax(scores, segment_ids, num_segments)
 
-
-def segment_normalize(weights, segment_ids, num_segments: int):
-    """Divide each element by its segment's sum (edge-weight normalization,
-    transportation_simulator.py:167-168)."""
-    total = segment_sum(weights, segment_ids, num_segments)
-    return weights / jnp.maximum(total[segment_ids], 1e-30)

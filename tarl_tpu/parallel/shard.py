@@ -148,7 +148,7 @@ class BatchedPPO:
             grad_norm=gnorm.mean(),
             avg_reward=trajs.reward.mean(),
             avg_return=ret.mean(),
-            avg_on_network=-trajs.reward.mean(),
+            avg_on_network=trajs.on_network.mean(),
         )
         new_ts = BatchTrainState(
             params=params, opt_state=opt_state, envs=envs, obss=obss,

@@ -87,7 +87,9 @@ class GraphDistribution(NamedTuple):
         valid = jnp.all(
             jnp.where(group_sizes > 0, per_group == 1.0, per_group == 0.0)
         )
-        total = jnp.sum(act * jnp.where(jnp.isfinite(lp), lp, 0.0))
+        # Mask by activation, not finiteness: a chosen zero-probability edge
+        # must drive the joint log-prob to -inf (0 * -inf would be NaN).
+        total = jnp.sum(jnp.where(act > 0, lp, 0.0))
         return jnp.where(valid, total, -jnp.inf)
 
     def entropy(self) -> jnp.ndarray:

@@ -101,8 +101,9 @@ def env_step(
     # --- choice: apply the action (rl.py:224-231) ---
     sim, _ = ExternalChoice(action)(sim, network)
 
-    # Head agents before the core step — the candidates for the discarded
-    # individual reward (rl.py:243,259-265).
+    # Head agents before the core step — the candidates for the individual
+    # reward (rl.py:243,259-265).  head_ids() yields the dummy 0 for empty
+    # roads, and the dummy is never DONE, so no stale contribution.
     last_people = sim.road.head_ids()
 
     # --- core (rl.py:237) ---

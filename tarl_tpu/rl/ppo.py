@@ -46,6 +46,7 @@ class Transition(NamedTuple):
     value: jnp.ndarray    # []
     reward: jnp.ndarray   # []
     done: jnp.ndarray     # [] bool
+    on_network: jnp.ndarray  # [] — occupancy after the step (metrics only)
 
 
 class TrainState(NamedTuple):
@@ -189,6 +190,7 @@ class PPO:
             tr = Transition(
                 x=x, time=obs.time, action=action, log_prob=log_prob,
                 value=value, reward=reward, done=done,
+                on_network=info["on_network"],
             )
             return (env2, obs2, key), tr
 
@@ -297,7 +299,7 @@ class PPO:
             grad_norm=gnorm.mean(),
             avg_reward=traj.reward.mean(),
             avg_return=returns.mean(),
-            avg_on_network=-traj.reward.mean(),
+            avg_on_network=traj.on_network.mean(),
         )
         new_ts = TrainState(
             params=params, opt_state=opt_state, env=env, obs=obs, key=key,

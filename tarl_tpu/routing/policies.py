@@ -88,15 +88,14 @@ def make_shortest_path_choice(
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
 
         # Entrants route from their origin SRC node toward their own
-        # destination (see module docstring for the deviation note).
-        entry_road = next_hop[state.agents.origin, state.agents.dest]
-
+        # destination via Policy.entry / Policy.entry_lookup
+        # (shortest_path_entry below) — not recomputed here.
         new_state = state._replace(
             selected_road=sel,
             next_hop=next_hop,
             choice_count=state.choice_count + 1,
         )
-        return new_state, entry_road
+        return new_state, None
 
     return choice
 
@@ -115,3 +114,15 @@ class ExternalChoice(NamedTuple):
             network.full_dst.astype(jnp.int32), mode="drop"
         )
         return state._replace(selected_road=sel), None
+
+
+def shortest_path_entry(state, network, agent_ids=None):
+    """Per-agent entry road from the current next-hop table; with
+    ``agent_ids`` given, only those rows are gathered (O(W) per tick)."""
+    import jax.numpy as jnp  # local to keep module import order flat
+
+    if agent_ids is None:
+        return state.next_hop[state.agents.origin, state.agents.dest]
+    return state.next_hop[
+        state.agents.origin[agent_ids], state.agents.dest[agent_ids]
+    ]

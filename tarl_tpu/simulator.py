@@ -70,10 +70,13 @@ def make_policy(
     if algo == "random":
         return Policy(choice=random_choice)
     if algo == "dijkstra":
+        from .routing.policies import shortest_path_entry
+
         choice = make_shortest_path_choice(routing, physics)
         return Policy(
             choice=choice,
-            entry=lambda s, n: s.next_hop[s.agents.origin, s.agents.dest],
+            entry=lambda s, n: shortest_path_entry(s, n),
+            entry_lookup=shortest_path_entry,
             needs_next_hop=True,
         )
     raise ValueError(f"Unknown classical algorithm {algo!r}")

@@ -46,19 +46,27 @@ class RoadState(NamedTuple):
     def nmax(self) -> int:
         return self.fifo_ids.shape[1]
 
-    def phys(self, logical: jnp.ndarray) -> jnp.ndarray:
-        """Physical column(s) for logical slot index/array ``logical``."""
-        return (self.head[:, None] + jnp.atleast_2d(logical)) % self.nmax
-
     def head_ids(self) -> jnp.ndarray:
-        """Agent id at each FIFO head (reference: HEAD_FIFO column)."""
-        return jnp.take_along_axis(self.fifo_ids, self.head[:, None], axis=1)[:, 0]
+        """Agent id at each FIFO head (reference: HEAD_FIFO column).
+
+        Empty roads return the dummy sentinel 0.  The reference's shift-based
+        FIFO zero-fills popped slots, so every consumer (gridlock mask, RL
+        observation, individual reward, next-hop lookup) relies on "empty
+        head == agent 0"; the ring buffer must preserve that invariant
+        explicitly because popped slots keep their stale contents.
+        """
+        raw = jnp.take_along_axis(self.fifo_ids, self.head[:, None], axis=1)[:, 0]
+        return jnp.where(self.count > 0, raw, 0)
 
     def head_arrival(self) -> jnp.ndarray:
-        return jnp.take_along_axis(self.fifo_arrival, self.head[:, None], axis=1)[:, 0]
+        """Arrival time of each head agent; 0 for empty roads (see head_ids)."""
+        raw = jnp.take_along_axis(self.fifo_arrival, self.head[:, None], axis=1)[:, 0]
+        return jnp.where(self.count > 0, raw, 0.0)
 
     def head_departure(self) -> jnp.ndarray:
-        return jnp.take_along_axis(self.fifo_departure, self.head[:, None], axis=1)[:, 0]
+        """Departure time of each head agent; 0 for empty roads (see head_ids)."""
+        raw = jnp.take_along_axis(self.fifo_departure, self.head[:, None], axis=1)[:, 0]
+        return jnp.where(self.count > 0, raw, 0.0)
 
     def tail_ids(self) -> jnp.ndarray:
         """Agent id at each FIFO tail (last pushed; response_mpnn.py:72-77).

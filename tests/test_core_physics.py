@@ -232,3 +232,73 @@ class TestRingBuffer:
         road, agents, _ = withdraw_agents(road, agents, net, jnp.float32(100.0))
         assert int(road.count[0]) == 0
         assert bool(agents.done[2])
+
+
+class TestStaleRingSlots:
+    """Regression for the ring-buffer stale-head class of bugs: popped slots
+    keep their contents, so every head accessor must report the dummy
+    sentinel for EMPTY roads (the reference's zero-filled FIFO invariant)."""
+
+    def _wrapped_empty_road(self, net):
+        """A road whose buffer wrapped (head mid-buffer) and then emptied,
+        leaving a stale agent id at the head slot."""
+        road = init_road_state(net.num_roads, net.nmax)
+        return road._replace(
+            fifo_ids=road.fifo_ids.at[0, 2].set(9),
+            fifo_departure=road.fifo_departure.at[0, 2].set(1.0),
+            head=road.head.at[0].set(2),
+            count=road.count.at[0].set(0),  # empty!
+        )
+
+    def test_head_accessors_return_sentinel(self):
+        net = _chain_network()
+        road = self._wrapped_empty_road(net)
+        assert int(road.head_ids()[0]) == 0
+        assert float(road.head_departure()[0]) == 0.0
+        assert float(road.head_arrival()[0]) == 0.0
+
+    def test_no_ghost_transfer_from_empty_road(self):
+        """Empty road with stale slot + gridlock-friendly conditions must not
+        emit its stale agent (previously duplicated the agent and, in the
+        fused path, drove count to -1)."""
+        net = _chain_network()
+        road = self._wrapped_empty_road(net)
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        t = jnp.float32(100.0)  # stale departure long past -> "stuck"
+        road2, _ = direction_step(road, sel, net, t, jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == 0
+        road3, popped = response_step(road2, net)
+        assert int(jnp.sum(popped)) == 0
+        assert int(road3.count.min()) >= 0
+
+    def test_no_ghost_transfer_fused(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from tarl_tpu.core.fused_core import fused_core_step
+
+        net = _chain_network()
+        road = self._wrapped_empty_road(net)
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            road2, popped = fused_core_step(
+                road, sel, net, jnp.float32(100.0), jax.random.PRNGKey(0)
+            )
+        assert int(road2.count[1]) == 0
+        assert int(jnp.sum(popped)) == 0
+        assert int(road2.count.min()) >= 0
+
+    def test_gridlock_cannot_overflow_ring(self):
+        """Sustained gridlock pushes stop at the hard slot capacity instead of
+        wrapping the ring write onto the head slot."""
+        net = _chain_network()
+        cap1 = int(net.capacity[1])
+        road = init_road_state(net.num_roads, net.nmax)
+        ids0 = jnp.arange(1, int(net.capacity[0]) - 3 + 1, dtype=jnp.int32)
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, : ids0.shape[0]].set(ids0),
+            count=road.count.at[0].set(ids0.shape[0]).at[1].set(cap1),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        road2, _ = direction_step(road, sel, net, jnp.float32(100.0),
+                                  jax.random.PRNGKey(0))
+        assert int(road2.count[1]) == cap1  # no push past hard capacity
