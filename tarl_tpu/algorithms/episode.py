@@ -37,15 +37,13 @@ def run_episode(
     """Run ``steps`` ticks on the configured simulator."""
     print("\n" + "=" * 10 + " 🚀 Starting Simulation " + "=" * 10)
 
+    from ..utils.timers import device_trace
+
     profiler = cProfile.Profile() if profile else None
     if profiler is not None:
         profiler.enable()
-    if jax_trace_dir is not None:
-        import jax
 
-        jax.profiler.start_trace(jax_trace_dir)
-
-    try:
+    with device_trace(jax_trace_dir):
         if mode == "fused":
             import time as _t
 
@@ -76,11 +74,6 @@ def run_episode(
                 simulator.run()
         else:
             raise ValueError(f"Unknown mode {mode!r}")
-    finally:
-        if jax_trace_dir is not None:
-            import jax
-
-            jax.profiler.stop_trace()
 
     if profiler is not None:
         profiler.disable()

@@ -18,6 +18,87 @@ from ..network import Network
 from ..state import AgentState, RoadState
 
 
+
+def _admit_candidates(
+    road: RoadState,
+    agents: AgentState,
+    network: Network,
+    time: jnp.ndarray,
+    physics: PhysicsConfig,
+    candidate_ids: jnp.ndarray,  # int32[K] agent ids
+    road_key: jnp.ndarray,       # int32[K] entry road, R = not a candidate
+) -> tuple[RoadState, AgentState]:
+    """Shared admission core: capacity-clipped group insert of candidates.
+
+    Stable-sorts candidates by road (preserving agent order within groups,
+    the reference's argsort, base.py:275-277), ranks within groups via a
+    cumulative max, admits ``rank < capacity - CONGESTION_FILE - count``
+    (base.py:280-299), and scatters ids/arrival/departure into the ring
+    buffers with the congestion-law departure stamp (base.py:313-325).
+    """
+    R = road.num_roads
+    Nmax = road.nmax
+    A = agents.num_agents
+    K = candidate_ids.shape[0]
+
+    order = jnp.argsort(road_key, stable=True)
+    road_sorted = road_key[order]
+    agent_sorted = candidate_ids[order].astype(jnp.int32)
+
+    pos = jnp.arange(K, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
+    )
+    group_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0)
+    )
+    rank = pos - group_start
+
+    safe_road = jnp.minimum(road_sorted, R - 1)
+    count_before = road.count[safe_road]
+    remaining = (
+        network.capacity[safe_road]
+        - physics.congestion_buffer
+        - count_before.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
+
+    # Scatter into ring buffers: logical slot = count_before + rank.
+    slot = (road.head[safe_road] + count_before + rank) % Nmax
+    rows = jnp.where(ok, road_sorted, R)  # R is out of bounds -> dropped
+
+    time_congestion = network.congestion_constant[safe_road] / (
+        network.capacity[safe_road]
+        + physics.congestion_softening
+        - count_before.astype(jnp.float32)
+    )
+    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
+
+    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
+    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
+        jnp.broadcast_to(time, (K,)), mode="drop"
+    )
+    fifo_departure = road.fifo_departure.at[rows, slot].set(
+        time + travel_time, mode="drop"
+    )
+    count_add = jax.ops.segment_sum(
+        ok.astype(jnp.int32), rows, num_segments=R + 1
+    )[:R]
+
+    inserted_agents = jnp.where(ok, agent_sorted, A)  # A -> dropped
+    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
+
+    return (
+        road._replace(
+            fifo_ids=fifo_ids,
+            fifo_arrival=fifo_arrival,
+            fifo_departure=fifo_departure,
+            count=road.count + count_add,
+        ),
+        agents._replace(on_way=on_way),
+    )
+
+
 def insert_agents(
     road: RoadState,
     agents: AgentState,
@@ -49,72 +130,15 @@ def insert_agents(
       is the road's occupancy before this whole insert (base.py:313-325).
     """
     R = road.num_roads
-    Nmax = road.nmax
-    A = agents.num_agents
 
     ready = (agents.departure <= time) & (~agents.on_way) & (~agents.done)
     if entry_road is None:
         entry_road = selected_road[agents.origin]
     valid_road = (entry_road >= 0) & (entry_road < R)
     road_key = jnp.where(ready & valid_road, entry_road, R).astype(jnp.int32)
-
-    # Stable sort groups candidates by road while preserving agent-index order
-    # within each group (the reference's argsort, base.py:275-277).
-    order = jnp.argsort(road_key, stable=True)
-    road_sorted = road_key[order]
-    agent_sorted = order.astype(jnp.int32)
-
-    pos = jnp.arange(A, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
-    )
-    group_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0)
-    )
-    rank = pos - group_start
-
-    safe_road = jnp.minimum(road_sorted, R - 1)
-    count_before = road.count[safe_road]
-    remaining = (
-        network.capacity[safe_road]
-        - physics.congestion_buffer
-        - count_before.astype(jnp.float32)
-    ).astype(jnp.int32)
-    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
-
-    # Scatter into ring buffers: logical slot = count_before + rank.
-    slot = (road.head[safe_road] + count_before + rank) % Nmax
-    rows = jnp.where(ok, road_sorted, R)  # R is out of bounds -> dropped
-
-    time_congestion = network.congestion_constant[safe_road] / (
-        network.capacity[safe_road]
-        + physics.congestion_softening
-        - count_before.astype(jnp.float32)
-    )
-    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
-
-    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
-    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
-        jnp.broadcast_to(time, (A,)), mode="drop"
-    )
-    fifo_departure = road.fifo_departure.at[rows, slot].set(
-        time + travel_time, mode="drop"
-    )
-    count_add = jax.ops.segment_sum(
-        ok.astype(jnp.int32), rows, num_segments=R + 1
-    )[:R]
-
-    inserted_agents = jnp.where(ok, agent_sorted, A)  # A -> dropped
-    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
-
-    return (
-        road._replace(
-            fifo_ids=fifo_ids,
-            fifo_arrival=fifo_arrival,
-            fifo_departure=fifo_departure,
-            count=road.count + count_add,
-        ),
-        agents._replace(on_way=on_way),
+    candidate_ids = jnp.arange(agents.num_agents, dtype=jnp.int32)
+    return _admit_candidates(
+        road, agents, network, time, physics, candidate_ids, road_key
     )
 
 
@@ -172,47 +196,10 @@ def insert_agents_windowed(
     valid_road = (win_entry >= 0) & (win_entry < R)
     road_key = jnp.where(ready & valid_road, win_entry, R).astype(jnp.int32)
 
-    w_order = jnp.argsort(road_key, stable=True)
-    road_sorted = road_key[w_order]
-    agent_sorted = win_ids[w_order]
-
-    pos = jnp.arange(W, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
+    road, agents = _admit_candidates(
+        road, agents, network, time, physics, win_ids.astype(jnp.int32), road_key
     )
-    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
-    rank = pos - group_start
-
-    safe_road = jnp.minimum(road_sorted, R - 1)
-    count_before = road.count[safe_road]
-    remaining = (
-        network.capacity[safe_road]
-        - physics.congestion_buffer
-        - count_before.astype(jnp.float32)
-    ).astype(jnp.int32)
-    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
-
-    slot = (road.head[safe_road] + count_before + rank) % Nmax
-    rows = jnp.where(ok, road_sorted, R)
-
-    time_congestion = network.congestion_constant[safe_road] / (
-        network.capacity[safe_road]
-        + physics.congestion_softening
-        - count_before.astype(jnp.float32)
-    )
-    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
-
-    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
-    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
-        jnp.broadcast_to(time, (W,)), mode="drop"
-    )
-    fifo_departure = road.fifo_departure.at[rows, slot].set(
-        time + travel_time, mode="drop"
-    )
-    count_add = jax.ops.segment_sum(ok.astype(jnp.int32), rows, num_segments=R + 1)[:R]
-
-    inserted_agents = jnp.where(ok, agent_sorted, A)
-    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
+    on_way = agents.on_way
 
     # Advance past the leading settled run (ON_WAY or DONE after this insert),
     # measured from the actual slice start.
@@ -220,13 +207,4 @@ def insert_agents_windowed(
     advance = jnp.cumprod(settled.astype(jnp.int32)).sum()
     new_ptr = jnp.minimum(start + advance, A).astype(jnp.int32)
 
-    return (
-        road._replace(
-            fifo_ids=fifo_ids,
-            fifo_arrival=fifo_arrival,
-            fifo_departure=fifo_departure,
-            count=road.count + count_add,
-        ),
-        agents._replace(on_way=on_way),
-        new_ptr,
-    )
+    return road, agents, new_ptr
