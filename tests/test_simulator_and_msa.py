@@ -202,3 +202,25 @@ class TestMSAHostCrossValidation:
         assert sum(dev.values()) == pytest.approx(sum(host.values()), rel=0.05)
         diffs = [abs(dev[r] - host[r]) for r in dev]
         assert np.mean(diffs) < 5.0, (dev, host)
+
+
+class TestMetricInvariants:
+    def test_hourly_counts_track_traversals(self, twolink_dirs, tmp_path):
+        """Hourly counter total == pops + withdrawals (every link traversal
+        is counted exactly once; ts.py:563-669 semantics)."""
+        sim = _make_sim(twolink_dirs, "TwoLink", str(tmp_path / "save"),
+                        timestep_size=1, start_time=0)
+        sim.run_fast(30)
+        total_counts = int(np.asarray(sim.state.metrics.hourly_counts).sum())
+        # TwoLink's single agent enters road 0 and withdraws at DEST(B):
+        # exactly one counted traversal.
+        assert total_counts == 1
+        assert bool(sim.state.agents.done[1])
+
+    def test_conservation_through_long_run(self, braess_dirs, tmp_path):
+        sim = _make_sim(braess_dirs, "Braess", str(tmp_path / "save"),
+                        timestep_size=2, start_time=6 * 3600)
+        sim.run_fast(500)
+        on_net = int(jnp.sum(sim.state.road.count))
+        on_way = int(sim.state.agents.on_way.sum())
+        assert on_net == on_way  # every queued id has ON_WAY set and vice versa
