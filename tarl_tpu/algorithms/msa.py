@@ -28,7 +28,7 @@ import numpy as np
 from ..config import MSAConfig, DEFAULT_MSA
 from ..metrics.equilibrium import bpr_cost, bpr_marginal_cost
 from ..network import Network
-from ..routing.bellman_ford import all_pairs_next_hop
+from ..routing.bellman_ford import all_pairs_next_hop_nbr
 from ..state import AgentState
 
 
@@ -72,9 +72,7 @@ def assign_all_or_nothing(
     R = network.num_roads
     n = network.num_nodes
     cost_nodes = jnp.zeros((n,), jnp.float32).at[:R].set(road_cost)
-    _, next_hop = all_pairs_next_hop(
-        network.full_src, network.full_dst, cost_nodes, n
-    )
+    _, next_hop = all_pairs_next_hop_nbr(network.nbr, network.nbr_ok, cost_nodes)
 
     def hop(carry, _):
         cur, flow = carry

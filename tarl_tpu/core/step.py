@@ -65,13 +65,10 @@ def init_sim_state(
         key = jax.random.PRNGKey(sim.seed)
     if next_hop is None:
         if policy is not None and policy.needs_next_hop:
-            from ..routing.bellman_ford import all_pairs_next_hop
+            from ..routing.bellman_ford import all_pairs_next_hop_nbr
 
-            _, next_hop = all_pairs_next_hop(
-                network.full_src,
-                network.full_dst,
-                network.entry_cost(),
-                network.num_nodes,
+            _, next_hop = all_pairs_next_hop_nbr(
+                network.nbr, network.nbr_ok, network.entry_cost()
             )
         else:
             next_hop = jnp.zeros((1, 1), dtype=jnp.int32)

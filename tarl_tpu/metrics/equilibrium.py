@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..config import MSAConfig, PhysicsConfig, DEFAULT_MSA, DEFAULT_PHYSICS
 from ..network import Network
-from ..routing.bellman_ford import all_pairs_next_hop, node_entry_costs
+from ..routing.bellman_ford import all_pairs_next_hop_nbr, node_entry_costs
 from ..state import AgentState, RoadState
 
 
@@ -44,9 +44,7 @@ def nash_gap(
     (arrival - departure) for DONE agents.  Agents not DONE are excluded.
     """
     cost = node_entry_costs(road, network, physics)
-    dist, _ = all_pairs_next_hop(
-        network.full_src, network.full_dst, cost, network.num_nodes
-    )
+    dist, _ = all_pairs_next_hop_nbr(network.nbr, network.nbr_ok, cost)
     shortest = dist[agents.origin, agents.dest]
     experienced = agents.arrival - agents.departure
     valid = agents.done & jnp.isfinite(shortest) & (shortest < 1e17)

@@ -62,6 +62,13 @@ class Network:
     choice_src: jnp.ndarray           # int32[Ec] — road or SRC node index
     choice_dst: jnp.ndarray           # int32[Ec] — road index
 
+    # --- padded out-neighbor table over the full edge list: road networks
+    # have tiny max out-degree, so the all-pairs relaxation gathers over a
+    # dense [N, D] table instead of segment-reducing the edge list
+    # (routing.bellman_ford) ---
+    nbr: jnp.ndarray                  # int32[N, D] — neighbor node (self-padded)
+    nbr_ok: jnp.ndarray               # bool[N, D] — valid-slot mask
+
     @property
     def num_nodes(self) -> int:
         return self.num_roads + 2 * self.num_intersections
@@ -182,6 +189,18 @@ def build_network(
     f_dst_np = np.asarray(f_dst, dtype=np.int32)
     choice_mask = f_dst_np < num_roads
 
+    # Padded out-neighbor table (self-padded slots are masked invalid).
+    num_nodes = num_roads + 2 * num_intersections
+    degree = np.bincount(f_src_np, minlength=num_nodes)
+    max_deg = max(int(degree.max()), 1)
+    nbr = np.tile(np.arange(num_nodes, dtype=np.int32)[:, None], (1, max_deg))
+    nbr_ok = np.zeros((num_nodes, max_deg), dtype=bool)
+    slot = np.zeros(num_nodes, dtype=np.int64)
+    for u, v in zip(f_src_np, f_dst_np):
+        nbr[u, slot[u]] = v
+        nbr_ok[u, slot[u]] = True
+        slot[u] += 1
+
     return Network(
         num_roads=num_roads,
         num_intersections=num_intersections,
@@ -201,6 +220,8 @@ def build_network(
         full_attr=jnp.asarray(f_w, dtype=jnp.float32),
         choice_src=jnp.asarray(f_src_np[choice_mask]),
         choice_dst=jnp.asarray(f_dst_np[choice_mask]),
+        nbr=jnp.asarray(nbr),
+        nbr_ok=jnp.asarray(nbr_ok),
     )
 
 

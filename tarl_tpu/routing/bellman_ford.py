@@ -105,6 +105,52 @@ def all_pairs_next_hop(
     return dist, next_hop
 
 
+@partial(jax.jit, static_argnames=("max_iters",))
+def all_pairs_next_hop_nbr(
+    nbr: jnp.ndarray,         # int32[N, D] padded out-neighbor table
+    nbr_ok: jnp.ndarray,      # bool[N, D]
+    entry_cost: jnp.ndarray,  # float32[N]
+    max_iters: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-based all-pairs relaxation over the padded neighbor table.
+
+    Same contract as :func:`all_pairs_next_hop`, but each sweep is a dense
+    ``[N, D, N]`` gather + min over the tiny out-degree axis instead of a
+    2-D segment reduction over the edge list — road networks have D <= ~6,
+    and gathers vastly outperform scatter-reduces on TPU (measured ~4x on
+    the Grid16x16 refresh).
+    """
+    n, d = nbr.shape
+    iters = (n - 1) if max_iters is None else max_iters
+    eye = jnp.eye(n, dtype=bool)
+    dist0 = jnp.where(eye, 0.0, BIG)
+
+    w = jnp.where(nbr_ok, entry_cost[nbr], BIG)  # [N, D]
+
+    def sweep(dist):
+        cand = w[:, :, None] + dist[nbr]  # [N, D, N_dest]
+        return jnp.minimum(dist, cand.min(axis=1))
+
+    def cond(carry):
+        i, dist, changed = carry
+        return changed & (i < iters)
+
+    def body(carry):
+        i, dist, _ = carry
+        new = sweep(dist)
+        return i + 1, new, jnp.any(new < dist)
+
+    _, dist, _ = jax.lax.while_loop(cond, body, (0, dist0, jnp.bool_(True)))
+
+    cand = w[:, :, None] + dist[nbr]  # [N, D, N]
+    arg_d = jnp.argmin(cand, axis=1)  # [N, N_dest], lowest slot wins ties
+    hop = nbr[jnp.arange(n, dtype=jnp.int32)[:, None], arg_d]  # [N, N]
+    reachable = dist < BIG
+    next_hop = jnp.where(reachable & ~eye, hop, -1)
+    next_hop = jnp.where(eye, jnp.arange(n, dtype=jnp.int32)[:, None], next_hop)
+    return dist, next_hop
+
+
 def congested_next_hop(
     road: RoadState,
     network: Network,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import RoutingConfig, DEFAULT_ROUTING, PhysicsConfig, DEFAULT_PHYSICS
 from ..network import Network
 from ..ops.segment import segment_sample
-from ..routing.bellman_ford import node_entry_costs, all_pairs_next_hop
+from ..routing.bellman_ford import node_entry_costs, all_pairs_next_hop_nbr
 from ..state import SimState
 
 # choice(state, network) -> (state, entry_road | None)
@@ -69,8 +69,8 @@ def make_shortest_path_choice(
 
         def refresh(_):
             cost = node_entry_costs(state.road, network, physics)
-            _, nh = all_pairs_next_hop(
-                network.full_src, network.full_dst, cost, n,
+            _, nh = all_pairs_next_hop_nbr(
+                network.nbr, network.nbr_ok, cost,
                 max_iters=routing.max_bf_iters,
             )
             return nh

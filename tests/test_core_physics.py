@@ -302,3 +302,35 @@ class TestStaleRingSlots:
         road2, _ = direction_step(road, sel, net, jnp.float32(100.0),
                                   jax.random.PRNGKey(0))
         assert int(road2.count[1]) == cap1  # no push past hard capacity
+
+
+class TestNeighborTableBF:
+    def test_nbr_matches_edge_list_bf(self):
+        """The gather-based padded-neighbor relaxation must produce exactly
+        the same distances and next hops as the edge-list formulation
+        (same tie-break: neighbor slots follow edge order)."""
+        import os
+
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.routing.bellman_ford import (
+            all_pairs_next_hop,
+            all_pairs_next_hop_nbr,
+        )
+
+        import tempfile
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        net = load_network(os.path.join(base, "network"))
+        rng = np.random.default_rng(0)
+        cost = jnp.asarray(
+            np.where(np.arange(net.num_nodes) < net.num_roads,
+                     rng.uniform(1.0, 50.0, net.num_nodes), 0.0),
+            dtype=jnp.float32,
+        )
+        d1, h1 = all_pairs_next_hop(net.full_src, net.full_dst, cost,
+                                    net.num_nodes)
+        d2, h2 = all_pairs_next_hop_nbr(net.nbr, net.nbr_ok, cost)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
