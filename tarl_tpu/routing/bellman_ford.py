@@ -114,11 +114,14 @@ def all_pairs_next_hop_nbr(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather-based all-pairs relaxation over the padded neighbor table.
 
-    Same contract as :func:`all_pairs_next_hop`, but each sweep is a dense
-    ``[N, D, N]`` gather + min over the tiny out-degree axis instead of a
-    2-D segment reduction over the edge list — road networks have D <= ~6,
-    and gathers vastly outperform scatter-reduces on TPU (measured ~4x on
-    the Grid16x16 refresh).
+    Same contract as :func:`all_pairs_next_hop` (exact-equal distances and
+    next hops, including tie-breaks), but each sweep is a dense ``[N, D, N]``
+    gather + min over the tiny out-degree axis (D <= ~6 on road networks)
+    instead of a 2-D segment reduction over the edge list.  Measured at
+    throughput parity on a single v5e chip — both formulations are
+    bandwidth-bound on the per-sweep intermediate — but the gather form has
+    no scatter dependence, which matters for sharded execution and keeps the
+    relaxation expressible inside future Pallas halo-exchange kernels.
     """
     n, d = nbr.shape
     iters = (n - 1) if max_iters is None else max_iters
