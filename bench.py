@@ -26,11 +26,12 @@ import time
 import jax
 
 
-ROWS = COLS = 16
-NUM_AGENTS = 50_000
-SIM_SECONDS = 7200
+# Overridable for smoke tests / small machines (TARL_BENCH_* env vars).
+ROWS = COLS = int(os.environ.get("TARL_BENCH_GRID", "16"))
+NUM_AGENTS = int(os.environ.get("TARL_BENCH_AGENTS", "50000"))
+SIM_SECONDS = int(os.environ.get("TARL_BENCH_SECONDS", "7200"))
 TIMESTEP = 1
-WARMUP_TICKS = 256
+CHUNK = int(os.environ.get("TARL_BENCH_CHUNK", "1024"))
 
 
 def main() -> None:
@@ -66,8 +67,8 @@ def main() -> None:
     state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
 
     # One chunk size -> one compile; first chunk is the warmup.
-    chunk = 1024
-    num_chunks = SIM_SECONDS // TIMESTEP // chunk
+    chunk = CHUNK
+    num_chunks = max(SIM_SECONDS // TIMESTEP // chunk, 2)
     state, _ = run_episode(state, net, policy, chunk, sim=sim_cfg)
     jax.block_until_ready(state.road.count)
 

@@ -156,7 +156,11 @@ def tick(
 
     # --- core: direction + response (simulation_core_model.py:41-83) ---
     key, k_dir = jax.random.split(state.key)
-    if sim.fused_core and not sim.record_road_optimality:
+    if (
+        sim.fused_core
+        and not sim.record_road_optimality
+        and jax.default_backend() == "tpu"  # Pallas compiles on TPU only
+    ):
         from .fused_core import fused_core_step
 
         road, popped = fused_core_step(
