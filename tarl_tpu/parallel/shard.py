@@ -11,7 +11,11 @@ its only "batching" is the 3-D observation reshape hack in the policy nets
   own simulators).
 * **Update phase (dp x sp)**: the ``[B, T]`` trajectory buffer is flattened
   to ``[B*T]`` and resharded over the *whole* mesh, so the PPO gradient
-  all-reduce rides every ICI link; parameters are replicated.
+  all-reduce rides every ICI link; parameters are replicated.  Updates run
+  as permuted minibatches over the flat buffer — the SAME algorithm as the
+  single-env path (rl/ppo.py epoch/minibatch scans; reference
+  rl/ppo_trainer.py:129-146 ReplayBuffer + SamplerWithoutReplacement) — so
+  clip-fraction/KL statistics are comparable across num_envs.
 
 All of it is one ``jax.jit`` with NamedSharding annotations — XLA GSPMD
 inserts the collectives.
@@ -36,6 +40,7 @@ class BatchTrainState(NamedTuple):
     envs: Any             # EnvState leaves stacked [B, ...], sharded over dp
     obss: Any             # Observation leaves stacked [B, ...]
     keys: jnp.ndarray     # [B, 2] per-env PRNG keys
+    update_key: jax.Array  # scalar key for minibatch permutations
     iteration: jnp.ndarray
 
 
@@ -60,6 +65,11 @@ class BatchedPPO:
         self._repl = NamedSharding(mesh, P())
         self._batch = NamedSharding(mesh, P("dp"))
         self._flat = NamedSharding(mesh, P(("dp", "sp")))
+
+        BT = num_envs * ppo.rl.rollout_steps
+        self.minibatch_size = min(ppo.rl.minibatch_size, BT)
+        self.num_minibatches = max(BT // self.minibatch_size, 1)
+
         self._train_step = jax.jit(self._train_step_impl)
 
     # ------------------------------------------------------------------
@@ -87,7 +97,8 @@ class BatchedPPO:
         opt_state = jax.device_put(ts.opt_state, self._repl)
         return BatchTrainState(
             params=params, opt_state=opt_state, envs=envs, obss=obss,
-            keys=keys, iteration=jnp.zeros((), jnp.int32),
+            keys=keys, update_key=jax.random.fold_in(key, 7),
+            iteration=jnp.zeros((), jnp.int32),
         )
 
     # ------------------------------------------------------------------
@@ -124,17 +135,22 @@ class BatchedPPO:
         adv = normalize(adv.reshape(B * T))
         ret = ret.reshape(B * T)
 
-        def update(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(ppo._loss, has_aux=True)(
-                params, flat, adv, ret
-            )
-            updates, opt_state = ppo.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, aux, optax.global_norm(grads))
+        # Permuted minibatches over the flat buffer — literally the same
+        # update code as the single-env path (PPO._update_epochs; reference
+        # rl/ppo_trainer.py:129-146) so clip/KL statistics are comparable
+        # across num_envs.  Minibatches respread over the whole mesh when
+        # evenly divisible.
+        dp_sp = self.mesh.shape["dp"] * self.mesh.shape["sp"]
+        mb_sharding = (
+            self._flat if self.minibatch_size % dp_sp == 0 else self._repl
+        )
 
-        (params, opt_state), (loss, aux, gnorm) = jax.lax.scan(
-            update, (ts.params, ts.opt_state), length=ppo.rl.num_epochs
+        def constrain(a):
+            return jax.lax.with_sharding_constraint(a, mb_sharding)
+
+        (params, opt_state, upd_key), (loss, aux, gnorm) = ppo._update_epochs(
+            ts.params, ts.opt_state, flat, adv, ret, ts.update_key,
+            constrain=constrain,
         )
         l_obj, l_crit, l_ent, kl, clip_frac = aux
 
@@ -152,7 +168,7 @@ class BatchedPPO:
         )
         new_ts = BatchTrainState(
             params=params, opt_state=opt_state, envs=envs, obss=obss,
-            keys=keys, iteration=ts.iteration + 1,
+            keys=keys, update_key=upd_key, iteration=ts.iteration + 1,
         )
         return new_ts, metrics
 

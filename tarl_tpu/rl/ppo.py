@@ -243,36 +243,30 @@ class PPO:
         return total, (loss_obj, loss_critic, loss_entropy, approx_kl, clip_frac)
 
     # ------------------------------------------------------------------
-    def _train_iteration_impl(self, ts: TrainState):
-        env, obs, key, traj, last_value = self._rollout(
-            ts.params, ts.env, ts.obs, ts.key
-        )
-        advantages, returns = gae(
-            traj.reward, traj.value, last_value, traj.done,
-            self.rl.gamma, self.rl.gae_lambda,
-        )
-        advantages = normalize(advantages)
-
-        T = self.rl.rollout_steps
-        mb = min(self.rl.minibatch_size, T)
-        n_mb = max(T // mb, 1)
+    def _update_epochs(self, params, opt_state, buffer, advantages, returns,
+                       key, constrain=None):
+        """``num_epochs`` x permuted-minibatch clipped updates over a flat
+        transition buffer (reference rl/ppo_trainer.py:129-146: ReplayBuffer
+        + SamplerWithoutReplacement).  Shared by the single-env and the
+        multi-device (BatchedPPO) paths so both run the SAME algorithm;
+        ``constrain`` lets the sharded caller pin minibatch layout."""
+        constrain = constrain or (lambda a: a)
+        n = advantages.shape[0]
+        mb = min(self.rl.minibatch_size, n)
+        n_mb = max(n // mb, 1)
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, T)
-
-            def get_mb(i):
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
-                batch = jax.tree.map(lambda a: a[idx], traj)
-                return batch, advantages[idx], returns[idx]
+            perm = jax.random.permutation(k_perm, n)
 
             def mb_step(carry, i):
                 params, opt_state = carry
-                batch, adv, ret = get_mb(i)
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                batch = jax.tree.map(lambda a: constrain(a[idx]), buffer)
                 (loss, aux), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, adv, ret)
+                )(params, batch, advantages[idx], returns[idx])
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 gnorm = optax.global_norm(grads)
@@ -283,9 +277,22 @@ class PPO:
             )
             return (params, opt_state, key), stats
 
-        (params, opt_state, key), stats = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state, key),
-            length=self.rl.num_epochs,
+        return jax.lax.scan(
+            epoch, (params, opt_state, key), length=self.rl.num_epochs
+        )
+
+    def _train_iteration_impl(self, ts: TrainState):
+        env, obs, key, traj, last_value = self._rollout(
+            ts.params, ts.env, ts.obs, ts.key
+        )
+        advantages, returns = gae(
+            traj.reward, traj.value, last_value, traj.done,
+            self.rl.gamma, self.rl.gae_lambda,
+        )
+        advantages = normalize(advantages)
+
+        (params, opt_state, key), stats = self._update_epochs(
+            ts.params, ts.opt_state, traj, advantages, returns, key
         )
         loss, (l_obj, l_crit, l_ent, kl, clip_frac), gnorm = stats
 

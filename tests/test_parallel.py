@@ -50,6 +50,10 @@ def test_batched_ppo_train_step(setup):
         rl=rl,
     )
     bp = BatchedPPO(ppo, mesh, num_envs=4)
+    # Updates are permuted minibatches over the flat [B*T] buffer — same
+    # algorithm as single-env (reference ppo_trainer.py:129-146).
+    assert bp.minibatch_size == 8
+    assert bp.num_minibatches == (4 * 8) // 8
     ts = bp.init(state, jax.random.PRNGKey(0))
     # env leaves carry the dp sharding
     spec = ts.envs.sim.road.count.sharding.spec
@@ -60,6 +64,51 @@ def test_batched_ppo_train_step(setup):
     # params stay replicated
     leaf = jax.tree.leaves(ts2.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_batched_ppo_minibatch_algorithm_matches_single_env(setup):
+    """With num_envs=1 the batched trainer must run the exact single-env
+    update: same shared ``PPO._update_epochs`` code, same minibatch count,
+    and — given the same rollout buffer and update key — identical params."""
+    net, state = setup
+    rl = RLConfig(rollout_steps=16, minibatch_size=4, num_epochs=2)
+    ppo = PPO(
+        net,
+        MPNNPolicyNet(num_nodes=net.num_nodes,
+                      num_node_embeddings=net.num_roads + 1),
+        MPNNValueNetSimple(),
+        rl=rl,
+    )
+    mesh = make_mesh(1)
+    bp = BatchedPPO(ppo, mesh, num_envs=1)
+    assert bp.num_minibatches == 16 // 4
+
+    # Drive the shared update path directly with one rollout's buffer: the
+    # batched trainer invokes PPO._update_epochs verbatim, so equal inputs
+    # must give bitwise-equal parameters.
+    ts = ppo.init(state, jax.random.PRNGKey(0))
+    env, obs, key, traj, last_value = ppo._rollout(
+        ts.params, ts.env, ts.obs, ts.key
+    )
+    from tarl_tpu.rl.gae import gae, normalize
+
+    adv, ret = gae(traj.reward, traj.value, last_value, traj.done,
+                   rl.gamma, rl.gae_lambda)
+    adv = normalize(adv)
+    k_upd = jax.random.PRNGKey(42)
+    (p1, _, _), stats1 = ppo._update_epochs(
+        ts.params, ts.opt_state, traj, adv, ret, k_upd
+    )
+    (p2, _, _), stats2 = ppo._update_epochs(
+        ts.params, ts.opt_state, traj, adv, ret, k_upd,
+        constrain=lambda a: jax.lax.with_sharding_constraint(
+            a, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        ),
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # stats leaves are [num_epochs, num_minibatches]
+    assert jax.tree.leaves(stats1)[0].shape == (2, 4)
 
 
 def test_batched_envs_decorrelated(setup):
