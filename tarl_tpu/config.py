@@ -59,10 +59,13 @@ class SimConfig:
     # Record per-tick road-optimality series (delta travel time per road,
     # reference: transportation_simulator.py:351).  Costs T x R floats.
     record_road_optimality: bool = True
+    # Accumulate the same congestion-delay series into an on-device
+    # [num_hours, R] matrix (O(H*R) memory regardless of episode length), so
+    # the road-optimality artifact survives full-day runs where the per-tick
+    # series would cost T x R floats.
+    record_road_optimality_hourly: bool = True
     # Use the fused Pallas direction+response kernel (core/fused_core.py) on
-    # TPU. Distribution-equivalent sampling with a different RNG stream;
-    # requires record_road_optimality=False (the fused path skips the
-    # per-road delay series).
+    # TPU. Distribution-equivalent sampling with a different RNG stream.
     fused_core: bool = False
     # Number of hour buckets for the on-device traffic-count accumulator
     # (reference rebuilds these from host-side event lists,
@@ -82,6 +85,15 @@ class RoutingConfig:
     refresh_rate: int = 10
     # Upper bound on Bellman-Ford relaxation sweeps; ``None`` -> num_nodes-1.
     max_bf_iters: int | None = None
+    # Strict reference-compatibility mode for behavioural A/B validation.
+    # Reproduces two reference quirks the default path deliberately fixes:
+    # (1) entry roads — every entrant at a SRC node follows the node's
+    #     SELECTED_ROAD, which is computed from the SRC's (always empty) FIFO
+    #     head, i.e. from the DUMMY agent's destination (base.py:573-579);
+    # (2) Dijkstra edge costs — w(u->v) mixes the SOURCE's occupancy/capacity
+    #     with the TARGET's congestion constant:
+    #     max(fftt[u], cc[v] / (cap[u] + 10 - n[u])) (base.py:541-549).
+    strict_compat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,9 +160,13 @@ def fused_core_step(
     time: jnp.ndarray,
     key: jax.Array,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
-) -> tuple[RoadState, jnp.ndarray]:
-    """Drop-in replacement for ``direction_step`` + ``response_step`` (minus
-    the optional road-optimality series)."""
+    compute_delta: bool = False,
+) -> tuple[RoadState, jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ``direction_step`` + ``response_step``.
+
+    Returns ``(road, popped, road_delta_tt)``; ``road_delta_tt`` is the
+    per-source-road congestion delay (direction_mpnn.py:94-96, identical to
+    ``direction_step``'s) when ``compute_delta``, else an empty array."""
     R = road.num_roads
     Nmax = road.nmax
     u = network.edge_src
@@ -172,6 +176,19 @@ def fused_core_step(
     head_departure = road.head_departure()
     count_f = road.count.astype(jnp.float32)
     cap = network.capacity
+
+    # Road-optimality series (direction_mpnn.py:94-96): exact XLA gathers on
+    # the pre-step head state, one segment reduction per source road.
+    if compute_delta:
+        from ..ops.segment import segment_sum
+
+        head_arrival = road.head_arrival()
+        edge_delta = jnp.maximum(
+            (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
+        )
+        road_delta_tt = segment_sum(edge_delta, u, R)
+    else:
+        road_delta_tt = jnp.zeros((0,), jnp.float32)
 
     # Exact f32 message phase in XLA (identical to core.direction).
     dep_ok = head_departure[u] <= time
@@ -228,4 +245,5 @@ def fused_core_step(
             count=new_count,
         ),
         popped,
+        road_delta_tt,
     )

@@ -156,21 +156,19 @@ def tick(
 
     # --- core: direction + response (simulation_core_model.py:41-83) ---
     key, k_dir = jax.random.split(state.key)
-    if (
-        sim.fused_core
-        and not sim.record_road_optimality
-        and jax.default_backend() == "tpu"  # Pallas compiles on TPU only
-    ):
+    want_delta = sim.record_road_optimality or sim.record_road_optimality_hourly
+    if sim.fused_core and jax.default_backend() == "tpu":
+        # Pallas compiles on TPU only.
         from .fused_core import fused_core_step
 
-        road, popped = fused_core_step(
-            state.road, state.selected_road, network, t, k_dir, physics
+        road, popped, road_delta_tt = fused_core_step(
+            state.road, state.selected_road, network, t, k_dir, physics,
+            compute_delta=want_delta,
         )
-        road_delta_tt = jnp.zeros((0,), jnp.float32)
     else:
         road, road_delta_tt = direction_step(
             state.road, state.selected_road, network, t, k_dir, physics,
-            compute_delta=sim.record_road_optimality,
+            compute_delta=want_delta,
         )
         road, popped = response_step(road, network)
 
@@ -182,6 +180,12 @@ def tick(
     traversals = (withdrawn | popped).astype(jnp.int32)
     metrics = state.metrics
     hourly = metrics.hourly_counts.at[hour].add(traversals)
+    delta_hourly = metrics.delta_tt_hourly
+    if sim.record_road_optimality_hourly and road_delta_tt.shape[0]:
+        delta_hourly = delta_hourly.at[hour].add(road_delta_tt)
+    if not sim.record_road_optimality:
+        # Per-tick [T, R] series not requested: keep the scan output empty.
+        road_delta_tt = jnp.zeros((0,), jnp.float32)
 
     on_way_total = jnp.sum(road.count).astype(jnp.float32)
     # Incremental DONE counter: avoids an O(A) reduction every tick.
@@ -201,6 +205,7 @@ def tick(
             hourly_counts=hourly,
             on_way_before=on_way_total,
             done_before=done_total,
+            delta_tt_hourly=delta_hourly,
         ),
     )
     log = TickLog(

@@ -77,6 +77,7 @@ def shard_sim_state(state: SimState, mesh: Mesh) -> SimState:
         hourly_counts=jax.device_put(state.metrics.hourly_counts, hour_s),
         on_way_before=jax.device_put(state.metrics.on_way_before, repl),
         done_before=jax.device_put(state.metrics.done_before, repl),
+        delta_tt_hourly=jax.device_put(state.metrics.delta_tt_hourly, hour_s),
     )
     return state._replace(
         road=road,

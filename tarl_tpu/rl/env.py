@@ -108,7 +108,10 @@ def env_step(
 
     # --- core (rl.py:237) ---
     key, k_dir = jax.random.split(sim.key)
-    road, _ = direction_step(sim.road, sim.selected_road, network, t, k_dir, physics)
+    road, road_delta_tt = direction_step(
+        sim.road, sim.selected_road, network, t, k_dir, physics,
+        compute_delta=sim_cfg.record_road_optimality_hourly,
+    )
     road, popped = response_step(road, network)
 
     # --- withdraw (rl.py:243-248) ---
@@ -154,6 +157,9 @@ def env_step(
     hour = jnp.clip((t / 3600.0).astype(jnp.int32), 0, sim_cfg.num_hours - 1)
     m = sim.metrics
     hourly = m.hourly_counts.at[hour].add((withdrawn | popped).astype(jnp.int32))
+    delta_hourly = m.delta_tt_hourly
+    if road_delta_tt.shape[0]:
+        delta_hourly = delta_hourly.at[hour].add(road_delta_tt)
     on_way_total = jnp.sum(new_counts).astype(jnp.float32)
     done_total = m.done_before + jnp.sum(wcount).astype(jnp.float32)
 
@@ -167,6 +173,7 @@ def env_step(
             hourly_counts=hourly,
             on_way_before=on_way_total,
             done_before=done_total,
+            delta_tt_hourly=delta_hourly,
         ),
     )
     new_env = EnvState(sim=new_sim, old_counts=new_counts, done=done)

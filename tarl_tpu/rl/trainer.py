@@ -31,6 +31,8 @@ class MetricLogger:
     def __init__(self, log_dir: Optional[str]):
         self.writer = None
         self.csv_path = None
+        self._rows: list = []      # buffered rows; key sets may differ
+        self._fields: list = ["step"]
         if log_dir is None:
             return
         os.makedirs(log_dir, exist_ok=True)
@@ -48,12 +50,16 @@ class MetricLogger:
                 self.writer.add_scalar(k, float(v), step)
         if self.csv_path is not None:
             row = {"step": step, **{k: float(v) for k, v in values.items()}}
-            write_header = not os.path.exists(self.csv_path)
-            with open(self.csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=list(row.keys()))
-                if write_header:
-                    w.writeheader()
-                w.writerow(row)
+            # Train and eval calls carry different key sets; keep the CSV
+            # header as the union and rewrite (row counts are O(iterations)).
+            self._rows.append(row)
+            for k in row:
+                if k not in self._fields:
+                    self._fields.append(k)
+            with open(self.csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields)
+                w.writeheader()
+                w.writerows(self._rows)
 
     def figure(self, step: int, tag: str, fig) -> None:
         if self.writer is not None and fig is not None:
@@ -138,12 +144,23 @@ def ppo_train(
             sim = ts.env.sim
         agents = sim.agents
         att = float(average_travel_time(agents))
-        counts = np.asarray(sim.road.count, dtype=np.float64)
-        caps = np.maximum(np.asarray(ppo.network.capacity, dtype=np.float64), 1.0)
-        vc = counts / caps
         scalars["transport/avg_travel_time"] = att
-        scalars["transport/avg_vc_ratio"] = float(vc.mean())
-        scalars["transport/std_vc_ratio"] = float(vc.std())
+        # Episode-averaged V/C: hourly traversal counts over flow capacity
+        # (veh/h), avg/std over the hours with traffic — the statistic the
+        # reference derives from its event histories (ts.py:563-669), NOT an
+        # instantaneous occupancy snapshot.
+        hc = np.asarray(sim.metrics.hourly_counts, dtype=np.float64)  # [H, R]
+        active = hc.sum(axis=1) > 0
+        flow_cap = np.maximum(
+            np.asarray(ppo.network.max_flow, dtype=np.float64), 1.0
+        )
+        if active.any():
+            vc = hc[active] / flow_cap[None, :]
+            scalars["transport/avg_vc_ratio"] = float(vc.mean())
+            scalars["transport/std_vc_ratio"] = float(vc.std())
+        else:
+            scalars["transport/avg_vc_ratio"] = 0.0
+            scalars["transport/std_vc_ratio"] = 0.0
         logger.scalars(step, scalars)
 
         if verbose:
@@ -160,19 +177,36 @@ def ppo_train(
                 if not det and not stochastic_eval:
                     continue
                 t_eval = _time.time()
-                _, rewards, dones, logs = ppo.eval_rollout(
+                eval_env, rewards, dones, logs = ppo.eval_rollout(
                     ts.params, sim_state, jax.random.PRNGKey(it), eval_steps,
                     deterministic=det,
                 )
                 comp_ms = (_time.time() - t_eval) * 1000.0
-                logger.scalars(
-                    step,
-                    {
-                        f"{tag}/avg_return": float(np.asarray(rewards).sum()),
-                        f"{tag}/episode_len": int(np.asarray(rewards).shape[0]),
-                        f"{tag}/computation_time_ms": comp_ms,
-                    },
-                )
+                eval_scalars = {
+                    f"{tag}/avg_return": float(np.asarray(rewards).sum()),
+                    f"{tag}/episode_len": int(np.asarray(rewards).shape[0]),
+                    f"{tag}/computation_time_ms": comp_ms,
+                }
+                # Equilibrium metrics in the training currency the north star
+                # names (TSTT / Nash gap): cheap on device — all-pairs BF
+                # under the rollout's final congested costs, no MSA solve.
+                try:
+                    from ..metrics.equilibrium import nash_gap, tstt
+
+                    fsim = eval_env.sim
+                    gap = nash_gap(fsim.agents, fsim.road, ppo.network)
+                    eval_scalars[f"{tag}/tstt"] = float(
+                        tstt(fsim.agents, fsim.time)
+                    )
+                    eval_scalars[f"{tag}/relative_nash_gap"] = float(
+                        gap["relative_gap"]
+                    )
+                    eval_scalars[f"{tag}/avg_travel_time"] = float(
+                        average_travel_time(fsim.agents)
+                    )
+                except Exception:
+                    pass
+                logger.scalars(step, eval_scalars)
                 # Eval figures into TensorBoard (ppo_trainer.py:104-116).
                 try:
                     from ..metrics.reporting import plot_leg_histogram

@@ -48,6 +48,35 @@ def node_entry_costs(
     return jnp.zeros((n,), jnp.float32).at[: network.num_roads].set(road_cost)
 
 
+def reference_edge_costs(
+    road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
+) -> jnp.ndarray:
+    """Strict-compat per-edge costs over the FULL edge list (float32[Ef]).
+
+    Reproduces the reference Dijkstra agent's cost form verbatim
+    (base.py:541-549): ``w(u->v) = max(fftt[u], cc[v] / (cap[u] + 10 - n[u]))``
+    — the SOURCE node's free-flow time, occupancy and capacity combined with
+    the TARGET's congestion constant.  SRC/DEST nodes carry all-zero features
+    in the reference (ts.py:139-147), so their padded columns are zero here.
+    Used only under ``RoutingConfig.strict_compat`` for A/B validation; the
+    default path uses the physically-intended :func:`node_entry_costs`.
+    """
+    n = network.num_nodes
+    R = network.num_roads
+
+    def pad(x):
+        return jnp.zeros((n,), jnp.float32).at[:R].set(x)
+
+    fftt = pad(network.free_flow)
+    cap = pad(network.capacity)
+    cc = pad(network.congestion_constant)
+    cnt = pad(road.count.astype(jnp.float32))
+    u = network.full_src
+    v = network.full_dst
+    tc = cc[v] / (cap[u] + physics.congestion_softening - cnt[u])
+    return jnp.maximum(fftt[u], tc)
+
+
 @partial(jax.jit, static_argnames=("num_nodes", "max_iters"))
 def all_pairs_next_hop(
     edge_src: jnp.ndarray,
@@ -55,20 +84,23 @@ def all_pairs_next_hop(
     entry_cost: jnp.ndarray,
     num_nodes: int,
     max_iters: int | None = None,
+    edge_cost: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compute ``(dist[N, N], next_hop[N, N])`` for all ordered node pairs.
 
     ``dist[v, d]`` is the cost of the cheapest v -> d path (sum of entry costs
     of every node after v); ``next_hop[v, d]`` is the first node on that path,
     ``v`` itself when v == d (base.py:568) and ``-1`` when unreachable
-    (base.py:561).
+    (base.py:561).  ``edge_cost`` (float32[E]) overrides the per-node entry
+    costs with arbitrary per-edge weights (strict-compat cost form).
     """
     n = num_nodes
     iters = (n - 1) if max_iters is None else max_iters
     eye = jnp.eye(n, dtype=bool)
     dist0 = jnp.where(eye, 0.0, BIG)
 
-    w_dst = entry_cost[edge_dst]  # cost of entering each edge's head
+    # cost of traversing each edge (default: cost of entering its head)
+    w_dst = edge_cost if edge_cost is not None else entry_cost[edge_dst]
 
     def sweep(dist):
         # cand[e, d] = w(dst_e) + dist[dst_e, d]

@@ -17,7 +17,9 @@ agents through their origin SRC node's SELECTED_ROAD, which is computed from
 the SRC node's (always empty) FIFO head — i.e. from the dummy agent's
 destination (base.py:573-579).  Here the shortest-path policy returns a
 per-agent ``entry_road = next_hop[origin, dest]`` so entrants head toward
-their own destination.
+their own destination.  ``RoutingConfig.strict_compat`` restores the
+reference's exact behaviour (dummy-driven entry roads + its edge-cost form)
+for A/B validation.
 """
 from __future__ import annotations
 
@@ -62,7 +64,50 @@ def make_shortest_path_choice(
     table is recomputed (base.py:539-570); every call each road's
     SELECTED_ROAD is set to the next hop toward its head agent's destination
     (base.py:573-583).
+
+    With ``routing.strict_compat`` the refresh uses the reference's exact
+    edge-cost form (:func:`reference_edge_costs`, base.py:541-549) and
+    SELECTED_ROAD is written for ALL nodes — including SRC nodes, whose empty
+    FIFO head is the dummy agent 0, reproducing the reference's
+    entrants-follow-the-dummy's-destination behaviour (base.py:573-579).
     """
+    if routing.strict_compat:
+        from .bellman_ford import all_pairs_next_hop, reference_edge_costs
+
+        def choice(state: SimState, network: Network):
+            n = network.num_nodes
+
+            def refresh(_):
+                w = reference_edge_costs(state.road, network, physics)
+                _, nh = all_pairs_next_hop(
+                    network.full_src, network.full_dst,
+                    jnp.zeros((n,), jnp.float32), n,
+                    max_iters=routing.max_bf_iters, edge_cost=w,
+                )
+                return nh
+
+            do_refresh = state.choice_count % routing.refresh_rate == 0
+            next_hop = jax.lax.cond(
+                do_refresh, refresh, lambda _: state.next_hop, operand=None
+            )
+
+            # All N rows route via their FIFO head (the dummy agent 0 for
+            # SRC/DEST nodes) — base.py:573-579 verbatim.
+            head_all = jnp.zeros((n,), jnp.int32).at[
+                : network.num_roads
+            ].set(state.road.head_ids())
+            dests = state.agents.dest[head_all]
+            sel = next_hop[
+                jnp.arange(n, dtype=jnp.int32), dests
+            ].astype(jnp.int32)
+            new_state = state._replace(
+                selected_road=sel,
+                next_hop=next_hop,
+                choice_count=state.choice_count + 1,
+            )
+            return new_state, None
+
+        return choice
 
     def choice(state: SimState, network: Network):
         n = network.num_nodes

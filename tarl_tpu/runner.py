@@ -66,16 +66,23 @@ class Runner:
     # ------------------------------------------------------------------
     def setup(self) -> None:
         a = self.args
+        # Per-tick [T, R] road-optimality series are only affordable on small
+        # runs; longer runs keep the O(H*R) hourly accumulator (always on),
+        # so the artifact degrades to hour resolution instead of vanishing.
+        n_ticks = (a.start_end_time[1] - a.start_end_time[0]) // a.timestep_size
+        per_tick_delta = n_ticks <= 20000
+        if not per_tick_delta:
+            print(
+                f"ℹ️  | {n_ticks} ticks > 20000: road-optimality recorded at "
+                "hourly resolution (per-tick series disabled)"
+            )
         self.sim = TransportationSimulator(
             sim=SimConfig(
                 timestep=a.timestep_size,
                 start_time=a.start_end_time[0],
                 end_time=a.start_end_time[1],
                 seed=a.seed,
-                # Per-tick [T, R] series are only affordable on small runs.
-                record_road_optimality=(
-                    a.start_end_time[1] - a.start_end_time[0]
-                ) // a.timestep_size <= 20000,
+                record_road_optimality=per_tick_delta,
             ),
             data_root=a.data_root,
             save_root=a.save_root,
@@ -213,8 +220,9 @@ class Runner:
         sim.plot_computation_time(out)
         sim.compute_node_metrics(out)
         sim.plot_leg_histogram(out)
-        if sim.road_optimality_values:
-            sim.plot_road_optimality(out)
+        # Falls back to the on-device hourly accumulator when the per-tick
+        # series was not recorded (long runs).
+        sim.plot_road_optimality(out)
         # The MSA validator / equilibrium report solve all-pairs assignments
         # per iteration; guard very large networks (same cost class as the
         # reference's host MSA, user_equilibrium_msa.py:125-144).

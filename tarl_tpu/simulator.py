@@ -66,13 +66,24 @@ def make_policy(
     routing: RoutingConfig = DEFAULT_ROUTING,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
 ) -> Policy:
-    """Policy factory for the classical algorithms (runner.py:36-42)."""
+    """Policy factory for the classical algorithms (runner.py:36-42).
+
+    With ``routing.strict_compat`` the dijkstra policy reproduces the
+    reference's exact behaviour: entrants follow the origin SRC node's
+    SELECTED_ROAD (driven by the dummy agent's destination, base.py:573-579)
+    instead of per-agent entry roads, under the reference's edge-cost form
+    (base.py:541-549).
+    """
     if algo == "random":
         return Policy(choice=random_choice)
     if algo == "dijkstra":
+        choice = make_shortest_path_choice(routing, physics)
+        if routing.strict_compat:
+            # No per-agent entry roads: insertion falls back to
+            # selected_road[origin] exactly like the reference.
+            return Policy(choice=choice, needs_next_hop=True)
         from .routing.policies import shortest_path_entry
 
-        choice = make_shortest_path_choice(routing, physics)
         return Policy(
             choice=choice,
             entry=lambda s, n: shortest_path_entry(s, n),
@@ -224,6 +235,9 @@ class TransportationSimulator:
                 hourly = m.hourly_counts.at[hour].add(
                     (withdrawn | popped).astype(jnp.int32)
                 )
+                delta_hourly = m.delta_tt_hourly
+                if simc.record_road_optimality_hourly:
+                    delta_hourly = delta_hourly.at[hour].add(delta)
                 on_way_total = jnp.sum(road.count).astype(jnp.float32)
                 done_total = jnp.sum(state.agents.done).astype(jnp.float32)
                 # (eager path keeps the exact reduction; it is not hot)
@@ -242,6 +256,7 @@ class TransportationSimulator:
                         hourly_counts=hourly,
                         on_way_before=on_way_total,
                         done_before=done_total,
+                        delta_tt_hourly=delta_hourly,
                     ),
                 )
                 return new_state, log
@@ -344,7 +359,15 @@ class TransportationSimulator:
                              road_ids: Optional[list] = None):
         from .metrics.reporting import plot_road_optimality
 
-        return plot_road_optimality(self.road_optimality_values, output_dir, road_ids)
+        values = self.road_optimality_values
+        if not values and self.sim.record_road_optimality_hourly:
+            # Long runs keep only the O(H*R) on-device hourly accumulator
+            # (state.MetricState.delta_tt_hourly); plot at hour resolution.
+            mat = np.asarray(self.state.metrics.delta_tt_hourly)
+            hours = np.nonzero(mat.sum(axis=1))[0]
+            last = int(hours[-1]) + 1 if hours.size else 0
+            values = [(h * 3600.0, mat[h]) for h in range(last)]
+        return plot_road_optimality(values, output_dir, road_ids)
 
     def compute_node_metrics(self, output_dir: Optional[str] = "data/outputs"):
         from .metrics.reporting import compute_node_metrics

@@ -149,6 +149,11 @@ class MetricState(NamedTuple):
     hourly_counts: jnp.ndarray  # int32[H, R] — link traversals per hour
     on_way_before: jnp.ndarray  # float32[] — previous-tick totals for the
     done_before: jnp.ndarray    # float32[]   leg histogram deltas (ts.py:344-349)
+    # Hourly-binned congestion delay (sum over ticks of the per-road
+    # clamp(travel - fftt, 0) series, direction_mpnn.py:94-96) — keeps the
+    # road-optimality artifact O(H*R) for full-day runs where the per-tick
+    # [T, R] series is unaffordable.
+    delta_tt_hourly: jnp.ndarray  # float32[H, R]
 
 
 def init_metric_state(num_roads: int, num_hours: int) -> MetricState:
@@ -156,6 +161,7 @@ def init_metric_state(num_roads: int, num_hours: int) -> MetricState:
         hourly_counts=jnp.zeros((num_hours, num_roads), dtype=jnp.int32),
         on_way_before=jnp.zeros((), dtype=jnp.float32),
         done_before=jnp.zeros((), dtype=jnp.float32),
+        delta_tt_hourly=jnp.zeros((num_hours, num_roads), dtype=jnp.float32),
     )
 
 

@@ -280,7 +280,7 @@ class TestStaleRingSlots:
         road = self._wrapped_empty_road(net)
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
         with pltpu.force_tpu_interpret_mode():
-            road2, popped = fused_core_step(
+            road2, popped, _ = fused_core_step(
                 road, sel, net, jnp.float32(100.0), jax.random.PRNGKey(0)
             )
         assert int(road2.count[1]) == 0

@@ -47,7 +47,7 @@ class TestFusedCore:
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
         t = jnp.float32(10.0)
 
-        f_road, f_popped = fused_core_step(road, sel, net, t, jax.random.PRNGKey(0))
+        f_road, f_popped, _ = fused_core_step(road, sel, net, t, jax.random.PRNGKey(0))
         j_road, _ = direction_step(road, sel, net, t, jax.random.PRNGKey(1))
         j_road, j_popped = response_step(j_road, net)
 
@@ -61,7 +61,7 @@ class TestFusedCore:
         net = _chain_network()
         road = _seed_agent(init_road_state(net.num_roads, net.nmax), 0, 7, 50.0)
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        f_road, f_popped = fused_core_step(
+        f_road, f_popped, _ = fused_core_step(
             road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
         )
         assert int(f_road.count[1]) == 0
@@ -71,7 +71,7 @@ class TestFusedCore:
         net = _chain_network()
         road = _seed_agent(init_road_state(net.num_roads, net.nmax), 0, 7, 0.0)
         sel = jnp.array([2, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        f_road, _ = fused_core_step(
+        f_road, _, _ = fused_core_step(
             road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
         )
         assert int(f_road.count[1]) == 0
@@ -82,7 +82,7 @@ class TestFusedCore:
         road = _seed_agent(init_road_state(net.num_roads, net.nmax), 0, 7, 0.0)
         road = road._replace(count=road.count.at[1].set(cap1 - 3))
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        f_road, _ = fused_core_step(
+        f_road, _, _ = fused_core_step(
             road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
         )
         assert int(f_road.count[1]) == cap1 - 3
@@ -95,7 +95,7 @@ class TestFusedCore:
         for r, aid in ((0, 1), (1, 2), (2, 3)):
             road = _seed_agent(road, r, aid, 0.0)
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        f_road, f_popped = fused_core_step(
+        f_road, f_popped, _ = fused_core_step(
             road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
         )
         assert int(jnp.sum(f_road.count)) == 3
@@ -132,10 +132,39 @@ class TestFusedCore:
         sel = jnp.array([2, 2, 3, 0] + [-1] * 8, dtype=jnp.int32)
 
         for i in range(20):
-            f_road, popped = fused_core_step(
+            f_road, popped, _ = fused_core_step(
                 road0, sel, net, jnp.float32(10.0), jax.random.PRNGKey(i)
             )
             winner = int(f_road.tail_ids()[2])
             assert winner in (5, 6), "one of the two proposals must always win"
             assert int(jnp.sum(popped)) == 1
             assert int(jnp.sum(f_road.count)) == 2
+
+    def test_road_delta_tt_matches_direction_step(self):
+        """The fused path must emit the same road-optimality series as the
+        eager direction step (direction_mpnn.py:94-96) — VERDICT r1 #3."""
+        net = _chain_network()
+        road = init_road_state(net.num_roads, net.nmax)
+        # Head with congestion delay: departure - arrival > fftt.
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(7),
+            fifo_arrival=road.fifo_arrival.at[0, 0].set(0.0),
+            fifo_departure=road.fifo_departure.at[0, 0].set(42.0),
+            count=road.count.at[0].set(1),
+        )
+        sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
+        t = jnp.float32(50.0)
+        _, _, f_delta = fused_core_step(
+            road, sel, net, t, jax.random.PRNGKey(0), compute_delta=True
+        )
+        _, j_delta = direction_step(
+            road, sel, net, t, jax.random.PRNGKey(1), compute_delta=True
+        )
+        assert f_delta.shape == (net.num_roads,)
+        np.testing.assert_allclose(np.asarray(f_delta), np.asarray(j_delta))
+        assert float(f_delta[0]) > 0.0
+        # Without the flag the series stays empty (no wasted reduction).
+        _, _, empty = fused_core_step(
+            road, sel, net, t, jax.random.PRNGKey(0), compute_delta=False
+        )
+        assert empty.shape == (0,)

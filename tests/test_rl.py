@@ -207,3 +207,36 @@ class TestCheckpoint:
         a = jax.tree.leaves(ts.params)[0]
         b = jax.tree.leaves(restored["params"])[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestTrainerShell:
+    def test_ppo_train_logs_equilibrium_and_episode_vc(self, setup, tmp_path):
+        """ppo_train writes eval/relative_nash_gap + eval/tstt and the
+        episode-averaged (not snapshot) V/C scalars to metrics.csv
+        (VERDICT r1 #9 / weak #6)."""
+        import csv
+
+        from tarl_tpu.rl.trainer import ppo_train
+
+        net, agents, state = setup
+        rl = RLConfig(rollout_steps=8, minibatch_size=8, num_epochs=1)
+        ppo = PPO(
+            net,
+            MPNNPolicyNet(num_nodes=net.num_nodes,
+                          num_node_embeddings=net.num_roads + 1),
+            MPNNValueNetSimple(),
+            rl=rl,
+        )
+        log_dir = str(tmp_path / "logs")
+        ppo_train(ppo, state, num_iterations=2, rl=rl, log_dir=log_dir,
+                  eval_interval=1, verbose=False)
+        with open(os.path.join(log_dir, "metrics.csv")) as f:
+            rows = list(csv.DictReader(f))
+        cols = set().union(*(r.keys() for r in rows))
+        assert "eval/relative_nash_gap" in cols
+        assert "eval/tstt" in cols
+        assert "eval/avg_travel_time" in cols
+        assert "transport/avg_vc_ratio" in cols
+        vals = [float(r["eval/relative_nash_gap"]) for r in rows
+                if r.get("eval/relative_nash_gap") not in (None, "")]
+        assert vals and all(np.isfinite(v) for v in vals)
