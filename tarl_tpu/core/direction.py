@@ -40,11 +40,16 @@ def direction_step(
     key: jax.Array,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     compute_delta: bool = True,
-) -> tuple[RoadState, jnp.ndarray]:
-    """Returns ``(road_state, road_delta_tt)`` where ``road_delta_tt[R]`` is
-    the congestion delay of each road's head agent summed over its outgoing
-    turn edges (the aggregation plot_road_optimality applies,
-    transportation_simulator.py:482-488)."""
+) -> tuple[RoadState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns ``(road_state, road_delta_tt, accept, win_src)``.
+
+    ``road_delta_tt[R]`` is the congestion delay of each road's head agent
+    summed over its outgoing turn edges (the aggregation
+    plot_road_optimality applies, transportation_simulator.py:482-488).
+    ``accept[R]`` marks roads that received an agent this step and
+    ``win_src[R]`` is the winning upstream road (R when none) — the exact
+    transfer record the response phase needs to pop upstream heads without
+    re-deriving it from FIFO contents (see core.response)."""
     R = road.num_roads
     Nmax = road.nmax
     u = network.edge_src
@@ -119,4 +124,6 @@ def direction_step(
             count=new_count,
         ),
         road_delta_tt,
+        accept,
+        jnp.where(accept, src_road, R).astype(jnp.int32),
     )

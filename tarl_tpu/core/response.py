@@ -1,12 +1,19 @@
 """Response step: confirm accepted transfers and pop upstream heads.
 
 TPU-native rewrite of ``ResponseMPNN`` (reference: response_mpnn.py:6-139),
-the second half of the two-phase commit: for each turn edge (u -> v), the
-transfer proposed by the direction step was accepted iff v's FIFO *tail* now
-holds the agent that was u's FIFO *head* (response_mpnn.py:62-80).  Upstream
-roads with any accepted outgoing edge pop their head (the reference's
-``aggr='max'`` reverse-flow aggregation + shift-left update,
-response_mpnn.py:21,103-122) — here a single head-pointer advance.
+the second half of the two-phase commit.
+
+Documented deviation (bug fix): the reference confirms a transfer on edge
+(u -> v) iff v's FIFO *tail* now holds the agent that was u's FIFO *head*
+(response_mpnn.py:62-80).  That check DOUBLE-FIRES on opposing road pairs:
+when agent a transfers u -> v onto an empty v, v's head *and* tail become a
+while u still shows a at its head (the pop hasn't happened yet), so the
+reverse edge (v -> u) also "confirms" — v pops the agent it just received
+and a vanishes from the network (count decremented, agent still ON_WAY).
+The direction step knows exactly which upstream won each road's Gumbel-max,
+so :func:`confirm_step` pops precisely those winners — the true positives
+of the reference's check and nothing else.  :func:`response_step` keeps the
+reference's tail==head formulation for parity tests.
 """
 from __future__ import annotations
 
@@ -15,6 +22,24 @@ import jax.numpy as jnp
 from ..network import Network
 from ..ops.segment import segment_max
 from ..state import RoadState
+
+
+def confirm_step(
+    road: RoadState, accept: jnp.ndarray, win_src: jnp.ndarray
+) -> tuple[RoadState, jnp.ndarray]:
+    """Pop the head of every road that won a transfer this step.
+
+    ``accept[R]`` / ``win_src[R]`` come from ``direction_step``; each
+    upstream can win at most once per step (its head proposes to a single
+    selected downstream), so the pop mask is a plain scatter.
+    Returns ``(road_state, popped_mask)`` like :func:`response_step`.
+    """
+    R = road.num_roads
+    pop_src = jnp.where(accept, win_src, R)
+    popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
+    new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
+    new_count = road.count - popped.astype(jnp.int32)
+    return road._replace(head=new_head, count=new_count), popped
 
 
 def response_step(

@@ -31,7 +31,7 @@ from ..state import (
 )
 from .direction import direction_step
 from .insert import insert_agents
-from .response import response_step
+from .response import confirm_step
 from .withdraw import withdraw_agents
 
 
@@ -166,11 +166,11 @@ def tick(
             compute_delta=want_delta,
         )
     else:
-        road, road_delta_tt = direction_step(
+        road, road_delta_tt, accept, win_src = direction_step(
             state.road, state.selected_road, network, t, k_dir, physics,
             compute_delta=want_delta,
         )
-        road, popped = response_step(road, network)
+        road, popped = confirm_step(road, accept, win_src)
 
     # --- clock + metrics (ts.py:342-351) ---
     new_time = t + sim.timestep

@@ -36,7 +36,7 @@ from ..config import (
 )
 from ..core.direction import direction_step
 from ..core.insert import insert_agents
-from ..core.response import response_step
+from ..core.response import confirm_step
 from ..core.withdraw import withdraw_agents
 from ..network import Network
 from ..routing.policies import ExternalChoice
@@ -57,6 +57,32 @@ class Observation(NamedTuple):
     edge_features: jnp.ndarray  # float32[Ef, 1]
     agent_index: jnp.ndarray    # int32[N]
     time: jnp.ndarray           # float32[1]
+
+
+def fifo_potential(road, agents, dist_ff: jnp.ndarray,
+                   free_flow: jnp.ndarray) -> jnp.ndarray:
+    """Phi = sum over queued agents of ``fftt[r] + dist_ff[r, dest]`` — the
+    free-flow time to finish the CURRENT road plus the shortest remaining
+    distance to the destination.
+
+    Used by ``reward_mode="progress"``: the per-step DECREASE of Phi is a
+    dense potential-based shaping reward.  Including the occupied road's own
+    fftt matters: the reward for traversing a road is then paid on LEAVING
+    it (drop = fftt of the road just completed, on the shortest route), so
+    under discounting slow roads are not preferred over staged fast hops —
+    without the term, entering a slow-but-direct road collects the whole
+    remaining distance up front and beats the faster multi-hop route.
+    Ring-buffer aware: only logical slots ``(col - head) mod Nmax < count``
+    count, and the sentinel agent 0 never contributes.
+    """
+    R, nmax = road.fifo_ids.shape
+    col = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+    valid = ((col - road.head[:, None]) % nmax) < road.count[:, None]
+    ids = jnp.where(valid, road.fifo_ids, 0)
+    d = dist_ff[jnp.arange(R, dtype=jnp.int32)[:, None], agents.dest[ids]]
+    d = d + free_flow[:, None]
+    d = jnp.where(valid & (ids != 0) & (d < 1e17), d, 0.0)
+    return jnp.sum(d)
 
 
 def _observe(sim: SimState, network: Network) -> Observation:
@@ -93,10 +119,16 @@ def env_step(
     rl: RLConfig = DEFAULT_RL,
     sim_cfg: SimConfig = DEFAULT_SIM,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    dist_ff: jnp.ndarray | None = None,  # [N, N] for reward_mode="progress"
 ) -> tuple[EnvState, Observation, jnp.ndarray, jnp.ndarray, dict]:
     """One environment transition. Returns (env, obs, reward, done, info)."""
     sim = env.sim
     t = sim.time
+
+    if rl.reward_mode == "progress":
+        assert dist_ff is not None, 'reward_mode="progress" needs dist_ff'
+        phi_before = fifo_potential(sim.road, sim.agents, dist_ff,
+                                    network.free_flow)
 
     # --- choice: apply the action (rl.py:224-231) ---
     sim, _ = ExternalChoice(action)(sim, network)
@@ -108,17 +140,22 @@ def env_step(
 
     # --- core (rl.py:237) ---
     key, k_dir = jax.random.split(sim.key)
-    road, road_delta_tt = direction_step(
+    road, road_delta_tt, accept, win_src = direction_step(
         sim.road, sim.selected_road, network, t, k_dir, physics,
         compute_delta=sim_cfg.record_road_optimality_hourly,
     )
-    road, popped = response_step(road, network)
+    road, popped = confirm_step(road, accept, win_src)
 
     # --- withdraw (rl.py:243-248) ---
     road, agents, wcount = withdraw_agents(
         road, sim.agents, network, t, depth=sim_cfg.withdraw_depth
     )
     withdrawn = wcount > 0
+
+    if rl.reward_mode == "progress":
+        # Captured pre-insert: the potential added by new entrants must not
+        # read as a penalty (their progress is rewarded from the next step).
+        phi_after = fifo_potential(road, agents, dist_ff, network.free_flow)
 
     # --- insert (rl.py:252-254) ---
     insert_ptr = sim.insert_ptr
@@ -145,6 +182,8 @@ def env_step(
         reward = individual_reward
     elif rl.reward_mode == "throughput":
         reward = jnp.sum(wcount).astype(jnp.float32)
+    elif rl.reward_mode == "progress":
+        reward = (phi_before - phi_after) / rl.progress_scale
     else:  # "on_network" — the reference's live reward
         reward = -jnp.sum(new_counts).astype(jnp.float32)
 

@@ -184,7 +184,7 @@ class TransportationSimulator:
             from .core.insert import insert_agents
             from .core.withdraw import withdraw_agents
             from .core.direction import direction_step
-            from .core.response import response_step
+            from .core.response import confirm_step
 
             physics, simc, policy = self.physics, self.sim, self.policy
 
@@ -223,11 +223,11 @@ class TransportationSimulator:
             @jax.jit
             def phase_core(state, withdrawn):
                 key, k_dir = jax.random.split(state.key)
-                road, delta = direction_step(
+                road, delta, accept, win_src = direction_step(
                     state.road, state.selected_road, self.network, state.time,
                     k_dir, physics,
                 )
-                road, popped = response_step(road, self.network)
+                road, popped = confirm_step(road, accept, win_src)
                 hour = jnp.clip(
                     (state.time / 3600.0).astype(jnp.int32), 0, simc.num_hours - 1
                 )

@@ -8,7 +8,7 @@ import pytest
 from tarl_tpu.config import PhysicsConfig
 from tarl_tpu.core.direction import direction_step
 from tarl_tpu.core.insert import insert_agents
-from tarl_tpu.core.response import response_step
+from tarl_tpu.core.response import confirm_step, response_step
 from tarl_tpu.core.withdraw import withdraw_agents
 from tarl_tpu.network import build_network, default_selected_road
 from tarl_tpu.state import init_agent_state, init_road_state
@@ -138,14 +138,14 @@ class TestDirectionResponse:
 
         key = jax.random.PRNGKey(0)
         t = jnp.float32(10.0)
-        road2, delta = direction_step(road, sel, net, t, key)
+        road2, delta, accept, win_src = direction_step(road, sel, net, t, key)
         # Road 1 received the agent at its tail.
         assert int(road2.count[1]) == 1
         assert int(road2.tail_ids()[1]) == 1
         # Road 0 still holds it until the response confirms.
         assert int(road2.count[0]) == 1
 
-        road3, popped = response_step(road2, net)
+        road3, popped = confirm_step(road2, accept, win_src)
         assert int(road3.count[0]) == 0
         assert bool(popped[0])
         assert not bool(popped[1])
@@ -160,9 +160,9 @@ class TestDirectionResponse:
             count=road.count.at[0].set(1),
         )
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        road2, _, _a, _w = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
         assert int(road2.count[1]) == 0
-        road3, popped = response_step(road2, net)
+        road3, popped = confirm_step(road2, _a, _w)
         assert int(jnp.sum(popped)) == 0
 
     def test_no_transfer_wrong_selection(self):
@@ -175,7 +175,7 @@ class TestDirectionResponse:
         )
         # Road 0 selects road 2, but its only turn edge goes to road 1.
         sel = jnp.array([2, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        road2, _, _a, _w = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
         assert int(road2.count[1]) == 0
 
     def test_full_downstream_blocks(self):
@@ -189,7 +189,7 @@ class TestDirectionResponse:
             count=road.count.at[0].set(1).at[1].set(cap1 - 3),
         )
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        road2, _ = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
+        road2, _, _a, _w = direction_step(road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0))
         assert int(road2.count[1]) == cap1 - 3  # unchanged
 
     def test_gridlock_escape(self):
@@ -207,7 +207,7 @@ class TestDirectionResponse:
         )
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
         # t - departure = 20 > 10 -> gridlock path; downstream equally free.
-        road2, _ = direction_step(road, sel, net, jnp.float32(20.0), jax.random.PRNGKey(0))
+        road2, _, _a, _w = direction_step(road, sel, net, jnp.float32(20.0), jax.random.PRNGKey(0))
         assert int(road2.count[1]) == cap1 - 3 + 1
 
 
@@ -265,9 +265,9 @@ class TestStaleRingSlots:
         road = self._wrapped_empty_road(net)
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
         t = jnp.float32(100.0)  # stale departure long past -> "stuck"
-        road2, _ = direction_step(road, sel, net, t, jax.random.PRNGKey(0))
+        road2, _, _a, _w = direction_step(road, sel, net, t, jax.random.PRNGKey(0))
         assert int(road2.count[1]) == 0
-        road3, popped = response_step(road2, net)
+        road3, popped = confirm_step(road2, _a, _w)
         assert int(jnp.sum(popped)) == 0
         assert int(road3.count.min()) >= 0
 
@@ -299,7 +299,7 @@ class TestStaleRingSlots:
             count=road.count.at[0].set(ids0.shape[0]).at[1].set(cap1),
         )
         sel = jnp.array([1, 2, 0] + [-1] * 6, dtype=jnp.int32)
-        road2, _ = direction_step(road, sel, net, jnp.float32(100.0),
+        road2, _, _a, _w = direction_step(road, sel, net, jnp.float32(100.0),
                                   jax.random.PRNGKey(0))
         assert int(road2.count[1]) == cap1  # no push past hard capacity
 
@@ -334,3 +334,47 @@ class TestNeighborTableBF:
         d2, h2 = all_pairs_next_hop_nbr(net.nbr, net.nbr_ok, cost)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+class TestPingPongConfirm:
+    """Regression for the reference's response double-fire (documented
+    deviation, core/response.py): when agent a transfers u -> v onto an
+    empty v on an opposing road pair (u = A->B, v = B->A), the reference's
+    tail(v)==head(u) confirm also fires on the reverse edge (v -> u) —
+    v pops the agent it just received and a vanishes from the network.
+    confirm_step pops exactly the Gumbel-max winners and conserves agents."""
+
+    def _setup(self):
+        net = _single_road_network(capacity_slots=6, fftt=10.0)
+        road = init_road_state(net.num_roads, net.nmax)
+        # Agent 7 sits at road 0's head, due to move, selected road 1
+        # (the opposing link); road 1 is empty.
+        road = road._replace(
+            fifo_ids=road.fifo_ids.at[0, 0].set(7),
+            fifo_departure=road.fifo_departure.at[0, 0].set(0.0),
+            count=road.count.at[0].set(1),
+        )
+        sel = jnp.array([1, 0] + [-1] * (net.num_nodes - 2), dtype=jnp.int32)
+        return net, road, sel
+
+    def test_legacy_tail_head_check_double_fires(self):
+        net, road, sel = self._setup()
+        road2, _, accept, win = direction_step(
+            road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
+        )
+        assert bool(accept[1]) and int(win[1]) == 0  # 7 moved 0 -> 1
+        legacy, popped = response_step(road2, net)
+        # The reference formulation pops BOTH roads: the legit winner (0)
+        # and road 1, which loses the agent it just received.
+        assert bool(popped[0]) and bool(popped[1])
+        assert int(jnp.sum(legacy.count)) == 0  # agent 7 vanished
+
+    def test_confirm_step_conserves(self):
+        net, road, sel = self._setup()
+        road2, _, accept, win = direction_step(
+            road, sel, net, jnp.float32(10.0), jax.random.PRNGKey(0)
+        )
+        fixed, popped = confirm_step(road2, accept, win)
+        assert bool(popped[0]) and not bool(popped[1])
+        assert int(jnp.sum(fixed.count)) == 1
+        assert int(fixed.head_ids()[1]) == 7

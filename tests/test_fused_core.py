@@ -9,7 +9,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tarl_tpu.core.direction import direction_step
 from tarl_tpu.core.fused_core import fused_core_step
-from tarl_tpu.core.response import response_step
+from tarl_tpu.core.response import confirm_step
 from tarl_tpu.network import build_network
 from tarl_tpu.state import init_road_state
 
@@ -48,8 +48,8 @@ class TestFusedCore:
         t = jnp.float32(10.0)
 
         f_road, f_popped, _ = fused_core_step(road, sel, net, t, jax.random.PRNGKey(0))
-        j_road, _ = direction_step(road, sel, net, t, jax.random.PRNGKey(1))
-        j_road, j_popped = response_step(j_road, net)
+        j_road, _, j_acc, j_win = direction_step(road, sel, net, t, jax.random.PRNGKey(1))
+        j_road, j_popped = confirm_step(j_road, j_acc, j_win)
 
         np.testing.assert_array_equal(np.asarray(f_road.count),
                                       np.asarray(j_road.count))
@@ -157,7 +157,7 @@ class TestFusedCore:
         _, _, f_delta = fused_core_step(
             road, sel, net, t, jax.random.PRNGKey(0), compute_delta=True
         )
-        _, j_delta = direction_step(
+        _, j_delta, _, _ = direction_step(
             road, sel, net, t, jax.random.PRNGKey(1), compute_delta=True
         )
         assert f_delta.shape == (net.num_roads,)

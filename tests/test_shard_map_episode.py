@@ -1,0 +1,109 @@
+"""Explicit shard_map episode (VERDICT r1 #4): equality with the unsharded
+run and a pinned collective structure."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.config import SimConfig
+from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+from tarl_tpu.io.matsim import load_network, load_population
+from tarl_tpu.io.scenarios import ensure_scenario
+from tarl_tpu.parallel.shard_map_episode import (
+    make_road_mesh,
+    run_episode_shard_map,
+)
+from tarl_tpu.parallel.sharded_episode import pad_agents
+from tarl_tpu.routing.policies import random_choice
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("smap_scen"))
+    base = ensure_scenario(root, "Grid4x4")
+    net = load_network(os.path.join(base, "network"))
+    assert net.num_roads % 8 == 0
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    agents = pad_agents(agents, 8)
+    return net, agents
+
+
+def _state(net, agents, sim):
+    policy = Policy(choice=random_choice)
+    return init_sim_state(net, agents, sim=sim, policy=policy), policy
+
+
+def test_shard_map_matches_unsharded(setup):
+    net, agents = setup
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 400)
+    state, policy = _state(net, agents, sim)
+
+    ref_final, ref_logs = run_episode(state, net, policy, 400, sim=sim)
+    mesh = make_road_mesh(8)
+    sm_final, sm_logs = run_episode_shard_map(
+        state, net, policy, 400, mesh, sim=sim
+    )
+
+    # Agent trajectories are bitwise-identical (same PRNG stream, same math).
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.done), np.asarray(sm_final.agents.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.on_way), np.asarray(sm_final.agents.on_way)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.arrival), np.asarray(sm_final.agents.arrival)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.road.count), np.asarray(sm_final.road.count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.metrics.hourly_counts),
+        np.asarray(sm_final.metrics.hourly_counts),
+    )
+    # Tick scalars: integer-valued sums, exact.
+    np.testing.assert_array_equal(
+        np.asarray(ref_logs.on_way), np.asarray(sm_logs.on_way)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
+    )
+    # Road-optimality series: psum partial-sum order may differ from the
+    # single-device segment reduction -> allclose.
+    np.testing.assert_allclose(
+        np.asarray(ref_logs.road_delta_tt),
+        np.asarray(sm_logs.road_delta_tt),
+        rtol=1e-5, atol=1e-3,
+    )
+    # The final road state really is sharded across 8 devices.
+    assert not sm_final.road.count.sharding.is_fully_replicated
+
+
+def test_shard_map_collective_structure(setup):
+    """Pin the halo-exchange communication structure in the compiled HLO:
+    per tick there are all-gathers (head-summary halo x2 + winners) and
+    all-reduces (agent merges, tick scalars, delta psum), and no all-to-all."""
+    from functools import partial
+
+    from jax import shard_map  # noqa: F401
+
+    net, agents = setup
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 8)
+    state, policy = _state(net, agents, sim)
+    mesh = make_road_mesh(8)
+
+    # Compile (don't run) via lower/compile on the wrapped episode.
+    import tarl_tpu.parallel.shard_map_episode as sme
+
+    eu, ev, eid, _ = sme._partition_edges(net, 8)
+    traced = jax.jit(
+        lambda st: sme.run_episode_shard_map(st, net, policy, 8, mesh, sim=sim)
+    )
+    txt = traced.lower(state).compile().as_text()
+    assert "all-gather" in txt, "halo exchange must lower to all-gather"
+    assert "all-reduce" in txt, "agent/scalar merges must lower to all-reduce"
+    assert "all-to-all" not in txt, "no all-to-all expected in the halo design"
