@@ -1,0 +1,164 @@
+"""Recorded PPO-learning demonstration (VERDICT r1 #2).
+
+Trains the mpnn+ppo stack (edge-MLP policy with the reference's *intended*
+shortest-path distance prior, mpnn_agent.py:84-113, which its live path
+disables) under the dense potential-based "progress" reward, then emits an
+eval table — classical random / classical dijkstra / untrained mpnn /
+trained mpnn — on average travel time, relative Nash gap, TSTT and completion
+count, plus the training metrics CSV.
+
+Usage:
+    python scripts/train_rl_demo.py [Braess|Easy] [--iterations N]
+                                    [--out runs/learning]
+
+Run with the CPU env (see CLAUDE.md):
+    env -u PALLAS_AXON_POOL_IPS PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
+        python scripts/train_rl_demo.py Braess
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tarl_tpu.config import RLConfig, SimConfig
+from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+from tarl_tpu.io.matsim import load_network, load_population
+from tarl_tpu.io.scenarios import ensure_scenario
+from tarl_tpu.metrics.equilibrium import nash_gap, tstt
+from tarl_tpu.models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
+from tarl_tpu.rl.ppo import PPO
+from tarl_tpu.rl.trainer import ppo_train
+from tarl_tpu.routing.policies import random_choice
+from tarl_tpu.simulator import make_policy
+
+# Hyperparameters found by the round-2 sweep (see docs/LEARNING.md):
+# dense progress shaping, strong-ish discounting (routes differ by tens of
+# seconds ~ tens of steps), distance prior at scale 30.
+RL = dict(rollout_steps=512, minibatch_size=128, num_epochs=4,
+          entropy_coef=0.003, learning_rate=1e-3,
+          reward_mode="progress", gamma=0.98, gae_lambda=0.9)
+PRIOR_SCALE = 30.0
+EVAL_STEPS = {"Braess": 9000, "Easy": 15000}
+ITERATIONS = {"Braess": 1000, "Easy": 1200}
+
+
+def metrics_from(agents, road, t, net) -> dict:
+    done_n = int(agents.done[1:].sum())
+    att = float(
+        jnp.where(agents.done, agents.arrival - agents.departure, 0).sum()
+        / max(done_n, 1)
+    )
+    g = nash_gap(agents, road, net)
+    return {
+        "done": done_n,
+        "avg_travel_time_s": round(att, 1),
+        "relative_nash_gap": round(float(g["relative_gap"]), 3),
+        "tstt_s": round(float(tstt(agents, t))),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scenario", nargs="?", default="Braess",
+                    choices=["Braess", "Easy"])
+    ap.add_argument("--iterations", type=int, default=0)
+    ap.add_argument("--out", default="runs/learning")
+    ap.add_argument("--data-root", default="data")
+    args = ap.parse_args(argv)
+    scen = args.scenario
+    iters = args.iterations or ITERATIONS[scen]
+    out = os.path.join(args.out, scen.lower())
+    os.makedirs(out, exist_ok=True)
+    eval_steps = EVAL_STEPS[scen]
+
+    base = ensure_scenario(args.data_root, scen)
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    st = init_sim_state(net, agents, policy=Policy(choice=random_choice))
+
+    table = {}
+
+    # --- classical baselines, same horizon / timestep-1 protocol ---------
+    for algo in ("random", "dijkstra"):
+        pol = make_policy(algo)
+        sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+        s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+        final, _ = run_episode(s0, net, pol, eval_steps, sim=sim)
+        table[f"classical_{algo}"] = metrics_from(
+            final.agents, final.road, final.time, net
+        )
+        print(f"{algo:18}: {table[f'classical_{algo}']}", flush=True)
+
+    # --- mpnn+ppo ---------------------------------------------------------
+    rl = RLConfig(**RL)
+    pnet = MPNNPolicyNet(
+        num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
+        use_distance_prior=True, prior_scale=PRIOR_SCALE,
+    )
+    ppo = PPO(net, pnet, MPNNValueNetSimple(), rl=rl)
+
+    def eval_policy(params, key=0, det=True):
+        env, *_ = ppo.eval_rollout(
+            params, st, jax.random.PRNGKey(key), eval_steps, deterministic=det
+        )
+        return metrics_from(env.sim.agents, env.sim.road, env.sim.time, net)
+
+    ts0 = ppo.init(st, jax.random.PRNGKey(0))
+    table["mpnn_untrained"] = eval_policy(ts0.params)
+    print(f"{'mpnn untrained':18}: {table['mpnn_untrained']}", flush=True)
+
+    t0 = time.time()
+    ts = ppo_train(
+        ppo, st, num_iterations=iters, key=jax.random.PRNGKey(0), rl=rl,
+        log_dir=out, eval_interval=max(iters // 10, 1),
+        checkpoint_dir=os.path.join(out, "checkpoints"),
+        checkpoint_interval=max(iters // 2, 1), verbose=False,
+    )
+    train_s = time.time() - t0
+    print(f"trained {iters} iterations in {train_s:.0f}s", flush=True)
+
+    table["mpnn_trained_greedy"] = eval_policy(ts.params)
+    table["mpnn_trained_stochastic"] = eval_policy(ts.params, key=3, det=False)
+    print(f"{'mpnn trained':18}: {table['mpnn_trained_greedy']}", flush=True)
+    print(f"{'mpnn trained (st)':18}: {table['mpnn_trained_stochastic']}",
+          flush=True)
+
+    result = {
+        "scenario": scen,
+        "iterations": iters,
+        "train_seconds": round(train_s, 1),
+        "hyperparameters": {**RL, "prior_scale": PRIOR_SCALE},
+        "eval_steps": eval_steps,
+        "table": table,
+    }
+    with open(os.path.join(out, "eval_table.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"wrote {out}/eval_table.json")
+
+    tr = table["mpnn_trained_greedy"]
+    rnd = table["classical_random"]
+    dij = table["classical_dijkstra"]
+    ok_att = tr["avg_travel_time_s"] < rnd["avg_travel_time_s"] or (
+        tr["done"] > rnd["done"] and tr["tstt_s"] < rnd["tstt_s"]
+    )
+    ok_gap = tr["relative_nash_gap"] < rnd["relative_nash_gap"]
+    print(f"\ntrained vs random: att {tr['avg_travel_time_s']} vs "
+          f"{rnd['avg_travel_time_s']}, gap {tr['relative_nash_gap']} vs "
+          f"{rnd['relative_nash_gap']} -> {'PASS' if ok_att and ok_gap else 'FAIL'}")
+    print(f"dijkstra reference: att {dij['avg_travel_time_s']}, "
+          f"gap {dij['relative_nash_gap']}")
+    return 0 if (ok_att and ok_gap) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

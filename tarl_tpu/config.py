@@ -119,12 +119,24 @@ class RLConfig:
     max_grad_norm: float | None = None
     # Reward shaping:
     #   "on_network"  — -(agents on the network), the reference's live reward
-    #                   (reinforcement_learning.py:266-267);
+    #                   (reinforcement_learning.py:266-267).  NB: under the
+    #                   event-time clock this is maximized by FREEZING the
+    #                   network (frozen state -> clock advances -> episode
+    #                   ends fast), so policies trained on it learn to
+    #                   strand agents;
     #   "individual"  — sum of 100*600/travel_time over agents arriving this
     #                   step, the reward the reference computes and discards
     #                   (rl.py:259-265);
-    #   "throughput"  — number of arrivals this step (a denser variant).
+    #   "throughput"  — number of arrivals this step (a denser variant);
+    #   "progress"    — potential-based shaping: r = decrease of
+    #                   Phi = sum over queued agents of the free-flow
+    #                   shortest distance to their destination.  Dense
+    #                   (every transfer toward the destination pays off
+    #                   immediately, the final withdraw pays the last hop),
+    #                   and policy-invariant w.r.t. total delivery.
     reward_mode: str = "on_network"
+    # Scale divisor for the "progress" potential difference (seconds).
+    progress_scale: float = 100.0
 
 
 @dataclasses.dataclass(frozen=True)

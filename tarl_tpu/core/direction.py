@@ -109,10 +109,17 @@ def direction_step(
 
     # --- road-optimality data (direction_mpnn.py:94-96) ---
     if compute_delta:
-        edge_delta = jnp.maximum(
-            (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
+        # The per-edge delta depends only on the SOURCE road, so the
+        # reference's per-source segment reduction over outgoing turn edges
+        # (ts.py:482-488) is exactly delta * out-degree — O(R) elementwise,
+        # no edge reduce.  Out-degrees are constants XLA folds at compile.
+        outdeg = jax.ops.segment_sum(
+            jnp.ones_like(network.edge_attr), u, num_segments=R
         )
-        road_delta_tt = segment_sum(edge_delta, u, R)
+        road_delta_tt = (
+            jnp.maximum((head_departure - head_arrival) - network.free_flow, 0.0)
+            * outdeg
+        )
     else:
         road_delta_tt = jnp.zeros((0,), jnp.float32)
 

@@ -177,16 +177,21 @@ def fused_core_step(
     count_f = road.count.astype(jnp.float32)
     cap = network.capacity
 
-    # Road-optimality series (direction_mpnn.py:94-96): exact XLA gathers on
-    # the pre-step head state, one segment reduction per source road.
+    # Road-optimality series (direction_mpnn.py:94-96): the per-edge delta
+    # depends only on the source road, so the per-source reduction over
+    # outgoing turn edges is delta * out-degree — O(R) elementwise (the
+    # out-degree constant folds at compile; see core.direction).
     if compute_delta:
         from ..ops.segment import segment_sum
 
-        head_arrival = road.head_arrival()
-        edge_delta = jnp.maximum(
-            (head_departure[u] - head_arrival[u]) - network.free_flow[u], 0.0
+        outdeg = jax.ops.segment_sum(
+            jnp.ones_like(network.edge_attr), u, num_segments=R
         )
-        road_delta_tt = segment_sum(edge_delta, u, R)
+        head_arrival = road.head_arrival()
+        road_delta_tt = (
+            jnp.maximum((head_departure - head_arrival) - network.free_flow, 0.0)
+            * outdeg
+        )
     else:
         road_delta_tt = jnp.zeros((0,), jnp.float32)
 

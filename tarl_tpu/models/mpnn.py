@@ -46,6 +46,7 @@ class MPNNPolicyNet(nn.Module):
     mode: str = "edge_mlp"    # "edge_mlp" (intended) | "embedding" (live path)
     hidden: int = 64
     use_distance_prior: bool = False
+    prior_scale: float = 600.0  # logits -= dist/prior_scale (smaller = stronger)
 
     @nn.compact
     def __call__(
@@ -68,10 +69,19 @@ class MPNNPolicyNet(nn.Module):
         elif self.mode == "edge_mlp":
             # Intended design: MLP over [x_src, x_dst, edge_attr]
             # (mpnn_agent.py:35-41). Inputs squashed to tame the raw
-            # second/metre magnitudes in the observation.
+            # second/metre magnitudes in the observation, plus two
+            # indicators the MLP cannot recover from squashed raw indices:
+            # "this edge's target IS the source head agent's destination"
+            # (the exit edge to take) and "the target is a virtual SRC/DEST
+            # node" (selecting such an edge for a non-destined head freezes
+            # it: no turn edge can match SELECTED_ROAD, direction.py:62).
             xs = x / (1.0 + jnp.abs(x))
+            dest = x[:, COL_DESTINATION].astype(jnp.int32)
+            is_virtual = (x[:, COL_ROAD_INDEX] < 0.0).astype(jnp.float32)
+            match = (edge_dst == dest[edge_src]).astype(jnp.float32)
             e_in = jnp.concatenate(
-                [xs[edge_src], xs[edge_dst], edge_features], axis=-1
+                [xs[edge_src], xs[edge_dst], edge_features,
+                 match[:, None], is_virtual[edge_dst][:, None]], axis=-1
             )
             h = nn.relu(nn.Dense(self.hidden, name="edge_fc1")(e_in))
             h = nn.relu(nn.Dense(self.hidden // 2, name="edge_fc2")(h))
@@ -85,7 +95,7 @@ class MPNNPolicyNet(nn.Module):
             dest = x[:, COL_DESTINATION].astype(jnp.int32)
             d = dist[edge_dst, dest[edge_src]]
             d = jnp.where(jnp.isfinite(d) & (d < 1e17), d, 1e6)
-            logits = logits - d / 600.0
+            logits = logits - d / self.prior_scale
 
         return logits
 

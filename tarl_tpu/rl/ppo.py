@@ -115,10 +115,32 @@ class PPO:
         self._edge_dst = net.full_dst
         self._num_nodes = net.num_nodes
 
+        # Static free-flow all-pairs distances for potential-based shaping
+        # (rl.reward_mode="progress") and/or the policy's distance prior
+        # (MPNNPolicyNet.use_distance_prior); None otherwise.
+        self._dist_ff = None
+        if rl.reward_mode == "progress" or getattr(
+            policy_net, "use_distance_prior", False
+        ):
+            from ..routing.bellman_ford import all_pairs_next_hop_nbr
+
+            self._dist_ff, _ = all_pairs_next_hop_nbr(
+                net.nbr, net.nbr_ok, net.entry_cost()
+            )
+        self._policy_dist = (
+            self._dist_ff
+            if getattr(policy_net, "use_distance_prior", False) else None
+        )
+
         self._train_iteration = jax.jit(self._train_iteration_impl)
 
     # ------------------------------------------------------------------
     def _policy_logits(self, policy_params, x):
+        if self._policy_dist is not None:
+            return self.policy_net.apply(
+                policy_params, x, self._edge_features,
+                self._edge_src, self._edge_dst, self._policy_dist,
+            )
         return self.policy_net.apply(
             policy_params, x, self._edge_features, self._edge_src, self._edge_dst
         )
@@ -180,7 +202,8 @@ class PPO:
             value = self._value(params["value"], x, obs.time)
 
             env2, obs2, reward, done, info = env_step(
-                env, action, self.network, self.rl, self.sim_cfg, self.physics
+                env, action, self.network, self.rl, self.sim_cfg, self.physics,
+                dist_ff=self._dist_ff,
             )
             env2, obs2 = jax.lax.cond(
                 done,
@@ -348,7 +371,8 @@ class PPO:
                 key, k = jax.random.split(key)
                 action = self.act(params, env, obs, k, deterministic)
                 env, obs, reward, done, info = env_step(
-                    env, action, self.network, self.rl, self.sim_cfg, self.physics
+                    env, action, self.network, self.rl, self.sim_cfg, self.physics,
+                    dist_ff=self._dist_ff,
                 )
                 out = (reward, done, info["arrivals"], info["on_network"],
                        env.sim.time)

@@ -52,6 +52,12 @@ class RunnerArgs:
     checkpoint: str = ""              # restore policy/value params for eval
     num_envs: int = 1                 # PPO environment replicas (vmapped,
                                       # sharded over the device mesh)
+    # Learning-quality levers (defaults = the recorded demo that reaches
+    # user equilibrium on Braess, scripts/train_rl_demo.py / docs/LEARNING.md).
+    # The reference's exact reward is available via --reward-mode on_network.
+    reward_mode: str = "progress"
+    distance_prior: bool = True
+    gamma: float = 0.98
     data_root: str = "data"
     save_root: str = "save"
 
@@ -101,10 +107,17 @@ class Runner:
                 rollout_steps=a.rollout_steps,
                 num_epochs=a.epochs,
                 episode_start=a.start_end_time[0] or RLConfig.episode_start,
+                reward_mode=a.reward_mode,
+                gamma=a.gamma,
+                gae_lambda=0.9 if a.reward_mode == "progress" else 0.95,
+                minibatch_size=min(128, a.rollout_steps),
+                entropy_coef=0.003,
             )
             self.policy_net = MPNNPolicyNet(
                 num_nodes=net.num_nodes,
                 num_node_embeddings=net.num_roads + 1,
+                use_distance_prior=a.distance_prior,
+                prior_scale=30.0,
             )
             self.value_net = MPNNValueNetSimple()
             self.ppo = PPO(
@@ -279,6 +292,17 @@ def main(argv=None):
     parser.add_argument("--num-envs", type=int, default=1,
                         help="PPO environment replicas (data-parallel over "
                              "the device mesh)")
+    parser.add_argument("--reward-mode", default="progress",
+                        choices=["progress", "on_network", "individual",
+                                 "throughput"],
+                        help="'progress' (default) = potential-based shaping "
+                             "that demonstrably learns (docs/LEARNING.md); "
+                             "'on_network' = the reference's live reward")
+    parser.add_argument("--no-distance-prior", dest="distance_prior",
+                        action="store_false",
+                        help="Disable the shortest-path logit prior "
+                             "(the reference's intended compute_dijkstra_logits)")
+    parser.add_argument("--gamma", type=float, default=0.98)
     args = parser.parse_args(argv)
 
     runner = Runner(
@@ -298,6 +322,9 @@ def main(argv=None):
             exec_mode=args.exec_mode,
             checkpoint=args.checkpoint,
             num_envs=args.num_envs,
+            reward_mode=args.reward_mode,
+            distance_prior=args.distance_prior,
+            gamma=args.gamma,
         )
     )
     runner.setup()
