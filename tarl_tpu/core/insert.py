@@ -86,7 +86,7 @@ def _admit_candidates(
     )[:R]
 
     inserted_agents = jnp.where(ok, agent_sorted, A)  # A -> dropped
-    on_way = agents.on_way.at[inserted_agents].set(True, mode="drop")
+    inserted = agents.inserted.at[inserted_agents].set(True, mode="drop")
 
     return (
         road._replace(
@@ -95,7 +95,7 @@ def _admit_candidates(
             fifo_departure=fifo_departure,
             count=road.count + count_add,
         ),
-        agents._replace(on_way=on_way),
+        agents._replace(inserted=inserted),
     )
 
 

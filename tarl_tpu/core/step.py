@@ -95,8 +95,7 @@ def reset_sim_state(state: SimState, start_time) -> SimState:
     return state._replace(
         road=init_road_state(R, Nmax),
         agents=state.agents._replace(
-            on_way=jnp.zeros_like(state.agents.on_way),
-            done=jnp.zeros_like(state.agents.done),
+            inserted=jnp.zeros_like(state.agents.inserted),
             arrival=jnp.zeros_like(state.agents.arrival),
         ),
         time=jnp.asarray(start_time, jnp.float32),

@@ -64,16 +64,16 @@ def withdraw_agents(
     new_head = (road.head + wcount) % Nmax
     new_count = road.count - wcount
 
-    # Mark withdrawn agents DONE / off-way and stamp arrival (base.py:398-400).
+    # Stamp arrival (base.py:398-400).  DONE/ON_WAY are derived from it
+    # (state.AgentState), so this ONE scatter replaces the reference's three
+    # agent-column writes — withdraw is the largest tick phase on TPU.
     wids = jnp.where(cum, ids, A).reshape(-1)  # A -> dropped
-    done = agents.done.at[wids].set(True, mode="drop")
-    on_way = agents.on_way.at[wids].set(False, mode="drop")
     arrival = agents.arrival.at[wids].set(
         jnp.broadcast_to(time, wids.shape), mode="drop"
     )
 
     return (
         road._replace(head=new_head, count=new_count),
-        agents._replace(done=done, on_way=on_way, arrival=arrival),
+        agents._replace(arrival=arrival),
         wcount,
     )

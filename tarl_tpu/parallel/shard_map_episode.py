@@ -219,9 +219,9 @@ def run_episode_shard_map(
         )
         # agent merge (disjoint across shards)
         ins_ids = jnp.where(ok_loc, agent_sorted, A)
-        onway_delta = jnp.zeros((A,), jnp.int32).at[ins_ids].set(1, mode="drop")
-        onway_delta = jax.lax.psum(onway_delta, AXIS)
-        agents = agents._replace(on_way=agents.on_way | (onway_delta > 0))
+        ins_delta = jnp.zeros((A,), jnp.int32).at[ins_ids].set(1, mode="drop")
+        ins_delta = jax.lax.psum(ins_delta, AXIS)
+        agents = agents._replace(inserted=agents.inserted | (ins_delta > 0))
 
         # ---- withdraw (local roads, psum agent merge) --------------------
         K = nmax if sim.withdraw_depth is None else min(sim.withdraw_depth, nmax)
@@ -247,8 +247,6 @@ def run_episode_shard_map(
         wd = jax.lax.psum(wd, AXIS)
         withdrew = wd > 0
         agents = agents._replace(
-            done=agents.done | withdrew,
-            on_way=agents.on_way & ~withdrew,
             arrival=jnp.where(withdrew, t, agents.arrival),
         )
         st = st._replace(agents=agents)

@@ -54,8 +54,7 @@ def pad_agents(agents: AgentState, multiple: int) -> AgentState:
         age=pad_leaf(agents.age, 0.0),
         sex=pad_leaf(agents.sex, 0.0),
         employed=pad_leaf(agents.employed, 0.0),
-        on_way=pad_leaf(agents.on_way, False),
-        done=pad_leaf(agents.done, False),
+        inserted=pad_leaf(agents.inserted, False),
     )
 
 

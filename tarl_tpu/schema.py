@@ -198,6 +198,8 @@ def agents_from_matrix(mat):
         age=mat[:, AgentFeatureHelpers.AGE],
         sex=mat[:, AgentFeatureHelpers.SEX],
         employed=mat[:, AgentFeatureHelpers.EMPLOYMENT_STATUS],
-        on_way=mat[:, AgentFeatureHelpers.ON_WAY] > 0,
-        done=mat[:, AgentFeatureHelpers.DONE] > 0,
+        # ON_WAY/DONE are derived views in AgentState (done = arrival > 0,
+        # on_way = inserted & ~done); reconstruct the backing flag.
+        inserted=(mat[:, AgentFeatureHelpers.ON_WAY] > 0)
+        | (mat[:, AgentFeatureHelpers.DONE] > 0),
     )

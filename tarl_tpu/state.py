@@ -101,7 +101,16 @@ def init_road_state(num_roads: int, nmax: int) -> RoadState:
 class AgentState(NamedTuple):
     """Typed columns of the reference's ``agent_features [A, 9]`` tensor
     (feature_helpers.py:56-71, agents/base.py:212).  Row 0 is the dummy agent
-    whose departure is forced past the horizon (agents/base.py:443-444)."""
+    whose departure is forced past the horizon (agents/base.py:443-444).
+
+    The reference's ON_WAY / DONE columns are DERIVED VIEWS here (withdraw
+    then scatters ONE array instead of three — it is the largest tick phase
+    on TPU): ``inserted`` is set once at insertion and never cleared,
+    ``arrival`` is stamped at withdrawal, and
+
+    * ``done  = arrival > 0``  (arrival is only ever stamped on completion);
+    * ``on_way = inserted & ~done``.
+    """
 
     origin: jnp.ndarray     # int32[A] — SRC node index of the origin intersection
     dest: jnp.ndarray       # int32[A] — DEST node index of the destination
@@ -110,12 +119,21 @@ class AgentState(NamedTuple):
     age: jnp.ndarray        # float32[A]
     sex: jnp.ndarray        # float32[A] — 1.0 = female
     employed: jnp.ndarray   # float32[A]
-    on_way: jnp.ndarray     # bool[A]
-    done: jnp.ndarray       # bool[A]
+    inserted: jnp.ndarray   # bool[A] — ever placed on the network
 
     @property
     def num_agents(self) -> int:
         return self.origin.shape[0]
+
+    @property
+    def done(self) -> jnp.ndarray:
+        """DONE column (feature_helpers.py:70): trip completed."""
+        return self.arrival > 0.0
+
+    @property
+    def on_way(self) -> jnp.ndarray:
+        """ON_WAY column (feature_helpers.py:69): currently on the network."""
+        return self.inserted & (self.arrival <= 0.0)
 
 
 def init_agent_state(
@@ -132,8 +150,7 @@ def init_agent_state(
         age=zeros if age is None else jnp.asarray(age, jnp.float32),
         sex=zeros if sex is None else jnp.asarray(sex, jnp.float32),
         employed=zeros if employed is None else jnp.asarray(employed, jnp.float32),
-        on_way=jnp.zeros((n,), dtype=bool),
-        done=jnp.zeros((n,), dtype=bool),
+        inserted=jnp.zeros((n,), dtype=bool),
     )
 
 

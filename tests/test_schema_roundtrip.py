@@ -37,11 +37,16 @@ def test_agent_matrix_roundtrip():
         origin=[0, 3, 5], dest=[0, 8, 4], departure=[48 * 3600.0, 21600.0, 25200.0],
         age=[20.0, 42.0, 31.0], sex=[0.0, 1.0, 0.0], employed=[0.0, 1.0, 1.0],
     )
+    # ON_WAY/DONE are derived views: agent 1 en route (inserted, arrival 0),
+    # agent 2 done (arrival stamped), agent 0 never started.
     agents = agents._replace(
-        on_way=jnp.array([False, True, False]),
-        done=jnp.array([False, False, True]),
+        inserted=jnp.array([False, True, True]),
         arrival=jnp.array([0.0, 0.0, 26000.0]),
     )
+    np.testing.assert_array_equal(np.asarray(agents.on_way),
+                                  [False, True, False])
+    np.testing.assert_array_equal(np.asarray(agents.done),
+                                  [False, False, True])
     mat = agent_features_matrix(agents)
     assert mat.shape == (3, 9)
     back = agents_from_matrix(mat)
@@ -50,6 +55,9 @@ def test_agent_matrix_roundtrip():
             np.asarray(getattr(agents, field)), np.asarray(getattr(back, field)),
             err_msg=field,
         )
+    # The packed ON_WAY/DONE columns survive the roundtrip too.
+    np.testing.assert_array_equal(np.asarray(back.on_way), [False, True, False])
+    np.testing.assert_array_equal(np.asarray(back.done), [False, False, True])
 
 
 def test_distribution_temperature():
