@@ -156,8 +156,15 @@ def tick(
     # --- core: direction + response (simulation_core_model.py:41-83) ---
     key, k_dir = jax.random.split(state.key)
     want_delta = sim.record_road_optimality or sim.record_road_optimality_hourly
-    if sim.fused_core and jax.default_backend() == "tpu":
-        # Pallas compiles on TPU only.
+    if (
+        sim.fused_core
+        and jax.default_backend() == "tpu"  # Pallas compiles on TPU only
+        # The fused kernel's one-hot Gumbel-max materializes
+        # [TILE_E, r_pad] f32 tiles in VMEM; past ~4k roads that blows the
+        # scoped-vmem limit (measured 63 MB at Grid64x64) and the XLA
+        # direction+confirm path is faster anyway (the one-hot is O(E*R)).
+        and network.num_roads <= 4096
+    ):
         from .fused_core import fused_core_step
 
         road, popped, road_delta_tt = fused_core_step(

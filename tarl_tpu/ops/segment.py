@@ -25,7 +25,13 @@ NEG_INF = jnp.float32(-jnp.inf)
 # Route float32 1-D segment reductions through the Pallas one-hot kernels on
 # TPU (ops/pallas_segment.py). TARL_PALLAS=0 disables.
 _PALLAS_ENABLED = os.environ.get("TARL_PALLAS", "1") != "0"
-_PALLAS_MAX_SEGMENTS = 16384  # one-hot tile width bound (VMEM)
+# One-hot tile VMEM bound: the kernels materialize [TILE_E=512, seg_pad] f32
+# intermediates (~2 live copies) against the ~16 MB scoped-vmem limit, so
+# seg_pad*512*4*2 <= 16 MB -> 4096 segments.  Grid64x64 (16,128 roads) blew
+# the old 16384 bound with a 63 MB stack allocation; beyond this the XLA
+# scatter path engages (measured: it also wins there — the one-hot trick is
+# O(E*R) work and only pays below a few thousand segments).
+_PALLAS_MAX_SEGMENTS = 4096
 
 # vmap of pallas_call fails Mosaic lowering on this TPU stack ("grid_context"
 # assertion); callers that trace segment ops under vmap (the PPO loss, the
