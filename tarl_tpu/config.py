@@ -137,6 +137,12 @@ class RLConfig:
     reward_mode: str = "on_network"
     # Scale divisor for the "progress" potential difference (seconds).
     progress_scale: float = 100.0
+    # Surface each SRC node's earliest PENDING entrant in the observation
+    # (instead of the reference's dummy agent 0, whose destination is all an
+    # empty SRC FIFO can show) so policies can condition ENTRY roads on a
+    # real destination.  Documented deviation; False restores the exact
+    # reference observation (rl/observation.py).
+    observe_pending_entrants: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,11 +90,17 @@ class MPNNPolicyNet(nn.Module):
             raise ValueError(f"Unknown policy mode {self.mode!r}")
 
         if self.use_distance_prior and dist is not None:
-            # Shortest-path prior: prefer edges whose target is closer to the
-            # head agent's destination (mpnn_agent.py:84-113, intended).
+            # Shortest-path prior: prefer edges whose target minimizes TOTAL
+            # remaining time = the target road's own free-flow traversal
+            # (obs column 2; zero at virtual nodes) + the shortest distance
+            # from the target onward (mpnn_agent.py:84-113, intended).
+            # Omitting the target's own fftt inverts preferences wherever a
+            # slow direct road competes with a fast multi-hop route (e.g. it
+            # prefers Braess's 150 s UT route over the 105 s shortcut).
             dest = x[:, COL_DESTINATION].astype(jnp.int32)
             d = dist[edge_dst, dest[edge_src]]
             d = jnp.where(jnp.isfinite(d) & (d < 1e17), d, 1e6)
+            d = d + x[edge_dst, 2]
             logits = logits - d / self.prior_scale
 
         return logits

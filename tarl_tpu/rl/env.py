@@ -85,8 +85,9 @@ def fifo_potential(road, agents, dist_ff: jnp.ndarray,
     return jnp.sum(d)
 
 
-def _observe(sim: SimState, network: Network) -> Observation:
-    nf, ef, _, ai = observe(sim, network)
+def _observe(sim: SimState, network: Network,
+             rl: RLConfig = DEFAULT_RL) -> Observation:
+    nf, ef, _, ai = observe(sim, network, rl.observe_pending_entrants)
     return Observation(
         node_features=nf,
         edge_features=ef,
@@ -109,7 +110,7 @@ def env_reset(
         old_counts=sim.road.count,
         done=jnp.zeros((), bool),
     )
-    return env, _observe(sim, network)
+    return env, _observe(sim, network, rl)
 
 
 def env_step(
@@ -152,11 +153,6 @@ def env_step(
     )
     withdrawn = wcount > 0
 
-    if rl.reward_mode == "progress":
-        # Captured pre-insert: the potential added by new entrants must not
-        # read as a penalty (their progress is rewarded from the next step).
-        phi_after = fifo_potential(road, agents, dist_ff, network.free_flow)
-
     # --- insert (rl.py:252-254) ---
     insert_ptr = sim.insert_ptr
     if sim_cfg.insert_window is not None:
@@ -183,6 +179,15 @@ def env_step(
     elif rl.reward_mode == "throughput":
         reward = jnp.sum(wcount).astype(jnp.float32)
     elif rl.reward_mode == "progress":
+        # Classic potential-based shaping: r = Phi(s) - Phi(s'), with the
+        # POST-insert state on the right so an entrant's potential is paid
+        # up front — the entry-road choice is thereby penalized in
+        # proportion to the route it commits the agent to (measuring
+        # pre-insert instead makes total reward equal the entry potential,
+        # i.e. REWARDS bad entry roads; trained policies then abandoned the
+        # Braess shortcut).  Every delivering policy telescopes to the same
+        # total; discounting orders them by delivery speed.
+        phi_after = fifo_potential(road, agents, dist_ff, network.free_flow)
         reward = (phi_before - phi_after) / rl.progress_scale
     else:  # "on_network" — the reference's live reward
         reward = -jnp.sum(new_counts).astype(jnp.float32)
@@ -221,4 +226,4 @@ def env_step(
         "on_network": on_way_total,
         "arrivals": done_total - m.done_before,
     }
-    return new_env, _observe(new_sim, network), reward, done, info
+    return new_env, _observe(new_sim, network, rl), reward, done, info

@@ -8,6 +8,7 @@ FREE_FLOW_TIME_TRAVEL, LENGHT_OF_ROAD, MAX_FLOW, SELECTED_ROAD, ROAD_INDEX]),
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..network import Network
@@ -34,16 +35,45 @@ def node_features(state: SimState, network: Network) -> jnp.ndarray:
     return feats
 
 
-def agent_index(state: SimState, network: Network) -> jnp.ndarray:
-    """int32[N] FIFO-head agent id per node (HEAD_FIFO column)."""
+def agent_index(
+    state: SimState, network: Network, pending_entrants: bool = False
+) -> jnp.ndarray:
+    """int32[N] FIFO-head agent id per node (HEAD_FIFO column).
+
+    Documented deviation behind ``pending_entrants``: the reference's SRC
+    rows always surface agent 0 (their FIFO is empty), so no policy can
+    condition ENTRY roads on a real destination — the structural ceiling on
+    learned routing (docs/LEARNING.md).  With ``pending_entrants=True`` each
+    SRC node surfaces its earliest-departing agent that has not entered the
+    network yet, making the action at SRC edges destination-aware.  Road
+    rows are unchanged.
+    """
     n = network.num_nodes
     idx = jnp.zeros((n,), jnp.int32)
-    return idx.at[: network.num_roads].set(state.road.head_ids())
+    idx = idx.at[: network.num_roads].set(state.road.head_ids())
+    if pending_entrants:
+        a = state.agents
+        A = a.num_agents
+        waiting = (~a.inserted) & (~a.done)
+        key = jnp.where(waiting, a.departure, jnp.inf)
+        seg_min = jax.ops.segment_min(key, a.origin, num_segments=n)
+        is_min = waiting & (a.departure == seg_min[a.origin])
+        ids = jnp.arange(A, dtype=jnp.int32)
+        first = jax.ops.segment_min(
+            jnp.where(is_min, ids, A), a.origin, num_segments=n
+        )
+        has = (first < A) & jnp.isfinite(seg_min)
+        src_rows = jnp.arange(n) >= network.num_roads
+        idx = jnp.where(src_rows & has, jnp.minimum(first, A - 1), idx)
+    return idx
 
 
-def observe(state: SimState, network: Network):
+def observe(state: SimState, network: Network, pending_entrants: bool = False):
     """(node_features [N,7], edge_features [Ef,1], edge_index [2,Ef],
     agent_index [N])."""
     ef = network.full_attr.reshape(-1, 1)
     ei = jnp.stack([network.full_src, network.full_dst], axis=0)
-    return node_features(state, network), ef, ei, agent_index(state, network)
+    return (
+        node_features(state, network), ef, ei,
+        agent_index(state, network, pending_entrants),
+    )

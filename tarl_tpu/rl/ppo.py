@@ -156,12 +156,22 @@ class PPO:
     def _dist(self, logits) -> GraphDistribution:
         return GraphDistribution(logits, self._edge_src, self._num_nodes)
 
+    # Agent-row columns kept for VIRTUAL (SRC/DEST) nodes in the context:
+    # origin + destination.  With observe_pending_entrants the surfaced agent
+    # changes step to step; its demographics/time columns would make the
+    # entry-edge logits flap (measured: Braess training gets stuck at the
+    # 150 s route instead of finding the 105 s shortcut equilibrium).
+    _VIRTUAL_KEEP = (1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
     def _context(self, env: EnvState, obs: Observation) -> jnp.ndarray:
-        """x[N, 16] = observation columns ++ FIFO-head agent row."""
+        """x[N, 16] = observation columns ++ FIFO-head agent row (routing
+        columns only at virtual nodes, see _VIRTUAL_KEEP)."""
         agent_mat = agent_features_matrix(env.sim.agents)
-        return jnp.concatenate(
-            [obs.node_features, agent_mat[obs.agent_index]], axis=-1
-        )
+        rows = agent_mat[obs.agent_index]
+        is_virtual = obs.node_features[:, 6:7] < 0  # ROAD_INDEX == -1
+        keep = jnp.asarray(self._VIRTUAL_KEEP, jnp.float32)
+        rows = jnp.where(is_virtual, rows * keep[None, :], rows)
+        return jnp.concatenate([obs.node_features, rows], axis=-1)
 
     # ------------------------------------------------------------------
     def init(self, sim_state, key: jax.Array) -> TrainState:

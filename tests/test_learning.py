@@ -1,18 +1,18 @@
-"""PPO learning regression (VERDICT r1 #2): trained mpnn+ppo must measurably
-improve routing on Braess.
+"""PPO learning regression (VERDICT r1 #2): mpnn+ppo must learn routing on
+Braess FROM SCRATCH (no distance prior).
 
-Setup = the recorded demo (scripts/train_rl_demo.py): edge-MLP policy with
-the reference's intended distance prior (mpnn_agent.py:84-113), dense
-potential-based "progress" reward, gamma 0.98.  100 iterations take the
-greedy policy from ~150 s avg travel / 0.43 relative Nash gap to ~123 s /
-~0.17 (full demo run: 105.1 s / 0.001, vs classical dijkstra 105.2 s);
-the assertions leave slack for seed drift.
+Setup mirrors the recorded demo (scripts/train_rl_demo.py, docs/LEARNING.md)
+minus the shortest-path prior, so the improvement is attributable to PPO:
+untrained policies strand most agents (calibrated: 0-141 of 200 delivered,
+avg travel >1400 s when any finish); 200 iterations reliably reach all-200
+delivered at ~116-123 s / relative Nash gap 0.10-0.17 across seeds.  The
+full demo (with the corrected fftt+distance prior) starts AT the 105 s
+equilibrium and training preserves it.
 """
 import os
 
 import jax
 import jax.numpy as jnp
-import pytest
 
 from tarl_tpu.config import RLConfig
 from tarl_tpu.core.step import Policy, init_sim_state
@@ -35,7 +35,7 @@ def _eval(ppo, params, st, net, steps=9000):
     return done_n, att, gap
 
 
-def test_ppo_learns_braess_routing(tmp_path):
+def test_ppo_learns_braess_routing_from_scratch(tmp_path):
     base = ensure_scenario(str(tmp_path), "Braess")
     net = load_network(os.path.join(base, "network"))
     agents, _ = load_population(
@@ -47,19 +47,21 @@ def test_ppo_learns_braess_routing(tmp_path):
                   reward_mode="progress", gamma=0.98, gae_lambda=0.9)
     pnet = MPNNPolicyNet(
         num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
-        use_distance_prior=True, prior_scale=30.0,
+        use_distance_prior=False,
     )
     ppo = PPO(net, pnet, MPNNValueNetSimple(), rl=rl)
     ts = ppo.init(st, jax.random.PRNGKey(0))
 
     done0, att0, gap0 = _eval(ppo, ts.params, st, net)
-    for _ in range(100):
+    for _ in range(200):
         ts, _ = ppo.train_iteration(ts)
     done1, att1, gap1 = _eval(ppo, ts.params, st, net)
 
     assert done1 == 200, f"trained policy must deliver everyone, got {done1}"
-    # Calibrated: untrained ~150 s / 0.43; 100 iters ~123 s / 0.17.
-    assert att1 < att0 - 10, f"no learning: {att0:.1f} -> {att1:.1f}"
+    # Calibrated margins (measured 115.8-123.0 s / gap 0.10-0.17 over seeds).
     assert att1 < 135.0, f"trained avg travel {att1:.1f} >= 135"
-    assert gap1 < gap0, f"Nash gap did not shrink: {gap0:.3f} -> {gap1:.3f}"
     assert gap1 < 0.30, f"trained relative Nash gap {gap1:.3f} >= 0.30"
+    assert done0 < 200 or att1 < att0 - 10, (
+        f"no learning: untrained ({done0} done, {att0:.1f}s) vs "
+        f"trained ({done1} done, {att1:.1f}s)"
+    )
