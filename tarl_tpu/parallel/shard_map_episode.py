@@ -27,9 +27,14 @@ pinned:
   same key and gathered per-shard by global edge id, and argmax ties break
   on the global edge index exactly like ``ops.segment.segment_argmax``.
 
-Supported policy: ``random_choice`` (reads no road state, so its replicated
-recomputation is exact).  The direction/response pair uses the fused
-win-pop formulation proven equivalent in ``core.fused_core``.
+Supported policies: ``random_choice`` (reads no road state, so its
+replicated recomputation is exact) and the shortest-path policy
+(``Policy.needs_next_hop``): its all-pairs Bellman-Ford refresh and
+per-road next-hop selection run REPLICATED on every shard from the
+halo-gathered counts/head ids — the [N, N] table is routing scratch, not
+simulation state, and recomputing it everywhere is cheaper than sharding
+it.  The direction/response pair uses the fused win-pop formulation proven
+equivalent in ``core.fused_core``.
 """
 from __future__ import annotations
 
@@ -41,7 +46,14 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import PhysicsConfig, SimConfig, DEFAULT_PHYSICS, DEFAULT_SIM
+from ..config import (
+    PhysicsConfig,
+    RoutingConfig,
+    SimConfig,
+    DEFAULT_PHYSICS,
+    DEFAULT_ROUTING,
+    DEFAULT_SIM,
+)
 from ..network import Network
 from ..state import MetricState, SimState, TickLog
 
@@ -92,17 +104,23 @@ def run_episode_shard_map(
     mesh: Mesh,
     sim: SimConfig = DEFAULT_SIM,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    routing: RoutingConfig = DEFAULT_ROUTING,
 ) -> tuple[SimState, TickLog]:
     """Drop-in for ``core.step.run_episode`` on a 1-axis mesh.
 
-    ``policy.choice`` must be ``routing.policies.random_choice`` (see module
-    docstring).  Scalars in the returned TickLog match the unsharded run
+    ``policy`` must be the random policy or the shortest-path policy (see
+    module docstring; pass the same ``routing`` config the policy was built
+    with).  Scalars in the returned TickLog match the unsharded run
     bitwise; road-indexed outputs come back in global order.
     """
     from ..routing.policies import random_choice
 
-    assert policy.choice is random_choice, (
-        "shard_map episode currently supports the random policy"
+    shortest = policy.needs_next_hop
+    assert shortest or policy.choice is random_choice, (
+        "shard_map episode supports the random and shortest-path policies"
+    )
+    assert not routing.strict_compat, (
+        "strict-compat routing is not supported under shard_map"
     )
     S = mesh.devices.size
     R = network.num_roads
@@ -172,7 +190,11 @@ def run_episode_shard_map(
         # ---- insert (replicated candidate math, local scatter) ----------
         _, _, _, count_g, head_g = halo(road)
         ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
-        entry = st.selected_road[agents.origin]
+        if shortest:
+            # Per-agent entry roads (shortest_path_entry, replicated).
+            entry = st.next_hop[agents.origin, agents.dest]
+        else:
+            entry = st.selected_road[agents.origin]
         valid = (entry >= 0) & (entry < R)
         road_key = jnp.where(ready & valid, entry, R).astype(jnp.int32)
         order = jnp.argsort(road_key, stable=True)
@@ -251,14 +273,50 @@ def run_episode_shard_map(
         )
         st = st._replace(agents=agents)
 
-        # ---- choice: random (replicated; reads no road state) -----------
-        st2, _ = random_choice(st, network)
-        sel = st2.selected_road
-        key = st2.key
+        # ---- choice (replicated computation on every shard) -------------
+        # Halo #2: post-withdraw head summary, shared by choice and core.
+        head_id_g, head_arr_g, head_dep_g, count_g, _ = halo(road)
+        if shortest:
+            from ..routing.bellman_ford import all_pairs_next_hop_nbr
+
+            n_nodes = network.num_nodes
+
+            def refresh(_):
+                tc = cc / (
+                    cap + physics.congestion_softening
+                    - count_g.astype(jnp.float32)
+                )
+                cost = jnp.zeros((n_nodes,), jnp.float32).at[:R].set(
+                    jnp.maximum(ff, tc)
+                )
+                _, nh = all_pairs_next_hop_nbr(
+                    network.nbr, network.nbr_ok, cost,
+                    max_iters=routing.max_bf_iters,
+                )
+                return nh
+
+            do_refresh = st.choice_count % routing.refresh_rate == 0
+            next_hop = jax.lax.cond(
+                do_refresh, refresh, lambda _: st.next_hop, operand=None
+            )
+            dests = agents.dest[head_id_g]
+            sel = st.selected_road.at[:R].set(
+                next_hop[jnp.arange(R, dtype=jnp.int32), dests]
+            )
+            key = st.key
+            st = st._replace(
+                next_hop=next_hop, choice_count=st.choice_count + 1
+            )
+        else:
+            st2, _ = random_choice(st, network)
+            sel = st2.selected_road
+            key = st2.key
+            st = st._replace(
+                next_hop=st2.next_hop, choice_count=st2.choice_count
+            )
 
         # ---- core: fused direction + response over local edges ----------
         key, k_dir = jax.random.split(key)
-        head_id_g, head_arr_g, head_dep_g, count_g, _ = halo(road)
         real = eid_l < E
         u = jnp.minimum(eu_l, R - 1)
         v_loc = jnp.where(real, ev_l - block0, 0)
@@ -377,8 +435,8 @@ def run_episode_shard_map(
                 done_before=done_total,
                 delta_tt_hourly=delta_hourly,
             ),
-            next_hop=st2.next_hop,
-            choice_count=st2.choice_count,
+            next_hop=st.next_hop,
+            choice_count=st.choice_count,
         )
         log = TickLog(
             departures=(on_way_total - m.on_way_before
