@@ -35,7 +35,8 @@ from .simulator import TransportationSimulator, make_policy
 class RunnerArgs:
     """CLI arguments (reference: RunnerArgs, runner.py:10-23)."""
 
-    algo: str = "dijkstra"            # dijkstra | random | mpnn | mpnn+ppo
+    algo: str = "dijkstra"            # dijkstra | random | mpnn | mpnn+ppo |
+                                      # transformer | transformer+ppo
     scenario: str = "Easy"
     mode: str = "eval"                # eval | train
     timestep_size: int = 1
@@ -101,7 +102,7 @@ class Runner:
             self.sim.config_parameters(
                 timestep_size=a.timestep_size, start_time=a.start_end_time[0]
             )
-        elif a.algo in {"mpnn", "mpnn+ppo"}:
+        elif a.algo in {"mpnn", "mpnn+ppo", "transformer", "transformer+ppo"}:
             net = self.sim.network
             self.rl_cfg = RLConfig(
                 rollout_steps=a.rollout_steps,
@@ -113,17 +114,34 @@ class Runner:
                 minibatch_size=min(128, a.rollout_steps),
                 entropy_coef=0.003,
             )
-            self.policy_net = MPNNPolicyNet(
-                num_nodes=net.num_nodes,
-                num_node_embeddings=net.num_roads + 1,
-                use_distance_prior=a.distance_prior,
-                prior_scale=30.0,
-            )
-            self.value_net = MPNNValueNetSimple()
+            value_uses_graph = False
+            if a.algo.startswith("transformer"):
+                # The Graph Transformer stack the reference keeps unwired
+                # (SURVEY §2.18 "no import from runner.py") is a first-class
+                # CLI algorithm here.
+                from .models.transformer.agent import (
+                    TransformerRoutePolicy,
+                    TransformerValueNet,
+                    network_positional_encoding,
+                )
+
+                pe = network_positional_encoding(net, 16)
+                self.policy_net = TransformerRoutePolicy(pe=pe)
+                self.value_net = TransformerValueNet(pe=pe)
+                value_uses_graph = True
+            else:
+                self.policy_net = MPNNPolicyNet(
+                    num_nodes=net.num_nodes,
+                    num_node_embeddings=net.num_roads + 1,
+                    use_distance_prior=a.distance_prior,
+                    prior_scale=30.0,
+                )
+                self.value_net = MPNNValueNetSimple()
             self.ppo = PPO(
                 net, self.policy_net, self.value_net,
                 rl=self.rl_cfg,
                 sim_cfg=self.sim.sim,
+                value_uses_graph=value_uses_graph,
             )
             self.trainer = self.ppo
             if a.num_envs > 1:
@@ -143,8 +161,9 @@ class Runner:
     # ------------------------------------------------------------------
     def train(self):
         a = self.args
-        if a.algo != "mpnn+ppo" or a.mode != "train":
-            raise RuntimeError("Training is only supported for algo 'mpnn+ppo'")
+        if not a.algo.endswith("+ppo") or a.mode != "train":
+            raise RuntimeError(
+                "Training needs --algo mpnn+ppo or transformer+ppo")
         out = Path(a.output_dir)
         out.mkdir(parents=True, exist_ok=True)
         self.train_state = ppo_train(
@@ -265,7 +284,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Unified runner for classical and RL traffic-assignment experiments (TPU-native)"
     )
-    parser.add_argument("--algo", choices=["dijkstra", "random", "mpnn", "mpnn+ppo"],
+    parser.add_argument("--algo",
+                        choices=["dijkstra", "random", "mpnn", "mpnn+ppo",
+                                 "transformer", "transformer+ppo"],
                         default="dijkstra")
     parser.add_argument("--scenario", type=str, default="Easy",
                         help="Scenario directory under data/ (builtin generators: "
