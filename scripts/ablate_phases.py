@@ -105,6 +105,32 @@ def main():
         return jax.lax.scan(body, state, length=CHUNK)[0]
 
     @jax.jit
+    def scan_core_xla(state):
+        from tarl_tpu.core.direction import direction_step
+        from tarl_tpu.core.response import confirm_step
+        def body(s, _):
+            key, k = jax.random.split(s.key)
+            road, _, accept, win_src = direction_step(
+                s.road, s.selected_road, net, s.time, k, physics,
+                compute_delta=False,
+            )
+            road, popped = confirm_step(road, accept, win_src)
+            return s._replace(road=road, key=key, time=s.time + 1.0), None
+        return jax.lax.scan(body, state, length=CHUNK)[0]
+
+    @jax.jit
+    def scan_direction_only(state):
+        from tarl_tpu.core.direction import direction_step
+        def body(s, _):
+            key, k = jax.random.split(s.key)
+            road, _, accept, win_src = direction_step(
+                s.road, s.selected_road, net, s.time, k, physics,
+                compute_delta=False,
+            )
+            return s._replace(road=road, key=key, time=s.time + 1.0), None
+        return jax.lax.scan(body, state, length=CHUNK)[0]
+
+    @jax.jit
     def scan_core_delta(state):
         from tarl_tpu.core.fused_core import fused_core_step
         def body(s, _):
@@ -128,8 +154,12 @@ def main():
     timed("insert (W=1024)", scan_insert, state)
     timed("withdraw (depth=8)", scan_withdraw, state)
     timed("choice (random)", scan_choice, state)
-    timed("core fused (no delta)", scan_core, state)
-    timed("core fused (+delta+hourly)", scan_core_delta, state)
+    if os.environ.get("TARL_ABLATE_XLA", "0") != "0" or net.num_roads > 4096:
+        timed("core xla dir+confirm", scan_core_xla, state)
+        timed("core xla direction only", scan_direction_only, state)
+    else:
+        timed("core fused (no delta)", scan_core, state)
+        timed("core fused (+delta+hourly)", scan_core_delta, state)
     timed("FULL tick", lambda s: full(s)[0], state)
 
 

@@ -46,8 +46,8 @@ RL = dict(rollout_steps=512, minibatch_size=128, num_epochs=4,
           entropy_coef=0.003, learning_rate=1e-3,
           reward_mode="progress", gamma=0.98, gae_lambda=0.9)
 PRIOR_SCALE = 30.0
-EVAL_STEPS = {"Braess": 9000, "Easy": 15000}
-ITERATIONS = {"Braess": 1000, "Easy": 1200}
+EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 4000}
+ITERATIONS = {"Braess": 1000, "Easy": 1200, "Bottleneck": 1000}
 
 
 def metrics_from(agents, road, t, net) -> dict:
@@ -68,7 +68,7 @@ def metrics_from(agents, road, t, net) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("scenario", nargs="?", default="Braess",
-                    choices=["Braess", "Easy"])
+                    choices=["Braess", "Easy", "Bottleneck"])
     ap.add_argument("--iterations", type=int, default=0)
     ap.add_argument("--out", default="runs/learning")
     ap.add_argument("--data-root", default="data")

@@ -94,6 +94,12 @@ class RoutingConfig:
     #     with the TARGET's congestion constant:
     #     max(fftt[u], cc[v] / (cap[u] + 10 - n[u])) (base.py:541-549).
     strict_compat: bool = False
+    # Routing-table backend: "dual" keeps the reference-shaped dense [N, N]
+    # next-hop table (N = roads + 2*intersections); "primal" computes O(I^2)
+    # intersection-graph distances and derives hops per lookup — same
+    # behaviour, scalable memory (routing.policies.make_shortest_path_choice_primal).
+    # "auto" picks primal when the dual table would exceed ~64M entries.
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

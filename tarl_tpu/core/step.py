@@ -42,13 +42,17 @@ class Policy(NamedTuple):
     insertion; ``entry_lookup`` (optional) is the O(W) variant
     ``(state, network, agent_ids) -> roads`` used by windowed insertion so
     the per-tick cost stays independent of the population size;
-    ``needs_next_hop`` requests the dense next-hop table in the scan carry.
+    ``needs_next_hop`` requests the dense next-hop table in the scan carry;
+    ``table_init`` (optional) overrides how the routing scratch
+    (``state.next_hop``) is initialized — e.g. the primal backend's packed
+    dist/cost buffer (routing.policies.primal_table_init).
     """
 
     choice: object                # ChoiceFn
     entry: Optional[object] = None
     entry_lookup: Optional[object] = None
     needs_next_hop: bool = False
+    table_init: Optional[object] = None
 
 
 def init_sim_state(
@@ -64,7 +68,9 @@ def init_sim_state(
     if key is None:
         key = jax.random.PRNGKey(sim.seed)
     if next_hop is None:
-        if policy is not None and policy.needs_next_hop:
+        if policy is not None and policy.table_init is not None:
+            next_hop = policy.table_init(network)
+        elif policy is not None and policy.needs_next_hop:
             from ..routing.bellman_ford import all_pairs_next_hop_nbr
 
             _, next_hop = all_pairs_next_hop_nbr(

@@ -125,6 +125,48 @@ def braess_network(root: str, name: str = "Braess",
     return base
 
 
+def bottleneck_scenario(root: str, name: str = "Bottleneck",
+                        num_agents: int = 720, demand_seconds: int = 600,
+                        seed: int = 0) -> str:
+    """Two-route bottleneck: S -> A -> T (fast free-flow, low capacity) vs
+    S -> B -> T (slower free-flow, high capacity).
+
+    Sized so the user equilibrium is a *mixed* split (~0.68 agents/s down the
+    fast route keeps both routes at ~80 s) while demand (1.2 agents/s) exceeds
+    what the fast route can carry.  A deterministic congested next-hop table
+    (DijkstraAgents, reference base.py:519-584) routes every co-located agent
+    identically, so it can only bang-bang between the routes at its refresh
+    period — the classic delayed-feedback oscillation — whereas a stochastic
+    learned policy can realize the split.  Companion experiment to the Braess
+    network (same file): Braess shows equilibrium *selection*, this shows
+    equilibrium *mixing*.
+    """
+    nodes = [("S", 0, 0), ("A", 500, 200), ("B", 500, -200), ("T", 1000, 0)]
+    links = [
+        # fast, scarce: fftt 20 s/link, 41 cells, queue tt up to ~73 s/link
+        dict(id="SA", from_="S", to="A", length=300, capacity=600, freespeed=15, permlanes=1),
+        dict(id="AT", from_="A", to="T", length=300, capacity=600, freespeed=15, permlanes=1),
+        # slow, plentiful: fftt 70+10 s, effectively uncongestible here
+        dict(id="SB", from_="S", to="B", length=1050, capacity=3600, freespeed=15, permlanes=1),
+        dict(id="BT", from_="B", to="T", length=150, capacity=3600, freespeed=15, permlanes=1),
+        # return link so T is not a sink in the dual graph
+        dict(id="TS", from_="T", to="S", length=1400, capacity=3600, freespeed=20, permlanes=1),
+    ]
+    rng = np.random.default_rng(seed)
+    trips = []
+    for i in range(num_agents):
+        dep = 6 * 3600 + int(rng.integers(0, demand_seconds))
+        hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60
+        trips.append(
+            dict(person=f"p{i}", origin="S", dest="T",
+                 end_time=f"{hh:02d}:{mm:02d}:{ss:02d}")
+        )
+    base = os.path.join(root, name)
+    _write_xml(os.path.join(base, "network.xml"), network_xml(nodes, links))
+    _write_xml(os.path.join(base, "population.xml"), population_xml(trips))
+    return base
+
+
 def grid_scenario(
     root: str,
     name: Optional[str] = None,
@@ -186,6 +228,7 @@ def grid_scenario(
 BUILTIN_GENERATORS = {
     "TwoLink": two_link_scenario,
     "Braess": braess_network,
+    "Bottleneck": bottleneck_scenario,
     "Easy": lambda root, name="Easy": grid_scenario(
         root, name, rows=3, cols=3, num_agents=200
     ),

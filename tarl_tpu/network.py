@@ -69,6 +69,15 @@ class Network:
     nbr: jnp.ndarray                  # int32[N, D] — neighbor node (self-padded)
     nbr_ok: jnp.ndarray               # bool[N, D] — valid-slot mask
 
+    # --- primal (intersection) graph: the scalable routing backend works on
+    # intersections (I of them) instead of dual nodes (R + 2I), shrinking the
+    # all-pairs tables from O(N^2) to O(I^2) (routing.bellman_ford.primal_*).
+    # Slot order of ``inter_out_road`` matches the dual nbr/turn-edge order
+    # (increasing road index) so tie-breaks agree between backends. ---
+    road_to: jnp.ndarray              # int32[R] — intersection ordinal at the road's head
+    inter_out_road: jnp.ndarray       # int32[I, K] — outgoing roads per intersection (0-padded)
+    inter_out_ok: jnp.ndarray         # bool[I, K] — valid-slot mask
+
     @property
     def num_nodes(self) -> int:
         return self.num_roads + 2 * self.num_intersections
@@ -201,6 +210,16 @@ def build_network(
         nbr_ok[u, slot[u]] = True
         slot[u] += 1
 
+    # Primal-graph outgoing-road table (slot order = increasing road index,
+    # matching the dual turn-edge / nbr order so tie-breaks agree).
+    max_out = max(1, max((len(o) for o in outgoing), default=1))
+    inter_out = np.zeros((num_intersections, max_out), dtype=np.int32)
+    inter_ok = np.zeros((num_intersections, max_out), dtype=bool)
+    for k, roads in enumerate(outgoing):
+        for s, r in enumerate(roads):
+            inter_out[k, s] = r
+            inter_ok[k, s] = True
+
     return Network(
         num_roads=num_roads,
         num_intersections=num_intersections,
@@ -222,6 +241,9 @@ def build_network(
         choice_dst=jnp.asarray(f_dst_np[choice_mask]),
         nbr=jnp.asarray(nbr),
         nbr_ok=jnp.asarray(nbr_ok),
+        road_to=jnp.asarray(to_inter.astype(np.int32)),
+        inter_out_road=jnp.asarray(inter_out),
+        inter_out_ok=jnp.asarray(inter_ok),
     )
 
 

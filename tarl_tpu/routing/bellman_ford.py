@@ -31,21 +31,27 @@ from ..state import RoadState
 BIG = jnp.float32(1e18)
 
 
-def node_entry_costs(
+def road_costs(
     road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
 ) -> jnp.ndarray:
-    """Congested cost of entering each node (0 for SRC/DEST nodes).
-
-    ``max(fftt, congestion_constant / (cap + 10 - n))`` — the congestion law of
-    direction_mpnn.py:185-190 evaluated at current occupancy.
-    """
-    n = network.num_nodes
+    """Congested traversal cost per road: ``max(fftt, congestion_constant /
+    (cap + 10 - n))`` — the congestion law of direction_mpnn.py:185-190
+    evaluated at current occupancy.  float32[R]."""
     count_f = road.count.astype(jnp.float32)
     tc = network.congestion_constant / (
         network.capacity + physics.congestion_softening - count_f
     )
-    road_cost = jnp.maximum(network.free_flow, tc)
-    return jnp.zeros((n,), jnp.float32).at[: network.num_roads].set(road_cost)
+    return jnp.maximum(network.free_flow, tc)
+
+
+def node_entry_costs(
+    road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
+) -> jnp.ndarray:
+    """Congested cost of entering each node (0 for SRC/DEST nodes)."""
+    n = network.num_nodes
+    return jnp.zeros((n,), jnp.float32).at[: network.num_roads].set(
+        road_costs(road, network, physics)
+    )
 
 
 def reference_edge_costs(
@@ -184,6 +190,51 @@ def all_pairs_next_hop_nbr(
     next_hop = jnp.where(reachable & ~eye, hop, -1)
     next_hop = jnp.where(eye, jnp.arange(n, dtype=jnp.int32)[:, None], next_hop)
     return dist, next_hop
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def primal_all_pairs_dist(
+    road_cost: jnp.ndarray,       # float32[R] — cost of traversing each road
+    inter_out_road: jnp.ndarray,  # int32[I, K] — outgoing roads per intersection
+    inter_out_ok: jnp.ndarray,    # bool[I, K]
+    road_to: jnp.ndarray,         # int32[R] — head intersection of each road
+    max_iters: int | None = None,
+) -> jnp.ndarray:
+    """All-pairs distances over the PRIMAL (intersection) graph: float32[I, I].
+
+    The scalable routing backend.  The dual-graph tables of
+    :func:`all_pairs_next_hop_nbr` are O(N^2) with N = R + 2I dual nodes
+    (2.4 GB at Grid64x64); every dual distance is recoverable from the primal
+    one — ``dist_dual(road r, DEST d) = dist[road_to[r], inter(d)]`` because
+    entering SRC/DEST nodes costs 0 — so the primal sweep does the same work
+    on an I-node graph (67 MB at Grid64x64).  Next hops are not materialized;
+    :func:`tarl_tpu.routing.policies.make_shortest_path_choice_primal` derives
+    them per lookup as ``argmin over outgoing roads r' of cost[r'] +
+    dist[road_to[r'], dest]``, with the argmin slot order matching the dual
+    table's tie-breaks (network.inter_out_road slot order).
+    """
+    i_n = inter_out_road.shape[0]
+    iters = (i_n - 1) if max_iters is None else max_iters
+    eye = jnp.eye(i_n, dtype=bool)
+    dist0 = jnp.where(eye, 0.0, BIG)
+    w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
+    succ = road_to[inter_out_road]  # [I, K]
+
+    def sweep(dist):
+        cand = w[:, :, None] + dist[succ]  # [I, K, I]
+        return jnp.minimum(dist, cand.min(axis=1))
+
+    def cond(carry):
+        i, dist, changed = carry
+        return changed & (i < iters)
+
+    def body(carry):
+        i, dist, _ = carry
+        new = sweep(dist)
+        return i + 1, new, jnp.any(new < dist)
+
+    _, dist, _ = jax.lax.while_loop(cond, body, (0, dist0, jnp.bool_(True)))
+    return dist
 
 
 def congested_next_hop(

@@ -145,6 +145,112 @@ def make_shortest_path_choice(
     return choice
 
 
+def _primal_argmin_road(buf, network, from_inter, dest_inter):
+    """Best outgoing road at each ``from_inter`` toward ``dest_inter``.
+
+    ``buf`` is the packed primal routing scratch (see
+    :func:`make_shortest_path_choice_primal`).  Returns int32 roads, -1 when
+    nothing is reachable.  Slot order matches the dual table's tie-breaks.
+    """
+    i_n = network.num_intersections
+    dist = buf[: i_n * i_n].reshape(i_n, i_n)
+    cost = buf[i_n * i_n:]
+    out_r = network.inter_out_road[from_inter]        # [..., K]
+    ok = network.inter_out_ok[from_inter]
+    cand = jnp.where(
+        ok, cost[out_r] + dist[network.road_to[out_r], dest_inter[..., None]],
+        jnp.float32(1e18),
+    )
+    k = jnp.argmin(cand, axis=-1)
+    best = jnp.take_along_axis(out_r, k[..., None], axis=-1)[..., 0]
+    reachable = jnp.take_along_axis(cand, k[..., None], axis=-1)[..., 0] < 1e18
+    return jnp.where(reachable, best, -1).astype(jnp.int32)
+
+
+def _dest_inter(network, dest_nodes):
+    """DEST dual-node index -> intersection ordinal (clipped for sentinels)."""
+    return jnp.clip(
+        (dest_nodes - network.num_roads - 1) // 2, 0,
+        network.num_intersections - 1,
+    )
+
+
+def primal_table_init(network: Network, max_iters: int | None = None):
+    """Free-flow primal routing scratch for :class:`~tarl_tpu.state.SimState`.
+
+    Packed as ``concat(dist[I, I].ravel(), road_cost[R])`` — one flat float32
+    array so the scan carry keeps a single routing slot (state.next_hop).
+    """
+    from .bellman_ford import primal_all_pairs_dist
+
+    dist = primal_all_pairs_dist(
+        network.free_flow, network.inter_out_road, network.inter_out_ok,
+        network.road_to, max_iters=max_iters,
+    )
+    return jnp.concatenate([dist.ravel(), network.free_flow])
+
+
+def make_shortest_path_choice_primal(
+    routing: RoutingConfig = DEFAULT_ROUTING,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> ChoiceFn:
+    """Shortest-path policy on the PRIMAL (intersection) graph.
+
+    Behaviourally equivalent to :func:`make_shortest_path_choice` (same
+    congested costs, same refresh cadence, same tie-breaks) but with O(I^2)
+    instead of O(N^2) routing state, N = R + 2I — the scalable backend for
+    large networks (docs/BENCH.md).  One visible difference, of no behavioural
+    consequence: when a head agent's destination is adjacent, the dual table
+    selects the zero-cost DEST node (freezing the head until withdraw), while
+    this backend selects the best onward road — withdraw always pops such a
+    head before the core could transfer it (tick order: withdraw precedes
+    choice; direction requires ``departure <= t``, by which time withdraw has
+    taken it).
+    """
+
+    def choice(state: SimState, network: Network):
+        from .bellman_ford import primal_all_pairs_dist, road_costs
+
+        def refresh(_):
+            cost = road_costs(state.road, network, physics)
+            dist = primal_all_pairs_dist(
+                cost, network.inter_out_road, network.inter_out_ok,
+                network.road_to, max_iters=routing.max_bf_iters,
+            )
+            return jnp.concatenate([dist.ravel(), cost])
+
+        do_refresh = state.choice_count % routing.refresh_rate == 0
+        buf = jax.lax.cond(
+            do_refresh, refresh, lambda _: state.next_hop, operand=None
+        )
+
+        head_ids = state.road.head_ids()
+        dest_i = _dest_inter(network, state.agents.dest[head_ids])
+        sel_roads = _primal_argmin_road(buf, network, network.road_to, dest_i)
+        sel = state.selected_road.at[: network.num_roads].set(sel_roads)
+        new_state = state._replace(
+            selected_road=sel,
+            next_hop=buf,
+            choice_count=state.choice_count + 1,
+        )
+        return new_state, None
+
+    return choice
+
+
+def primal_entry_lookup(state, network, agent_ids=None):
+    """Per-agent entry road from the primal routing scratch (the counterpart
+    of :func:`shortest_path_entry`)."""
+    origin = state.agents.origin if agent_ids is None else state.agents.origin[agent_ids]
+    dest = state.agents.dest if agent_ids is None else state.agents.dest[agent_ids]
+    from_i = jnp.clip(
+        (origin - network.num_roads) // 2, 0, network.num_intersections - 1
+    )
+    return _primal_argmin_road(
+        state.next_hop, network, from_i, _dest_inter(network, dest)
+    )
+
+
 class ExternalChoice(NamedTuple):
     """Apply an externally supplied multi-hot edge action (the RL env path,
     reinforcement_learning.py:224-231): for every active full edge (u -> v),

@@ -98,7 +98,7 @@ class Runner:
         self.sim.load_population(a.scenario)
 
         if a.algo in {"dijkstra", "random"}:
-            self.sim.set_policy(make_policy(a.algo))
+            self.sim.set_policy(make_policy(a.algo, network=self.sim.network))
             self.sim.config_parameters(
                 timestep_size=a.timestep_size, start_time=a.start_end_time[0]
             )

@@ -65,6 +65,7 @@ def make_policy(
     algo: str,
     routing: RoutingConfig = DEFAULT_ROUTING,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    network=None,
 ) -> Policy:
     """Policy factory for the classical algorithms (runner.py:36-42).
 
@@ -73,10 +74,39 @@ def make_policy(
     SELECTED_ROAD (driven by the dummy agent's destination, base.py:573-579)
     instead of per-agent entry roads, under the reference's edge-cost form
     (base.py:541-549).
+
+    ``routing.backend`` selects the shortest-path table representation:
+    the reference-shaped dense dual [N, N] table, or the O(I^2) primal
+    backend for large networks ("auto" switches when the dual table would
+    exceed ~64M entries; pass ``network`` to enable auto-selection).
     """
     if algo == "random":
         return Policy(choice=random_choice)
     if algo == "dijkstra":
+        backend = routing.backend
+        if backend == "auto":
+            big = network is not None and network.num_nodes ** 2 > 64_000_000
+            backend = "primal" if (big and not routing.strict_compat) else "dual"
+        if backend == "primal":
+            if routing.strict_compat:
+                raise ValueError(
+                    "strict_compat requires the dual routing backend"
+                )
+            from .routing.policies import (
+                make_shortest_path_choice_primal,
+                primal_entry_lookup,
+                primal_table_init,
+            )
+            import functools
+
+            return Policy(
+                choice=make_shortest_path_choice_primal(routing, physics),
+                entry=lambda s, n: primal_entry_lookup(s, n),
+                entry_lookup=primal_entry_lookup,
+                table_init=functools.partial(
+                    primal_table_init, max_iters=routing.max_bf_iters
+                ),
+            )
         choice = make_shortest_path_choice(routing, physics)
         if routing.strict_compat:
             # No per-agent entry roads: insertion falls back to

@@ -336,6 +336,100 @@ class TestNeighborTableBF:
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
 
 
+class TestPrimalRouting:
+    """The primal (intersection-graph) routing backend must agree with the
+    dual-node tables: every dual distance is recoverable from the primal
+    ones, and a full dijkstra episode must produce identical outcomes."""
+
+    def _net(self, tmp_path_factory=None):
+        import os
+        import tempfile
+
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import ensure_scenario
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        return load_network(os.path.join(base, "network")), base
+
+    def test_primal_dist_matches_dual(self):
+        from tarl_tpu.routing.bellman_ford import (
+            all_pairs_next_hop_nbr,
+            primal_all_pairs_dist,
+        )
+
+        net, _ = self._net()
+        rng = np.random.default_rng(1)
+        road_cost = jnp.asarray(
+            rng.uniform(1.0, 50.0, net.num_roads), dtype=jnp.float32
+        )
+        cost = jnp.zeros((net.num_nodes,), jnp.float32).at[
+            : net.num_roads
+        ].set(road_cost)
+        d_dual, _ = all_pairs_next_hop_nbr(net.nbr, net.nbr_ok, cost)
+        d_pri = primal_all_pairs_dist(
+            road_cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        R, I = net.num_roads, net.num_intersections
+        dest_cols = R + 2 * np.arange(I) + 1  # DEST dual nodes
+        # dual dist road -> DEST == primal dist head-intersection -> intersection
+        np.testing.assert_allclose(
+            np.asarray(d_dual[:R, dest_cols]),
+            np.asarray(d_pri[np.asarray(net.road_to)]),
+            rtol=1e-6,
+        )
+        # dual dist SRC -> DEST == min over entry roads of cost + primal dist
+        src_rows = R + 2 * np.arange(I)
+        out_r = np.asarray(net.inter_out_road)
+        ok = np.asarray(net.inter_out_ok)
+        cand = np.where(
+            ok[:, :, None],
+            np.asarray(road_cost)[out_r][:, :, None]
+            + np.asarray(d_pri)[np.asarray(net.road_to)[out_r]],
+            np.inf,
+        ).min(axis=1)
+        np.testing.assert_allclose(
+            np.asarray(d_dual[src_rows][:, dest_cols]), cand, rtol=1e-6
+        )
+
+    @pytest.mark.parametrize("scenario", ["Easy", "Grid4x4"])
+    def test_primal_episode_matches_dual(self, scenario, tmp_path):
+        """Full dijkstra episodes under both backends end bitwise-identical."""
+        import os
+        import tempfile
+
+        from tarl_tpu.config import RoutingConfig, SimConfig
+        from tarl_tpu.core.step import init_sim_state, run_episode
+        from tarl_tpu.io.matsim import load_network, load_population
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.simulator import make_policy
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, scenario)
+        net = load_network(os.path.join(base, "network"))
+        agents, _ = load_population(
+            os.path.join(base, "population"), os.path.join(base, "network")
+        )
+        sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+        finals = {}
+        for backend in ("dual", "primal"):
+            pol = make_policy(
+                "dijkstra", RoutingConfig(backend=backend), network=net
+            )
+            s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+            final, _ = run_episode(s0, net, pol, 1500, sim=sim)
+            finals[backend] = final
+        np.testing.assert_array_equal(
+            np.asarray(finals["dual"].agents.arrival),
+            np.asarray(finals["primal"].agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(finals["dual"].road.count),
+            np.asarray(finals["primal"].road.count),
+        )
+        assert int(finals["primal"].agents.done[1:].sum()) > 0
+
+
 class TestPingPongConfirm:
     """Regression for the reference's response double-fire (documented
     deviation, core/response.py): when agent a transfers u -> v onto an
