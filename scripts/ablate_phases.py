@@ -114,7 +114,7 @@ def main():
                 s.road, s.selected_road, net, s.time, k, physics,
                 compute_delta=False,
             )
-            road, popped = confirm_step(road, accept, win_src)
+            road, popped = confirm_step(road, accept, win_src, net)
             return s._replace(road=road, key=key, time=s.time + 1.0), None
         return jax.lax.scan(body, state, length=CHUNK)[0]
 

@@ -134,6 +134,11 @@ class RLConfig:
     #                   step, the reward the reference computes and discards
     #                   (rl.py:259-265);
     #   "throughput"  — number of arrivals this step (a denser variant);
+    #   "system"      — -(agents on the network + agents past departure
+    #                   still waiting to insert) / progress_scale: the
+    #                   reference reward with its stranding exploit closed;
+    #                   totals to TSTT in event-step units (the system
+    #                   objective — what equilibrium mixing optimizes);
     #   "progress"    — potential-based shaping: r = decrease of
     #                   Phi = sum over queued agents of the free-flow
     #                   shortest distance to their destination.  Dense
@@ -143,6 +148,15 @@ class RLConfig:
     reward_mode: str = "on_network"
     # Scale divisor for the "progress" potential difference (seconds).
     progress_scale: float = 100.0
+    # With reward_mode="progress": recompute the potential's distance-to-go
+    # under CURRENT congested costs every env step instead of the static
+    # free-flow table.  Entering (or causing) a jam is then charged its true
+    # cost immediately — the shaping internalizes the congestion externality
+    # (marginal-cost pricing), which is what lets PPO learn equilibrium
+    # *mixing* on capacity-bound networks (docs/LEARNING.md, Bottleneck).
+    # Costs one all-pairs Bellman-Ford per step: O(N^2 * diameter) — for the
+    # small RL scenarios this is cheap; keep False for large networks.
+    congested_potential: bool = False
     # Surface each SRC node's earliest PENDING entrant in the observation
     # (instead of the reference's dummy agent 0, whose destination is all an
     # empty SRC FIFO can show) so policies can condition ENTRY roads on a

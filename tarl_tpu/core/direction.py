@@ -20,6 +20,17 @@ segment-sample -> scatter pipeline over the turn-edge list:
 
 Also emits the per-edge ``delta_travel_time`` the reference stores for the
 road-optimality metric (direction_mpnn.py:94-96), aggregated per source road.
+
+Performance note (measured, scripts/microbench_*.py): XLA's un-fused
+gather/scatter emitters run serially at ~7 ns/element on TPU, so segment
+reductions over the edge list and row-scatters into the FIFO arrays dominated
+the tick at large R.  The aggregate is therefore a static K-slot loop over the
+per-road incoming-edge table (network.in_edge_tab) — each slot row is a [R]
+gather that fuses into its elementwise consumer — and the FIFO push is a dense
+[R, Nmax] select.  Outcomes are bitwise-identical to the segment-op
+formulation: the Gumbel noise is drawn per edge in edge-list order with the
+same key, and ascending slot order reproduces segment_argmax's
+lowest-edge-index tie-break.
 """
 from __future__ import annotations
 
@@ -28,8 +39,9 @@ import jax.numpy as jnp
 
 from ..config import PhysicsConfig, DEFAULT_PHYSICS
 from ..network import Network
-from ..ops.segment import segment_sample, segment_sum
 from ..state import RoadState
+
+NEG_INF = jnp.float32(-jnp.inf)
 
 
 def direction_step(
@@ -83,27 +95,42 @@ def direction_step(
     prob = network.edge_attr * mask.astype(jnp.float32)
 
     # --- aggregate: sample <=1 incoming proposal per road (dm.py:103-146) ---
+    # Exact Gumbel-max over the edge list (== ops.segment.segment_sample:
+    # same per-edge noise, same key) with the argmax taken by a static slot
+    # loop over the incoming-edge table; strict > keeps the first (lowest
+    # edge id) maximum, matching segment_argmax's tie-break.
+    E = network.num_turn_edges
     logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
-    chosen_edge = segment_sample(key, logits, v, R)  # int32[R], E = no proposal
-    has_proposal = chosen_edge < network.num_turn_edges
-    src_road = u[jnp.minimum(chosen_edge, network.num_turn_edges - 1)]
+    gumbel = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    scores = jnp.where(jnp.isfinite(logits), logits + gumbel, NEG_INF)
+
+    best = jnp.full((R,), NEG_INF, jnp.float32)
+    win_edge = jnp.full((R,), E, jnp.int32)
+    for k in range(network.in_edge_tab.shape[0]):
+        e_k = network.in_edge_tab[k]
+        s_k = jnp.where(network.in_edge_ok[k], scores[e_k], NEG_INF)
+        take = s_k > best
+        best = jnp.where(take, s_k, best)
+        win_edge = jnp.where(take, e_k, win_edge)
+
+    has_proposal = win_edge < E
+    src_road = u[jnp.minimum(win_edge, E - 1)]
     chosen_agent = jnp.where(has_proposal, head_id[src_road], 0)
     accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
 
     # --- update: push at tail, stamp times (direction_mpnn.py:171-195) ---
     slot = (road.head + road.count) % Nmax
-    rows = jnp.where(accept, jnp.arange(R, dtype=jnp.int32), R)  # R -> dropped
     time_congestion = network.congestion_constant / (
         cap + physics.congestion_softening - count_f
     )
     travel_time = jnp.maximum(network.free_flow, time_congestion)
 
-    fifo_ids = road.fifo_ids.at[rows, slot].set(chosen_agent, mode="drop")
-    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
-        jnp.broadcast_to(time, (R,)), mode="drop"
-    )
-    fifo_departure = road.fifo_departure.at[rows, slot].set(
-        time + travel_time, mode="drop"
+    col = jnp.arange(Nmax, dtype=jnp.int32)[None, :]
+    hit = (col == slot[:, None]) & accept[:, None]
+    fifo_ids = jnp.where(hit, chosen_agent[:, None], road.fifo_ids)
+    fifo_arrival = jnp.where(hit, time, road.fifo_arrival)
+    fifo_departure = jnp.where(
+        hit, (time + travel_time)[:, None], road.fifo_departure
     )
     new_count = road.count + accept.astype(jnp.int32)
 
@@ -113,9 +140,7 @@ def direction_step(
         # reference's per-source segment reduction over outgoing turn edges
         # (ts.py:482-488) is exactly delta * out-degree — O(R) elementwise,
         # no edge reduce.  Out-degrees are constants XLA folds at compile.
-        outdeg = jax.ops.segment_sum(
-            jnp.ones_like(network.edge_attr), u, num_segments=R
-        )
+        outdeg = network.out_edge_ok.sum(axis=0).astype(jnp.float32)
         road_delta_tt = (
             jnp.maximum((head_departure - head_arrival) - network.free_flow, 0.0)
             * outdeg

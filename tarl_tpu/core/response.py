@@ -25,18 +25,38 @@ from ..state import RoadState
 
 
 def confirm_step(
-    road: RoadState, accept: jnp.ndarray, win_src: jnp.ndarray
+    road: RoadState,
+    accept: jnp.ndarray,
+    win_src: jnp.ndarray,
+    network: Network | None = None,
 ) -> tuple[RoadState, jnp.ndarray]:
     """Pop the head of every road that won a transfer this step.
 
     ``accept[R]`` / ``win_src[R]`` come from ``direction_step``; each
     upstream can win at most once per step (its head proposes to a single
-    selected downstream), so the pop mask is a plain scatter.
+    selected downstream).  With ``network`` given, the pop mask is computed
+    scatter-free by checking, per upstream road, whether any downstream
+    neighbor's winner was this road (there is at most one turn edge per
+    ordered road pair, ts.py:149-171, so ``win_src[v] == u`` identifies the
+    edge) — a static slot loop of fused [R] gathers (see core.direction's
+    performance note).  Without it, a plain [R]-index scatter.
     Returns ``(road_state, popped_mask)`` like :func:`response_step`.
     """
     R = road.num_roads
-    pop_src = jnp.where(accept, win_src, R)
-    popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
+    if network is not None:
+        popped = jnp.zeros((R,), bool)
+        iota = jnp.arange(R, dtype=jnp.int32)
+        for k in range(network.out_edge_tab.shape[0]):
+            e_k = network.out_edge_tab[k]
+            v_k = network.edge_dst[e_k]
+            popped = popped | (
+                network.out_edge_ok[k]
+                & accept[v_k]
+                & (win_src[v_k] == iota)
+            )
+    else:
+        pop_src = jnp.where(accept, win_src, R)
+        popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
     new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
     new_count = road.count - popped.astype(jnp.int32)
     return road._replace(head=new_head, count=new_count), popped

@@ -182,7 +182,7 @@ def tick(
             state.road, state.selected_road, network, t, k_dir, physics,
             compute_delta=want_delta,
         )
-        road, popped = confirm_step(road, accept, win_src)
+        road, popped = confirm_step(road, accept, win_src, network)
 
     # --- clock + metrics (ts.py:342-351) ---
     new_time = t + sim.timestep

@@ -45,20 +45,26 @@ def withdraw_agents(
     A = agents.num_agents
     K = Nmax if depth is None else min(depth, Nmax)
 
-    logical = jnp.arange(K, dtype=jnp.int32)
-    phys = (road.head[:, None] + logical[None, :]) % Nmax  # [R, K]
-    ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
-    dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
-
-    dest = agents.dest[ids]  # [R, K]
-    eligible = (
-        (dest == network.road_dest[:, None])
-        & (dep <= time)
-        & (logical[None, :] < road.count[:, None])
-    )
-    # Consecutive run from the head (cumprod trick, base.py:370).
-    cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
-    wcount = cum.sum(axis=1).astype(jnp.int32)
+    # Static slot loop: each depth level is a row of [R] gathers fused into
+    # their consumers (see core.direction's performance note — materialized
+    # [R, K] gathered tables cost ~7 ns/element on the un-fused TPU gather
+    # emitter, dominating the tick at large R).
+    iota = jnp.arange(R, dtype=jnp.int32)
+    run = jnp.ones((R,), bool)  # consecutive-from-head run (base.py:370)
+    wid_rows = []
+    for k in range(K):
+        phys_k = (road.head + k) % Nmax
+        ids_k = road.fifo_ids[iota, phys_k]
+        dep_k = road.fifo_departure[iota, phys_k]
+        eligible = (
+            (agents.dest[ids_k] == network.road_dest)
+            & (dep_k <= time)
+            & (k < road.count)
+        )
+        run = run & eligible
+        wid_rows.append(jnp.where(run, ids_k, A))  # A -> dropped
+    wcount = sum(r < A for r in wid_rows) if K else jnp.zeros((R,), jnp.int32)
+    wcount = wcount.astype(jnp.int32)
 
     # Pop: advance head pointers, nothing else moves.
     new_head = (road.head + wcount) % Nmax
@@ -67,7 +73,7 @@ def withdraw_agents(
     # Stamp arrival (base.py:398-400).  DONE/ON_WAY are derived from it
     # (state.AgentState), so this ONE scatter replaces the reference's three
     # agent-column writes — withdraw is the largest tick phase on TPU.
-    wids = jnp.where(cum, ids, A).reshape(-1)  # A -> dropped
+    wids = jnp.concatenate(wid_rows) if K else jnp.full((0,), A, jnp.int32)
     arrival = agents.arrival.at[wids].set(
         jnp.broadcast_to(time, wids.shape), mode="drop"
     )

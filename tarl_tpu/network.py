@@ -78,6 +78,22 @@ class Network:
     inter_out_road: jnp.ndarray       # int32[I, K] — outgoing roads per intersection (0-padded)
     inter_out_ok: jnp.ndarray         # bool[I, K] — valid-slot mask
 
+    # --- static turn-edge tables for the scatter-free core (core.direction /
+    # core.response): per road, the ids of its incoming / outgoing turn edges,
+    # K-major so each slot row is a [R] vector whose gathers fuse into their
+    # elementwise consumers (XLA's un-fused gather/scatter emitters run at
+    # ~7 ns/element on TPU — materializing a [K, R] gathered table costs more
+    # than the whole rest of the tick; K slot-loops over [R] rows are free).
+    # Slot order = increasing edge id, matching segment-op tie-breaks. ---
+    in_edge_tab: jnp.ndarray          # int32[KIN, R] — incoming turn-edge ids (0-padded)
+    in_edge_ok: jnp.ndarray           # bool[KIN, R]
+    out_edge_tab: jnp.ndarray         # int32[KOUT, R] — outgoing turn-edge ids (0-padded)
+    out_edge_ok: jnp.ndarray          # bool[KOUT, R]
+    # Same for route choice: per node (roads + SRC), its choice-edge ids
+    # (edges whose destination is a road, agents/base.py:446-494).
+    choice_tab: jnp.ndarray           # int32[KC, N] — choice-edge ids (0-padded)
+    choice_ok: jnp.ndarray            # bool[KC, N]
+
     @property
     def num_nodes(self) -> int:
         return self.num_roads + 2 * self.num_intersections
@@ -220,6 +236,25 @@ def build_network(
             inter_out[k, s] = r
             inter_ok[k, s] = True
 
+    def _edge_table(by, n_rows):
+        """K-major padded table of turn-edge ids grouped by ``by`` (slot
+        order = increasing edge id — edge lists are built in id order)."""
+        groups: list[list[int]] = [[] for _ in range(n_rows)]
+        for e, g in enumerate(by):
+            groups[int(g)].append(e)
+        kmax = max(1, max((len(g) for g in groups), default=1))
+        tab = np.zeros((kmax, n_rows), dtype=np.int32)
+        ok = np.zeros((kmax, n_rows), dtype=bool)
+        for g, es in enumerate(groups):
+            for s, e in enumerate(es):
+                tab[s, g] = e
+                ok[s, g] = True
+        return tab, ok
+
+    in_tab, in_tab_ok = _edge_table(e_dst_np, num_roads)
+    out_tab, out_tab_ok = _edge_table(e_src_np, num_roads)
+    ch_tab, ch_tab_ok = _edge_table(f_src_np[choice_mask], num_nodes)
+
     return Network(
         num_roads=num_roads,
         num_intersections=num_intersections,
@@ -244,6 +279,12 @@ def build_network(
         road_to=jnp.asarray(to_inter.astype(np.int32)),
         inter_out_road=jnp.asarray(inter_out),
         inter_out_ok=jnp.asarray(inter_ok),
+        in_edge_tab=jnp.asarray(in_tab),
+        in_edge_ok=jnp.asarray(in_tab_ok),
+        out_edge_tab=jnp.asarray(out_tab),
+        out_edge_ok=jnp.asarray(out_tab_ok),
+        choice_tab=jnp.asarray(ch_tab),
+        choice_ok=jnp.asarray(ch_tab_ok),
     )
 
 

@@ -75,7 +75,8 @@ class BatchedPPO:
     # ------------------------------------------------------------------
     def init(self, sim_state, key: jax.Array) -> BatchTrainState:
         ts = self.ppo.init(sim_state, key)
-        env0, obs0 = env_reset(ts.env.sim, self.ppo.network, self.ppo.rl)
+        env0, obs0 = env_reset(ts.env.sim, self.ppo.network, self.ppo.rl,
+                               self.ppo.physics, self.ppo._dist_ff)
 
         keys = jax.random.split(key, self.num_envs)
 

@@ -48,6 +48,14 @@ class EnvState(NamedTuple):
     sim: SimState
     old_counts: jnp.ndarray  # int32[R] — previous occupancy (rl.py:179,269-272)
     done: jnp.ndarray        # bool[]
+    # Carried potential Phi(s) for reward_mode="progress" (0.0 otherwise).
+    # Phi is a PURE function of the state — with congested_potential the
+    # distance-to-go is valued under the state's OWN congestion, so the
+    # next step's Phi(s) must equal this step's Phi(s') (computing both
+    # sides of a step under the pre-step cost table leaves inter-step
+    # congestion revaluations un-charged, which rewards *causing* jams:
+    # enter cheap, collect the road's inflated congested price on exit).
+    phi: jnp.ndarray  # float32[]
 
 
 class Observation(NamedTuple):
@@ -96,19 +104,48 @@ def _observe(sim: SimState, network: Network,
     )
 
 
+def _phi(road, agents, network, rl: RLConfig, physics: PhysicsConfig,
+         dist_ff) -> jnp.ndarray:
+    """Phi(s) as a pure state function (see EnvState.phi)."""
+    if rl.congested_potential:
+        from ..routing.bellman_ford import (
+            all_pairs_next_hop_nbr,
+            node_entry_costs,
+            road_costs,
+        )
+
+        dist_tab, _ = all_pairs_next_hop_nbr(
+            network.nbr, network.nbr_ok,
+            node_entry_costs(road, network, physics),
+        )
+        own_cost = road_costs(road, network, physics)
+    else:
+        assert dist_ff is not None, 'reward_mode="progress" needs dist_ff'
+        dist_tab = dist_ff
+        own_cost = network.free_flow
+    return fifo_potential(road, agents, dist_tab, own_cost)
+
+
 def env_reset(
     sim_state: SimState,
     network: Network,
     rl: RLConfig = DEFAULT_RL,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    dist_ff: jnp.ndarray | None = None,
 ) -> tuple[EnvState, Observation]:
     """Rewind to the episode start (rl.py:186-219)."""
     from ..core.step import reset_sim_state
 
     sim = reset_sim_state(sim_state, rl.episode_start)
+    phi0 = (
+        _phi(sim.road, sim.agents, network, rl, physics, dist_ff)
+        if rl.reward_mode == "progress" else jnp.zeros(())
+    )
     env = EnvState(
         sim=sim,
         old_counts=sim.road.count,
         done=jnp.zeros((), bool),
+        phi=phi0,
     )
     return env, _observe(sim, network, rl)
 
@@ -126,11 +163,6 @@ def env_step(
     sim = env.sim
     t = sim.time
 
-    if rl.reward_mode == "progress":
-        assert dist_ff is not None, 'reward_mode="progress" needs dist_ff'
-        phi_before = fifo_potential(sim.road, sim.agents, dist_ff,
-                                    network.free_flow)
-
     # --- choice: apply the action (rl.py:224-231) ---
     sim, _ = ExternalChoice(action)(sim, network)
 
@@ -145,7 +177,7 @@ def env_step(
         sim.road, sim.selected_road, network, t, k_dir, physics,
         compute_delta=sim_cfg.record_road_optimality_hourly,
     )
-    road, popped = confirm_step(road, accept, win_src)
+    road, popped = confirm_step(road, accept, win_src, network)
 
     # --- withdraw (rl.py:243-248) ---
     road, agents, wcount = withdraw_agents(
@@ -174,8 +206,24 @@ def env_step(
     individual_reward = jnp.sum(
         jnp.where(arrived & (travel > 0), 100.0 * 600.0 / jnp.maximum(travel, 1.0), 0.0)
     )
+    phi_after = env.phi
     if rl.reward_mode == "individual":
         reward = individual_reward
+    elif rl.reward_mode == "system":
+        # -(agents in the system): the reference's -(on network) reward
+        # (rl.py:266-267) PLUS agents past their departure time still waiting
+        # to insert.  The pending term closes the reference reward's
+        # stranding exploit (never inserting keeps its reward at 0 — the
+        # return-maximizing policy under the event clock, docs/LEARNING.md)
+        # and makes the total exactly TSTT in event-step units: the system
+        # objective, with no potential machinery to game.
+        # (the dummy agent 0's departure is forced past the horizon by the
+        # population loader, so it never counts as pending)
+        pending = jnp.sum(
+            (agents.departure <= t) & (~agents.inserted)
+        ).astype(jnp.float32)
+        reward = -(jnp.sum(road.count).astype(jnp.float32)
+                   + pending) / rl.progress_scale
     elif rl.reward_mode == "throughput":
         reward = jnp.sum(wcount).astype(jnp.float32)
     elif rl.reward_mode == "progress":
@@ -186,9 +234,11 @@ def env_step(
         # pre-insert instead makes total reward equal the entry potential,
         # i.e. REWARDS bad entry roads; trained policies then abandoned the
         # Braess shortcut).  Every delivering policy telescopes to the same
-        # total; discounting orders them by delivery speed.
-        phi_after = fifo_potential(road, agents, dist_ff, network.free_flow)
-        reward = (phi_before - phi_after) / rl.progress_scale
+        # total; discounting orders them by delivery speed.  Phi(s) is the
+        # carried env.phi so each state is valued exactly once (see
+        # EnvState.phi for why this matters under congested_potential).
+        phi_after = _phi(road, agents, network, rl, physics, dist_ff)
+        reward = (env.phi - phi_after) / rl.progress_scale
     else:  # "on_network" — the reference's live reward
         reward = -jnp.sum(new_counts).astype(jnp.float32)
 
@@ -220,7 +270,8 @@ def env_step(
             delta_tt_hourly=delta_hourly,
         ),
     )
-    new_env = EnvState(sim=new_sim, old_counts=new_counts, done=done)
+    new_env = EnvState(sim=new_sim, old_counts=new_counts, done=done,
+                       phi=phi_after)
     info = {
         "individual_reward": individual_reward,
         "on_network": on_way_total,

@@ -175,7 +175,8 @@ class PPO:
 
     # ------------------------------------------------------------------
     def init(self, sim_state, key: jax.Array) -> TrainState:
-        env, obs = env_reset(sim_state, self.network, self.rl)
+        env, obs = env_reset(sim_state, self.network, self.rl,
+                             self.physics, self._dist_ff)
         k1, k2, k3 = jax.random.split(key, 3)
         x = self._context(env, obs)
         policy_params = self.policy_net.init(
@@ -217,7 +218,8 @@ class PPO:
             )
             env2, obs2 = jax.lax.cond(
                 done,
-                lambda: env_reset(env2.sim, self.network, self.rl),
+                lambda: env_reset(env2.sim, self.network, self.rl,
+                                  self.physics, self._dist_ff),
                 lambda: (env2, obs2),
             )
             tr = Transition(
@@ -374,7 +376,8 @@ class PPO:
 
         @functools.partial(jax.jit, static_argnames=())
         def run(params, sim_state, key):
-            env, obs = env_reset(sim_state, self.network, self.rl)
+            env, obs = env_reset(sim_state, self.network, self.rl,
+                             self.physics, self._dist_ff)
 
             def step(carry, _):
                 env, obs, key = carry

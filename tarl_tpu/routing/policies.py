@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from ..config import RoutingConfig, DEFAULT_ROUTING, PhysicsConfig, DEFAULT_PHYSICS
 from ..network import Network
-from ..ops.segment import segment_sample
 from ..routing.bellman_ford import node_entry_costs, all_pairs_next_hop_nbr
 from ..state import SimState
 
@@ -40,11 +39,25 @@ ChoiceFn = Callable[[SimState, Network], tuple[SimState, Optional[jnp.ndarray]]]
 
 def random_choice(state: SimState, network: Network):
     """Sample a uniform outgoing road for every road and SRC node
-    (agents/base.py:446-494)."""
+    (agents/base.py:446-494).
+
+    Gumbel-max over each node's choice edges as a static slot loop over
+    ``network.choice_tab`` — bitwise-identical to segment sampling over the
+    choice-edge list (same per-edge noise and tie-breaks) without its
+    serialized scatters (see core.direction's performance note).
+    """
     key, sub = jax.random.split(state.key)
     ec = network.choice_src.shape[0]
-    logits = jnp.zeros((ec,), jnp.float32)
-    arg = segment_sample(sub, logits, network.choice_src, network.num_nodes)
+    n = network.num_nodes
+    scores = jax.random.gumbel(sub, (ec,), jnp.float32)
+    best = jnp.full((n,), -jnp.inf, jnp.float32)
+    arg = jnp.full((n,), ec, jnp.int32)
+    for k in range(network.choice_tab.shape[0]):
+        e_k = network.choice_tab[k]
+        s_k = jnp.where(network.choice_ok[k], scores[e_k], -jnp.inf)
+        take = s_k > best
+        best = jnp.where(take, s_k, best)
+        arg = jnp.where(take, e_k, arg)
     has = arg < ec
     sel = jnp.where(
         has,
