@@ -16,7 +16,9 @@ route choice, 2 h of simulated time at 1 s ticks.  Compile time is excluded
 metric accumulators (hourly traffic counts AND hourly road-optimality).
 Withdraw depth 4 / insert window 1024: outcome-identical to the unbounded
 reference semantics on this workload (verified done-count/att parity up to
-Grid8x8), chosen for per-tick memory traffic.
+Grid8x8), chosen for per-tick memory traffic.  The core runs the slot-major
+XLA path (core/direction.py) — measured faster than the Pallas fused kernel
+at every size since the gather-free redesign.
 """
 from __future__ import annotations
 
@@ -66,7 +68,6 @@ def main() -> None:
         record_road_optimality=False,
         insert_window=WINDOW,
         withdraw_depth=DEPTH,
-        fused_core=True,
     )
     policy = Policy(choice=random_choice)
     state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)

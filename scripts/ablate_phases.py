@@ -58,7 +58,7 @@ def main():
     )
     sim = SimConfig(timestep=1, start_time=6 * 3600,
                     record_road_optimality=False, insert_window=1024,
-                    withdraw_depth=8, fused_core=True)
+                    withdraw_depth=8)
     policy = Policy(choice=random_choice)
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     physics = DEFAULT_PHYSICS

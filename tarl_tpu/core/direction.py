@@ -21,16 +21,21 @@ segment-sample -> scatter pipeline over the turn-edge list:
 Also emits the per-edge ``delta_travel_time`` the reference stores for the
 road-optimality metric (direction_mpnn.py:94-96), aggregated per source road.
 
-Performance note (measured, scripts/microbench_*.py): XLA's un-fused
-gather/scatter emitters run serially at ~7 ns/element on TPU, so segment
-reductions over the edge list and row-scatters into the FIFO arrays dominated
-the tick at large R.  The aggregate is therefore a static K-slot loop over the
-per-road incoming-edge table (network.in_edge_tab) — each slot row is a [R]
-gather that fuses into its elementwise consumer — and the FIFO push is a dense
-[R, Nmax] select.  Outcomes are bitwise-identical to the segment-op
-formulation: the Gumbel noise is drawn per edge in edge-list order with the
-same key, and ascending slot order reproduces segment_argmax's
-lowest-edge-index tie-break.
+Performance note (measured, scripts/microbench_*.py + ablate_sample_micro.py):
+TPU gathers are only fast when their indices are (near-)sorted — XLA's
+general emitter runs serially at ~7 ns/element, so one unsorted [R]-from-[E]
+gather (or any edge-list segment reduction / FIFO row-scatter) costs more
+than the rest of the tick at large R.  The whole step is therefore computed
+in SLOT-MAJOR form: slot k of road v is its k-th incoming turn edge
+(network.in_src_tab / in_logit_tab / in_cap_tab, slot order = increasing
+edge id), every per-edge quantity is an [R]-row, upstream state is gathered
+with spatially-banded road indices, the Gumbel noise is drawn directly in
+[KIN, R] slot-major order, and the FIFO push is a dense [R, Nmax] select.
+Winner selection is distribution-identical to segment sampling over the edge
+list (independent Gumbel per edge, ascending-slot strict-> tie-break =
+segment_argmax's lowest-edge-id rule); the PRNG *stream* differs, so
+cross-implementation equality tests must use the same formulation on both
+sides (parallel.shard_map_episode does).
 """
 from __future__ import annotations
 
@@ -64,59 +69,86 @@ def direction_step(
     re-deriving it from FIFO contents (see core.response)."""
     R = road.num_roads
     Nmax = road.nmax
-    u = network.edge_src
-    v = network.edge_dst
+    KIN = network.in_src_tab.shape[0]
 
     head_id = road.head_ids()
     head_arrival = road.head_arrival()
     head_departure = road.head_departure()
-    count_f = road.count.astype(jnp.float32)
+    count = road.count
+    count_f = count.astype(jnp.float32)
     cap = network.capacity
+    sel = selected_road[:R]
+    iota = jnp.arange(R, dtype=jnp.int32)
 
-    # --- message: eligibility mask per turn edge (direction_mpnn.py:81-91) ---
-    dep_ok = head_departure[u] <= time
-    space_ok = count_f[v] < cap[v] - physics.congestion_buffer
-    wants_v = selected_road[:R][u] == v
-    nonempty = road.count[u] > 0
-    mask = dep_ok & space_ok & wants_v & nonempty
+    # Downstream-side (this road, elementwise) ingredients, shared by slots.
+    space_ok = count_f < cap - physics.congestion_buffer
+    v_free = cap - count_f
+    v_has_slot = count_f < cap
 
-    # Gridlock escape (direction_mpnn.py:87-90) with two safety guards the
-    # reference gets implicitly from its zero-filled FIFO / flat layout:
-    # the upstream must actually hold an agent, and the downstream must stay
-    # below its hard slot capacity (else the ring write would wrap onto the
-    # head slot once count reached Nmax).
-    stuck = (head_departure[u] - time) < -physics.gridlock_patience
-    u_full = cap[u] - physics.congestion_buffer <= count_f[u]
-    v_freer = cap[u] - count_f[u] <= cap[v] - count_f[v]
-    v_has_slot = count_f[v] < cap[v]
-    gridlock = stuck & u_full & v_freer & wants_v & nonempty & v_has_slot
-    mask = mask | gridlock
+    # Upstream-side state packed into ONE int32 per road, so each slot costs
+    # a single gather (unsorted [R] gathers run at ~7 ns/element on TPU —
+    # module docstring): flag bits (head departure reached / non-empty /
+    # gridlock-stuck / effectively-full, direction_mpnn.py:81-90), 9 bits of
+    # free space (cap - count, bounded by Nmax < 512), and 18 bits for the
+    # selected road (supports R < 262k; out-of-range/negative selections
+    # encode as R, which never equals a road index).
+    dep_ok_u = head_departure <= time
+    nonempty_u = count > 0
+    stuck_u = (head_departure - time) < -physics.gridlock_patience
+    u_full_u = cap - physics.congestion_buffer <= count_f
+    u_free_i = jnp.clip(cap - count_f, 0, 511).astype(jnp.int32)
+    sel_enc = jnp.where((sel >= 0) & (sel < R), sel, R).astype(jnp.int32)
+    pack = (
+        dep_ok_u.astype(jnp.int32)
+        | (nonempty_u.astype(jnp.int32) << 1)
+        | (stuck_u.astype(jnp.int32) << 2)
+        | (u_full_u.astype(jnp.int32) << 3)
+        | (u_free_i << 4)
+        | (sel_enc << 13)
+    )
 
-    prob = network.edge_attr * mask.astype(jnp.float32)
-
-    # --- aggregate: sample <=1 incoming proposal per road (dm.py:103-146) ---
-    # Exact Gumbel-max over the edge list (== ops.segment.segment_sample:
-    # same per-edge noise, same key) with the argmax taken by a static slot
-    # loop over the incoming-edge table; strict > keeps the first (lowest
-    # edge id) maximum, matching segment_argmax's tie-break.
-    E = network.num_turn_edges
-    logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
-    gumbel = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
-    scores = jnp.where(jnp.isfinite(logits), logits + gumbel, NEG_INF)
-
+    # --- message + aggregate fused: per in-slot eligibility, Gumbel-max ---
+    # (direction_mpnn.py:81-91, 103-146).  Slot k of road v is its k-th
+    # incoming turn edge; the Gumbel noise is drawn directly in slot-major
+    # [KIN, R] order.  Ascending slots + strict > reproduce segment_argmax's
+    # lowest-edge-id tie-break.
+    gumbel = jax.random.gumbel(key, (KIN, R), dtype=jnp.float32)
     best = jnp.full((R,), NEG_INF, jnp.float32)
-    win_edge = jnp.full((R,), E, jnp.int32)
-    for k in range(network.in_edge_tab.shape[0]):
-        e_k = network.in_edge_tab[k]
-        s_k = jnp.where(network.in_edge_ok[k], scores[e_k], NEG_INF)
+    win_slot = jnp.zeros((R,), jnp.int32)
+    accept = jnp.zeros((R,), bool)
+    for k in range(KIN):
+        p_k = pack[network.in_src_tab[k]]
+        dep_ok = (p_k & 1) > 0
+        nonempty = (p_k & 2) > 0
+        stuck = (p_k & 4) > 0
+        u_full = (p_k & 8) > 0
+        u_free = ((p_k >> 4) & 0x1FF).astype(jnp.float32)
+        wants_v = (p_k >> 13) == iota
+        mask = dep_ok & space_ok & wants_v & nonempty
+        # Gridlock escape (direction_mpnn.py:87-90) with two safety guards
+        # the reference gets implicitly from its zero-filled FIFO / flat
+        # layout: the upstream must actually hold an agent, and the
+        # downstream must stay below its hard slot capacity (else the ring
+        # write would wrap onto the head slot once count reached Nmax).
+        v_freer = u_free <= v_free
+        mask = mask | (
+            stuck & u_full & v_freer & wants_v & nonempty & v_has_slot
+        )
+        mask = mask & network.in_edge_ok[k]
+        s_k = jnp.where(mask, network.in_logit_tab[k] + gumbel[k], NEG_INF)
         take = s_k > best
         best = jnp.where(take, s_k, best)
-        win_edge = jnp.where(take, e_k, win_edge)
+        win_slot = jnp.where(take, k, win_slot)
+        accept = accept | take
 
-    has_proposal = win_edge < E
-    src_road = u[jnp.minimum(win_edge, E - 1)]
-    chosen_agent = jnp.where(has_proposal, head_id[src_road], 0)
+    src_road = jnp.zeros((R,), jnp.int32)
+    for k in range(KIN):
+        src_road = jnp.where(win_slot == k, network.in_src_tab[k], src_road)
+    src_road = jnp.where(accept, src_road, R).astype(jnp.int32)
+    src_c = jnp.minimum(src_road, R - 1)
+    chosen_agent = jnp.where(accept, head_id[src_c], 0)
     accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
+    chosen_dest = jnp.where(accept, road.head_dests()[src_c], 0)
 
     # --- update: push at tail, stamp times (direction_mpnn.py:171-195) ---
     slot = (road.head + road.count) % Nmax
@@ -132,6 +164,7 @@ def direction_step(
     fifo_departure = jnp.where(
         hit, (time + travel_time)[:, None], road.fifo_departure
     )
+    fifo_dest = jnp.where(hit, chosen_dest[:, None], road.fifo_dest)
     new_count = road.count + accept.astype(jnp.int32)
 
     # --- road-optimality data (direction_mpnn.py:94-96) ---
@@ -153,6 +186,7 @@ def direction_step(
             fifo_ids=fifo_ids,
             fifo_arrival=fifo_arrival,
             fifo_departure=fifo_departure,
+            fifo_dest=fifo_dest,
             count=new_count,
         ),
         road_delta_tt,

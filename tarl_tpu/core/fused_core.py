@@ -233,6 +233,10 @@ def fused_core_step(
     fifo_departure = road.fifo_departure.at[rows, slot].set(
         time + travel_time, mode="drop"
     )
+    chosen_dest = jnp.where(
+        accept, road.head_dests()[jnp.minimum(win_src, R - 1)], 0
+    )
+    fifo_dest = road.fifo_dest.at[rows, slot].set(chosen_dest, mode="drop")
     new_count = road.count + accept.astype(jnp.int32)
 
     # Pop at winning upstream heads (the fused response phase).
@@ -246,6 +250,7 @@ def fused_core_step(
             fifo_ids=fifo_ids,
             fifo_arrival=fifo_arrival,
             fifo_departure=fifo_departure,
+            fifo_dest=fifo_dest,
             head=new_head,
             count=new_count,
         ),

@@ -81,6 +81,9 @@ def _admit_candidates(
     fifo_departure = road.fifo_departure.at[rows, slot].set(
         time + travel_time, mode="drop"
     )
+    fifo_dest = road.fifo_dest.at[rows, slot].set(
+        agents.dest[agent_sorted], mode="drop"
+    )
     count_add = jax.ops.segment_sum(
         ok.astype(jnp.int32), rows, num_segments=R + 1
     )[:R]
@@ -93,6 +96,7 @@ def _admit_candidates(
             fifo_ids=fifo_ids,
             fifo_arrival=fifo_arrival,
             fifo_departure=fifo_departure,
+            fifo_dest=fifo_dest,
             count=road.count + count_add,
         ),
         agents._replace(inserted=inserted),

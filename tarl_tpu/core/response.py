@@ -34,29 +34,17 @@ def confirm_step(
 
     ``accept[R]`` / ``win_src[R]`` come from ``direction_step``; each
     upstream can win at most once per step (its head proposes to a single
-    selected downstream).  With ``network`` given, the pop mask is computed
-    scatter-free by checking, per upstream road, whether any downstream
-    neighbor's winner was this road (there is at most one turn edge per
-    ordered road pair, ts.py:149-171, so ``win_src[v] == u`` identifies the
-    edge) — a static slot loop of fused [R] gathers (see core.direction's
-    performance note).  Without it, a plain [R]-index scatter.
+    selected downstream), so the pop mask is one [R]-index scatter — measured
+    cheaper than the gather-based alternative (checking each road's
+    downstream neighbors' winners costs 2*KOUT unsorted [R] gathers at
+    ~7 ns/element each, ~8x the single scatter).  ``network`` is accepted
+    for signature stability but unused.
     Returns ``(road_state, popped_mask)`` like :func:`response_step`.
     """
+    del network
     R = road.num_roads
-    if network is not None:
-        popped = jnp.zeros((R,), bool)
-        iota = jnp.arange(R, dtype=jnp.int32)
-        for k in range(network.out_edge_tab.shape[0]):
-            e_k = network.out_edge_tab[k]
-            v_k = network.edge_dst[e_k]
-            popped = popped | (
-                network.out_edge_ok[k]
-                & accept[v_k]
-                & (win_src[v_k] == iota)
-            )
-    else:
-        pop_src = jnp.where(accept, win_src, R)
-        popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
+    pop_src = jnp.where(accept, win_src, R)
+    popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
     new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
     new_count = road.count - popped.astype(jnp.int32)
     return road._replace(head=new_head, count=new_count), popped

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from ..network import Network
 from ..state import AgentState, RoadState
 
+# Depth above which the per-slot unroll is replaced by the vectorized gather
+# form (compile-size / CPU-runtime guard; see withdraw_agents).
+_SLOT_UNROLL_MAX = 16
+
 
 def withdraw_agents(
     road: RoadState,
@@ -45,26 +49,46 @@ def withdraw_agents(
     A = agents.num_agents
     K = Nmax if depth is None else min(depth, Nmax)
 
-    # Static slot loop: each depth level is a row of [R] gathers fused into
-    # their consumers (see core.direction's performance note — materialized
-    # [R, K] gathered tables cost ~7 ns/element on the un-fused TPU gather
-    # emitter, dominating the tick at large R).
-    iota = jnp.arange(R, dtype=jnp.int32)
-    run = jnp.ones((R,), bool)  # consecutive-from-head run (base.py:370)
-    wid_rows = []
-    for k in range(K):
-        phys_k = (road.head + k) % Nmax
-        ids_k = road.fifo_ids[iota, phys_k]
-        dep_k = road.fifo_departure[iota, phys_k]
+    # Ring reads as masked row-reductions over the logical-position matrix —
+    # never per-row gathers (TPU's serial gather emitter costs more than the
+    # whole tick at large R; see state.RoadState._row_at).  All K extractions
+    # share one pass over the FIFO arrays.  For large/unbounded depth the
+    # slot unroll would blow up the program (and XLA:CPU compile time), so
+    # past _SLOT_UNROLL_MAX the vectorized [R, K] gather form is used
+    # instead — bounded-depth TPU runs stay on the unrolled path.
+    if K <= _SLOT_UNROLL_MAX:
+        col = jnp.arange(Nmax, dtype=jnp.int32)[None, :]
+        lp = (col - road.head[:, None]) % Nmax  # [R, Nmax] logical position
+        run = jnp.ones((R,), bool)  # consecutive-from-head run (base.py:370)
+        wid_rows = []
+        for k in range(K):
+            at_k = lp == k
+            ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
+            dep_k = jnp.where(at_k, road.fifo_departure, 0.0).sum(axis=1)
+            dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+            eligible = (
+                (dest_k == network.road_dest)
+                & (dep_k <= time)
+                & (k < road.count)
+            )
+            run = run & eligible
+            wid_rows.append(jnp.where(run, ids_k, A))  # A -> dropped
+        wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
+        wids = jnp.concatenate(wid_rows)
+    else:
+        logical = jnp.arange(K, dtype=jnp.int32)
+        phys = (road.head[:, None] + logical[None, :]) % Nmax  # [R, K]
+        ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
+        dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
+        dest = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
         eligible = (
-            (agents.dest[ids_k] == network.road_dest)
-            & (dep_k <= time)
-            & (k < road.count)
+            (dest == network.road_dest[:, None])
+            & (dep <= time)
+            & (logical[None, :] < road.count[:, None])
         )
-        run = run & eligible
-        wid_rows.append(jnp.where(run, ids_k, A))  # A -> dropped
-    wcount = sum(r < A for r in wid_rows) if K else jnp.zeros((R,), jnp.int32)
-    wcount = wcount.astype(jnp.int32)
+        cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
+        wcount = cum.sum(axis=1).astype(jnp.int32)
+        wids = jnp.where(cum, ids, A).reshape(-1)  # A -> dropped
 
     # Pop: advance head pointers, nothing else moves.
     new_head = (road.head + wcount) % Nmax
@@ -73,7 +97,6 @@ def withdraw_agents(
     # Stamp arrival (base.py:398-400).  DONE/ON_WAY are derived from it
     # (state.AgentState), so this ONE scatter replaces the reference's three
     # agent-column writes — withdraw is the largest tick phase on TPU.
-    wids = jnp.concatenate(wid_rows) if K else jnp.full((0,), A, jnp.int32)
     arrival = agents.arrival.at[wids].set(
         jnp.broadcast_to(time, wids.shape), mode="drop"
     )

@@ -78,21 +78,26 @@ class Network:
     inter_out_road: jnp.ndarray       # int32[I, K] — outgoing roads per intersection (0-padded)
     inter_out_ok: jnp.ndarray         # bool[I, K] — valid-slot mask
 
-    # --- static turn-edge tables for the scatter-free core (core.direction /
-    # core.response): per road, the ids of its incoming / outgoing turn edges,
-    # K-major so each slot row is a [R] vector whose gathers fuse into their
-    # elementwise consumers (XLA's un-fused gather/scatter emitters run at
-    # ~7 ns/element on TPU — materializing a [K, R] gathered table costs more
-    # than the whole rest of the tick; K slot-loops over [R] rows are free).
-    # Slot order = increasing edge id, matching segment-op tie-breaks. ---
-    in_edge_tab: jnp.ndarray          # int32[KIN, R] — incoming turn-edge ids (0-padded)
-    in_edge_ok: jnp.ndarray           # bool[KIN, R]
-    out_edge_tab: jnp.ndarray         # int32[KOUT, R] — outgoing turn-edge ids (0-padded)
+    # --- slot-major turn-edge tables for the gather-light core
+    # (core.direction / core.response): slot k of road v is its k-th incoming
+    # (resp. outgoing) turn edge, slot order = increasing edge id (matching
+    # segment-op tie-breaks).  Everything per-edge the core needs is
+    # precomputed per slot as an [R]-row, because on TPU a gather is only
+    # fast when its indices are (near-)sorted — XLA's general emitter runs
+    # serially at ~7 ns/element, and an unsorted [R]-from-[E] gather costs
+    # more than the rest of the tick (measured, scripts/microbench_*.py /
+    # scripts/ablate_sample_micro.py).  With these tables the only runtime
+    # gathers left are [R]-from-[R] with spatially-banded road indices. ---
+    in_edge_ok: jnp.ndarray           # bool[KIN, R] — road R's k-th in-edge exists
+    in_src_tab: jnp.ndarray           # int32[KIN, R] — that edge's source road (0-padded)
+    in_logit_tab: jnp.ndarray         # float32[KIN, R] — log(edge_attr); -inf on padding
+    in_cap_tab: jnp.ndarray           # float32[KIN, R] — capacity[source road]
     out_edge_ok: jnp.ndarray          # bool[KOUT, R]
-    # Same for route choice: per node (roads + SRC), its choice-edge ids
+    out_dst_tab: jnp.ndarray          # int32[KOUT, R] — k-th out-edge's target road
+    # Same for route choice: per node (roads + SRC), its candidate next roads
     # (edges whose destination is a road, agents/base.py:446-494).
-    choice_tab: jnp.ndarray           # int32[KC, N] — choice-edge ids (0-padded)
     choice_ok: jnp.ndarray            # bool[KC, N]
+    choice_dst_tab: jnp.ndarray       # int32[KC, N] — k-th choice edge's road
 
     @property
     def num_nodes(self) -> int:
@@ -251,9 +256,23 @@ def build_network(
                 ok[s, g] = True
         return tab, ok
 
+    e_w_np = np.asarray(e_w, dtype=np.float32)
+    cap_np = capacity.astype(np.float32)
     in_tab, in_tab_ok = _edge_table(e_dst_np, num_roads)
     out_tab, out_tab_ok = _edge_table(e_src_np, num_roads)
     ch_tab, ch_tab_ok = _edge_table(f_src_np[choice_mask], num_nodes)
+    in_src = np.where(in_tab_ok, e_src_np[in_tab], 0).astype(np.int32)
+    with np.errstate(divide="ignore"):
+        in_logit = np.where(
+            in_tab_ok & (e_w_np[in_tab] > 0),
+            np.log(np.maximum(e_w_np[in_tab], 1e-30)),
+            -np.inf,
+        ).astype(np.float32)
+    in_cap = np.where(in_tab_ok, cap_np[in_src], 0.0).astype(np.float32)
+    out_dst = np.where(out_tab_ok, e_dst_np[out_tab], 0).astype(np.int32)
+    ch_dst = np.where(
+        ch_tab_ok, f_dst_np[choice_mask][ch_tab], 0
+    ).astype(np.int32)
 
     return Network(
         num_roads=num_roads,
@@ -279,12 +298,14 @@ def build_network(
         road_to=jnp.asarray(to_inter.astype(np.int32)),
         inter_out_road=jnp.asarray(inter_out),
         inter_out_ok=jnp.asarray(inter_ok),
-        in_edge_tab=jnp.asarray(in_tab),
         in_edge_ok=jnp.asarray(in_tab_ok),
-        out_edge_tab=jnp.asarray(out_tab),
+        in_src_tab=jnp.asarray(in_src),
+        in_logit_tab=jnp.asarray(in_logit),
+        in_cap_tab=jnp.asarray(in_cap),
         out_edge_ok=jnp.asarray(out_tab_ok),
-        choice_tab=jnp.asarray(ch_tab),
+        out_dst_tab=jnp.asarray(out_dst),
         choice_ok=jnp.asarray(ch_tab_ok),
+        choice_dst_tab=jnp.asarray(ch_dst),
     )
 
 

@@ -10,7 +10,8 @@ pinned:
 * the mesh is one axis ``"shard"``; shard ``i`` owns the contiguous road
   block ``[i*R/S, (i+1)*R/S)`` — RoadState rows, the ``[H, R]`` metric
   columns, and every turn edge whose DOWNSTREAM road is in the block
-  (edges are what need the halo: their upstream may live on any shard);
+  (the slot-major tables network.in_src_tab etc. are column-sliced to the
+  block; edges are what need the halo: their upstream may live anywhere);
 * agents and routing scratch are replicated; agent-side writes (insert's
   ON_WAY, withdraw's DONE/arrival) are disjoint across shards and merged
   with ``psum`` — an agent sits on exactly one road;
@@ -20,12 +21,11 @@ pinned:
   one pre-insert (capacity/slot math), one post-withdraw (eligibility
   masks), plus ONE ``all_gather`` of the per-road transfer winners (the
   response phase: the winning upstream's shard must pop its head) and
-  ``psum``s for the agent merge, the tick scalars, and (when enabled) the
-  per-source road-optimality reduction;
+  ``psum``s for the agent merge and the tick scalars;
 * sampling stays BITWISE-equal to the unsharded ``core.step.tick``: the
-  Gumbel vector for the whole edge list is generated replicated from the
-  same key and gathered per-shard by global edge id, and argmax ties break
-  on the global edge index exactly like ``ops.segment.segment_argmax``.
+  slot-major [KIN, R] Gumbel matrix is generated replicated from the same
+  key and column-sliced to the block, with the same ascending-slot
+  tie-break as ``core.direction``.
 
 Supported policies: ``random_choice`` (reads no road state, so its
 replicated recomputation is exact) and the shortest-path policy
@@ -66,36 +66,6 @@ def make_road_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), (AXIS,))
 
 
-def _partition_edges(network: Network, num_shards: int):
-    """Group turn edges by downstream-road block; pad blocks to equal size.
-
-    Returns int32 arrays ``[S * E_max]`` (u_global, v_global, global edge id)
-    plus the padded per-shard width.  Sentinel entries use ``u = v = R`` and
-    ``eid = E`` (their Gumbel score is -inf, so they never win).
-    """
-    u = np.asarray(network.edge_src)
-    v = np.asarray(network.edge_dst)
-    E = u.shape[0]
-    R = network.num_roads
-    rl = R // num_shards
-    blocks = [np.nonzero((v >= s * rl) & (v < (s + 1) * rl))[0]
-              for s in range(num_shards)]
-    e_max = max(max(len(b) for b in blocks), 1)
-    us = np.full((num_shards, e_max), R, np.int32)
-    vs = np.full((num_shards, e_max), R, np.int32)
-    ids = np.full((num_shards, e_max), E, np.int32)
-    for s, b in enumerate(blocks):
-        us[s, : len(b)] = u[b]
-        vs[s, : len(b)] = v[b]
-        ids[s, : len(b)] = b
-    return (
-        jnp.asarray(us.reshape(-1)),
-        jnp.asarray(vs.reshape(-1)),
-        jnp.asarray(ids.reshape(-1)),
-        e_max,
-    )
-
-
 def run_episode_shard_map(
     state: SimState,
     network: Network,
@@ -125,16 +95,14 @@ def run_episode_shard_map(
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
-    E = network.num_turn_edges
     assert R % S == 0, f"num_roads {R} % shards {S} != 0"
     rl = R // S
     nmax = state.road.nmax
-    eu, ev, eid, e_max = _partition_edges(network, S)
+    KIN = network.in_src_tab.shape[0]
 
     cap = network.capacity
     ff = network.free_flow
     cc = network.congestion_constant
-    e_attr_pad = jnp.concatenate([network.edge_attr, jnp.zeros((1,))])
 
     road_spec = SimState(
         road=jax.tree.map(lambda _: P(AXIS), state.road),
@@ -158,27 +126,25 @@ def run_episode_shard_map(
 
     def halo(road_local):
         """All-gather the per-road head summary (the halo exchange)."""
-        head = road_local.head
         count = road_local.count
-        raw_id = jnp.take_along_axis(road_local.fifo_ids, head[:, None], 1)[:, 0]
-        raw_ar = jnp.take_along_axis(road_local.fifo_arrival, head[:, None], 1)[:, 0]
-        raw_de = jnp.take_along_axis(road_local.fifo_departure, head[:, None], 1)[:, 0]
         nonempty = count > 0
         local = jnp.stack(
             [
-                jnp.where(nonempty, raw_id, 0).astype(jnp.float32),
-                jnp.where(nonempty, raw_ar, 0.0),
-                jnp.where(nonempty, raw_de, 0.0),
+                road_local.head_ids().astype(jnp.float32),
+                road_local.head_arrival(),
+                road_local.head_departure(),
                 count.astype(jnp.float32),
-                head.astype(jnp.float32),
+                road_local.head.astype(jnp.float32),
+                road_local.head_dests().astype(jnp.float32),
             ],
             axis=1,
-        )  # [rl, 5]
-        g = jax.lax.all_gather(local, AXIS, tiled=True)  # [R, 5]
+        )  # [rl, 6]
+        g = jax.lax.all_gather(local, AXIS, tiled=True)  # [R, 6]
         return (g[:, 0].astype(jnp.int32), g[:, 1], g[:, 2],
-                g[:, 3].astype(jnp.int32), g[:, 4].astype(jnp.int32))
+                g[:, 3].astype(jnp.int32), g[:, 4].astype(jnp.int32),
+                g[:, 5].astype(jnp.int32))
 
-    def tick_local(st: SimState, eu_l, ev_l, eid_l):
+    def tick_local(st: SimState):
         """One tick on this shard's road block (runs under shard_map)."""
         idx = jax.lax.axis_index(AXIS)
         block0 = idx * rl
@@ -188,7 +154,7 @@ def run_episode_shard_map(
         agents = st.agents
 
         # ---- insert (replicated candidate math, local scatter) ----------
-        _, _, _, count_g, head_g = halo(road)
+        _, _, _, count_g, head_g, _ = halo(road)
         ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
         if shortest:
             # Per-agent entry roads (shortest_path_entry, replicated).
@@ -232,11 +198,15 @@ def run_episode_shard_map(
         fifo_dep = road.fifo_departure.at[rows, slot].set(
             t + tt_ins, mode="drop"
         )
+        fifo_dst = road.fifo_dest.at[rows, slot].set(
+            agents.dest[agent_sorted], mode="drop"
+        )
         count_add = jax.ops.segment_sum(
             ok_loc.astype(jnp.int32), rows, num_segments=rl + 1
         )[:rl]
         road = road._replace(
             fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
+            fifo_dest=fifo_dst,
             count=road.count + count_add,
         )
         # agent merge (disjoint across shards)
@@ -245,26 +215,50 @@ def run_episode_shard_map(
         ins_delta = jax.lax.psum(ins_delta, AXIS)
         agents = agents._replace(inserted=agents.inserted | (ins_delta > 0))
 
-        # ---- withdraw (local roads, psum agent merge) --------------------
+        # ---- withdraw (local roads, psum agent merge; same hybrid slot
+        # formulation as core.withdraw) ------------------------------------
+        from ..core.withdraw import _SLOT_UNROLL_MAX
+
         K = nmax if sim.withdraw_depth is None else min(sim.withdraw_depth, nmax)
-        logical = jnp.arange(K, dtype=jnp.int32)
-        phys = (road.head[:, None] + logical[None, :]) % nmax
-        w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
-        w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
         road_dest_local = jax.lax.dynamic_slice_in_dim(
             network.road_dest, block0, rl
         )
-        eligible = (
-            (agents.dest[w_ids] == road_dest_local[:, None])
-            & (w_dep <= t)
-            & (logical[None, :] < road.count[:, None])
-        )
-        cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
-        wcount = cum.sum(axis=1).astype(jnp.int32)
+        if K <= _SLOT_UNROLL_MAX:
+            colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+            lpw = (colw - road.head[:, None]) % nmax
+            run = jnp.ones((rl,), bool)
+            wid_rows = []
+            for k in range(K):
+                at_k = lpw == k
+                ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
+                dep_k = jnp.where(at_k, road.fifo_departure, 0.0).sum(axis=1)
+                dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+                eligible = (
+                    (dest_k == road_dest_local)
+                    & (dep_k <= t)
+                    & (k < road.count)
+                )
+                run = run & eligible
+                wid_rows.append(jnp.where(run, ids_k, A))
+            wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
+            wids = jnp.concatenate(wid_rows)
+        else:
+            logical = jnp.arange(K, dtype=jnp.int32)
+            phys = (road.head[:, None] + logical[None, :]) % nmax
+            w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
+            w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
+            w_dst = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
+            eligible = (
+                (w_dst == road_dest_local[:, None])
+                & (w_dep <= t)
+                & (logical[None, :] < road.count[:, None])
+            )
+            cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
+            wcount = cum.sum(axis=1).astype(jnp.int32)
+            wids = jnp.where(cum, w_ids, A).reshape(-1)
         road = road._replace(
             head=(road.head + wcount) % nmax, count=road.count - wcount
         )
-        wids = jnp.where(cum, w_ids, A).reshape(-1)
         wd = jnp.zeros((A,), jnp.int32).at[wids].set(1, mode="drop")
         wd = jax.lax.psum(wd, AXIS)
         withdrew = wd > 0
@@ -275,7 +269,7 @@ def run_episode_shard_map(
 
         # ---- choice (replicated computation on every shard) -------------
         # Halo #2: post-withdraw head summary, shared by choice and core.
-        head_id_g, head_arr_g, head_dep_g, count_g, _ = halo(road)
+        head_id_g, head_arr_g, head_dep_g, count_g, _, head_dest_g = halo(road)
         if shortest:
             from ..routing.bellman_ford import all_pairs_next_hop_nbr
 
@@ -315,56 +309,83 @@ def run_episode_shard_map(
                 next_hop=st2.next_hop, choice_count=st2.choice_count
             )
 
-        # ---- core: fused direction + response over local edges ----------
+        # ---- core: fused direction + response, slot-major local block ----
+        # Mirrors core.direction exactly: same replicated [KIN, R] Gumbel
+        # matrix (column-sliced to the block), same masks, same
+        # ascending-slot strict-> tie-break — bitwise-equal winners.
         key, k_dir = jax.random.split(key)
-        real = eid_l < E
-        u = jnp.minimum(eu_l, R - 1)
-        v_loc = jnp.where(real, ev_l - block0, 0)
-        count_f = count_g.astype(jnp.float32)
-        dep_ok = head_dep_g[u] <= t
-        count_v = road.count  # local [rl]
-        count_v_f = count_v.astype(jnp.float32)
+        count_v_f = road.count.astype(jnp.float32)  # local [rl]
         cap_l = jax.lax.dynamic_slice_in_dim(cap, block0, rl)
         ff_l = jax.lax.dynamic_slice_in_dim(ff, block0, rl)
         cc_l = jax.lax.dynamic_slice_in_dim(cc, block0, rl)
-        space_ok = count_v_f[v_loc] < cap_l[v_loc] - physics.congestion_buffer
-        wants_v = sel[:R][u] == ev_l
-        nonempty = count_g[u] > 0
-        mask = dep_ok & space_ok & wants_v & nonempty
-        stuck = (head_dep_g[u] - t) < -physics.gridlock_patience
-        u_full = cap[u] - physics.congestion_buffer <= count_f[u]
-        v_freer = cap[u] - count_f[u] <= cap_l[v_loc] - count_v_f[v_loc]
-        v_slot = count_v_f[v_loc] < cap_l[v_loc]
-        mask = mask | (stuck & u_full & v_freer & wants_v & nonempty & v_slot)
-        mask = mask & real
-        prob = e_attr_pad[jnp.minimum(eid_l, E)] * mask.astype(jnp.float32)
-        logits = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)), -jnp.inf)
-        # Bitwise-equal sampling: full-edge Gumbel replicated, local gather.
-        gumbel_full = jax.random.gumbel(k_dir, (E,), dtype=jnp.float32)
-        gumbel_pad = jnp.concatenate([gumbel_full, jnp.asarray([-jnp.inf])])
-        score = jnp.where(
-            jnp.isfinite(logits),
-            logits + gumbel_pad[jnp.minimum(eid_l, E)],
-            -jnp.inf,
+        space_ok = count_v_f < cap_l - physics.congestion_buffer
+        v_free = cap_l - count_v_f
+        v_slot_ok = count_v_f < cap_l
+        v_global = block0 + rows_local
+
+        # Upstream state packed into one int32 per road, exactly as
+        # core.direction (one gather per slot instead of three).
+        count_gf = count_g.astype(jnp.float32)
+        sel_r = sel[:R]
+        sel_enc = jnp.where(
+            (sel_r >= 0) & (sel_r < R), sel_r, R
+        ).astype(jnp.int32)
+        pack = (
+            (head_dep_g <= t).astype(jnp.int32)
+            | ((count_g > 0).astype(jnp.int32) << 1)
+            | (((head_dep_g - t) < -physics.gridlock_patience)
+               .astype(jnp.int32) << 2)
+            | ((cap - physics.congestion_buffer <= count_gf)
+               .astype(jnp.int32) << 3)
+            | (jnp.clip(cap - count_gf, 0, 511).astype(jnp.int32) << 4)
+            | (sel_enc << 13)
         )
-        best = jax.ops.segment_max(score, v_loc, num_segments=rl)
-        attains = (score == best[v_loc]) & jnp.isfinite(score)
-        cand = jnp.where(attains, eid_l, E)  # global-edge-id tie-break
-        win_eid = jnp.minimum(
-            jax.ops.segment_min(cand, v_loc, num_segments=rl), E
+
+        gumbel_full = jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32)
+        gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
+        best = jnp.full((rl,), -jnp.inf, jnp.float32)
+        win_slot = jnp.zeros((rl,), jnp.int32)
+        accept = jnp.zeros((rl,), bool)
+        u_slices = []
+        for k in range(KIN):
+            u_k = jax.lax.dynamic_slice_in_dim(
+                network.in_src_tab[k], block0, rl
+            )
+            u_slices.append(u_k)
+            ok_k = jax.lax.dynamic_slice_in_dim(
+                network.in_edge_ok[k], block0, rl
+            )
+            logit_k = jax.lax.dynamic_slice_in_dim(
+                network.in_logit_tab[k], block0, rl
+            )
+            p_k = pack[u_k]
+            dep_ok = (p_k & 1) > 0
+            nonempty = (p_k & 2) > 0
+            stuck = (p_k & 4) > 0
+            u_full = (p_k & 8) > 0
+            u_free = ((p_k >> 4) & 0x1FF).astype(jnp.float32)
+            wants_v = (p_k >> 13) == v_global
+            mask = dep_ok & space_ok & wants_v & nonempty
+            mask = mask | (
+                stuck & u_full & (u_free <= v_free) & wants_v & nonempty
+                & v_slot_ok
+            )
+            mask = mask & ok_k
+            s_k = jnp.where(mask, logit_k + gumbel_l[k], -jnp.inf)
+            take = s_k > best
+            best = jnp.where(take, s_k, best)
+            win_slot = jnp.where(take, k, win_slot)
+            accept = accept | take
+
+        win_u = jnp.zeros((rl,), jnp.int32)
+        for k in range(KIN):
+            win_u = jnp.where(win_slot == k, u_slices[k], win_u)
+        win_u = jnp.where(accept, win_u, R)
+        chosen = jnp.where(
+            accept, head_id_g[jnp.minimum(win_u, R - 1)], 0
         )
-        has = win_eid < E
-        # recover the winning edge's u via the local table
-        win_pos = jax.ops.segment_min(
-            jnp.where(attains & (eid_l == win_eid[v_loc]),
-                      jnp.arange(eu_l.shape[0], dtype=jnp.int32),
-                      eu_l.shape[0]),
-            v_loc, num_segments=rl,
-        )
-        win_pos_c = jnp.minimum(win_pos, eu_l.shape[0] - 1)
-        win_u = jnp.where(has, eu_l[win_pos_c], R)
-        chosen = jnp.where(has, head_id_g[jnp.minimum(win_u, R - 1)], 0)
         accept = chosen != 0  # sentinel guard (direction_mpnn.py:194)
+        win_u = jnp.where(accept, win_u, R)
 
         slot2 = (road.head + road.count) % nmax
         rows2 = jnp.where(accept, rows_local, rl)
@@ -377,6 +398,10 @@ def run_episode_shard_map(
         fifo_dep = road.fifo_departure.at[rows2, slot2].set(
             t + tt2, mode="drop"
         )
+        fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(
+            jnp.where(accept, head_dest_g[jnp.minimum(win_u, R - 1)], 0),
+            mode="drop",
+        )
         new_count = road.count + accept.astype(jnp.int32)
 
         # response: tell the winning upstream's shard to pop (all_gather)
@@ -387,22 +412,20 @@ def run_episode_shard_map(
         popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
         road = road._replace(
             fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
+            fifo_dest=fifo_dst2,
             head=(road.head + popped.astype(jnp.int32)) % nmax,
             count=new_count - popped.astype(jnp.int32),
         )
 
-        # ---- road-optimality series (psum over shards by source road) ---
+        # ---- road-optimality series (replicated elementwise; the per-edge
+        # delta depends only on the source road, so the per-source reduction
+        # is delta * out-degree, exactly as core.direction) ----------------
         want_delta = sim.record_road_optimality or sim.record_road_optimality_hourly
         if want_delta:
-            edge_delta = jnp.where(
-                real,
-                jnp.maximum((head_dep_g[u] - head_arr_g[u]) - ff[u], 0.0),
-                0.0,
+            outdeg = network.out_edge_ok.sum(axis=0).astype(jnp.float32)
+            delta_full = (
+                jnp.maximum((head_dep_g - head_arr_g) - ff, 0.0) * outdeg
             )
-            contrib = jax.ops.segment_sum(
-                edge_delta, jnp.where(real, eu_l, R), num_segments=R + 1
-            )[:R]
-            delta_full = jax.lax.psum(contrib, AXIS)  # [R]
             delta_local = jax.lax.dynamic_slice_in_dim(delta_full, block0, rl)
         else:
             delta_full = jnp.zeros((0,), jnp.float32)
@@ -449,19 +472,17 @@ def run_episode_shard_map(
         )
         return new_st, log
 
-    edge_specs = (P(AXIS), P(AXIS), P(AXIS))
-
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(road_spec, *edge_specs),
+        in_specs=(road_spec,),
         out_specs=(road_spec, log_spec),
         check_vma=False,
     )
-    def episode(st, eu_s, ev_s, eid_s):
+    def episode(st):
         def body(s, _):
-            return tick_local(s, eu_s, ev_s, eid_s)
+            return tick_local(s)
 
         return jax.lax.scan(body, st, length=num_steps)
 
     with mesh:
-        return jax.jit(episode)(state, eu, ev, eid)
+        return jax.jit(episode)(state)

@@ -41,30 +41,22 @@ def random_choice(state: SimState, network: Network):
     """Sample a uniform outgoing road for every road and SRC node
     (agents/base.py:446-494).
 
-    Gumbel-max over each node's choice edges as a static slot loop over
-    ``network.choice_tab`` — bitwise-identical to segment sampling over the
-    choice-edge list (same per-edge noise and tie-breaks) without its
-    serialized scatters (see core.direction's performance note).
+    Gumbel-max over each node's choice slots (``network.choice_dst_tab``,
+    slot-major [KC, N] noise) — a uniform categorical per node, computed
+    entirely gather-free (see core.direction's performance note).
     """
     key, sub = jax.random.split(state.key)
-    ec = network.choice_src.shape[0]
     n = network.num_nodes
-    scores = jax.random.gumbel(sub, (ec,), jnp.float32)
+    kc = network.choice_dst_tab.shape[0]
+    scores = jax.random.gumbel(sub, (kc, n), jnp.float32)
     best = jnp.full((n,), -jnp.inf, jnp.float32)
-    arg = jnp.full((n,), ec, jnp.int32)
-    for k in range(network.choice_tab.shape[0]):
-        e_k = network.choice_tab[k]
-        s_k = jnp.where(network.choice_ok[k], scores[e_k], -jnp.inf)
+    sel = state.selected_road
+    for k in range(kc):
+        s_k = jnp.where(network.choice_ok[k], scores[k], -jnp.inf)
         take = s_k > best
         best = jnp.where(take, s_k, best)
-        arg = jnp.where(take, e_k, arg)
-    has = arg < ec
-    sel = jnp.where(
-        has,
-        network.choice_dst[jnp.minimum(arg, ec - 1)],
-        state.selected_road,
-    ).astype(jnp.int32)
-    return state._replace(selected_road=sel, key=key), None
+        sel = jnp.where(take, network.choice_dst_tab[k], sel)
+    return state._replace(selected_road=sel.astype(jnp.int32), key=key), None
 
 
 def make_shortest_path_choice(

@@ -35,6 +35,12 @@ class RoadState(NamedTuple):
     fifo_ids: jnp.ndarray        # int32[R, Nmax]
     fifo_arrival: jnp.ndarray    # float32[R, Nmax] — tick the agent entered the road
     fifo_departure: jnp.ndarray  # float32[R, Nmax] — earliest tick it may leave
+    # Denormalized copy of each queued agent's DEST node, stamped at insert
+    # and carried along on transfer: withdraw's eligibility scan then reads
+    # it with the same masked row-reductions as the other ring slices instead
+    # of K unsorted agents.dest[...] gathers (~7 ns/element on TPU's serial
+    # gather emitter — the dest lookups alone cost ~0.7 ms/tick at Grid64x64).
+    fifo_dest: jnp.ndarray       # int32[R, Nmax]
     head: jnp.ndarray            # int32[R] — physical index of logical slot 0
     count: jnp.ndarray           # int32[R] — number of agents on the road
 
@@ -46,6 +52,18 @@ class RoadState(NamedTuple):
     def nmax(self) -> int:
         return self.fifo_ids.shape[1]
 
+    def _row_at(self, arr: jnp.ndarray, phys: jnp.ndarray) -> jnp.ndarray:
+        """``arr[r, phys[r]]`` as a masked row-reduction, NOT a gather.
+
+        TPU gathers with per-row dynamic columns hit XLA's serial emitter
+        (~7 ns/element — ~220 us for one [R] read at Grid64x64, measured);
+        the equivalent select+sum over the small Nmax axis is a fused
+        elementwise pass (core.direction's performance note).
+        """
+        col = jnp.arange(self.nmax, dtype=jnp.int32)[None, :]
+        zero = jnp.zeros((), arr.dtype)
+        return jnp.where(col == phys[:, None], arr, zero).sum(axis=1)
+
     def head_ids(self) -> jnp.ndarray:
         """Agent id at each FIFO head (reference: HEAD_FIFO column).
 
@@ -55,18 +73,23 @@ class RoadState(NamedTuple):
         head == agent 0"; the ring buffer must preserve that invariant
         explicitly because popped slots keep their stale contents.
         """
-        raw = jnp.take_along_axis(self.fifo_ids, self.head[:, None], axis=1)[:, 0]
+        raw = self._row_at(self.fifo_ids, self.head)
         return jnp.where(self.count > 0, raw, 0)
 
     def head_arrival(self) -> jnp.ndarray:
         """Arrival time of each head agent; 0 for empty roads (see head_ids)."""
-        raw = jnp.take_along_axis(self.fifo_arrival, self.head[:, None], axis=1)[:, 0]
+        raw = self._row_at(self.fifo_arrival, self.head)
         return jnp.where(self.count > 0, raw, 0.0)
 
     def head_departure(self) -> jnp.ndarray:
         """Departure time of each head agent; 0 for empty roads (see head_ids)."""
-        raw = jnp.take_along_axis(self.fifo_departure, self.head[:, None], axis=1)[:, 0]
+        raw = self._row_at(self.fifo_departure, self.head)
         return jnp.where(self.count > 0, raw, 0.0)
+
+    def head_dests(self) -> jnp.ndarray:
+        """DEST node of each head agent; 0 for empty roads (see head_ids)."""
+        raw = self._row_at(self.fifo_dest, self.head)
+        return jnp.where(self.count > 0, raw, 0)
 
     def tail_ids(self) -> jnp.ndarray:
         """Agent id at each FIFO tail (last pushed; response_mpnn.py:72-77).
@@ -75,7 +98,7 @@ class RoadState(NamedTuple):
         callers must gate on ``count > 0`` exactly as the reference does.
         """
         tail = (self.head + jnp.maximum(self.count - 1, 0)) % self.nmax
-        return jnp.take_along_axis(self.fifo_ids, tail[:, None], axis=1)[:, 0]
+        return self._row_at(self.fifo_ids, tail)
 
     def logical_view(self):
         """(ids, arrival, departure) re-ordered so column 0 is the head —
@@ -93,6 +116,7 @@ def init_road_state(num_roads: int, nmax: int) -> RoadState:
         fifo_ids=jnp.zeros((num_roads, nmax), dtype=jnp.int32),
         fifo_arrival=jnp.zeros((num_roads, nmax), dtype=jnp.float32),
         fifo_departure=jnp.zeros((num_roads, nmax), dtype=jnp.float32),
+        fifo_dest=jnp.zeros((num_roads, nmax), dtype=jnp.int32),
         head=jnp.zeros((num_roads,), dtype=jnp.int32),
         count=jnp.zeros((num_roads,), dtype=jnp.int32),
     )

@@ -99,7 +99,6 @@ def test_shard_map_collective_structure(setup):
     # Compile (don't run) via lower/compile on the wrapped episode.
     import tarl_tpu.parallel.shard_map_episode as sme
 
-    eu, ev, eid, _ = sme._partition_edges(net, 8)
     traced = jax.jit(
         lambda st: sme.run_episode_shard_map(st, net, policy, 8, mesh, sim=sim)
     )
