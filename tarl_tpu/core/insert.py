@@ -5,8 +5,10 @@ TPU-native rewrite of ``Agents.insert_agent_into_network``
 road, computes per-road allowed counts with ``unique_consecutive`` and then
 runs a small Python loop over unique roads (base.py:288-291); here the whole
 assignment — including the capacity clip — is one fused, static-shape
-computation: stable sort by road key, segmented rank via a cumulative max,
-and capacity masking, followed by three scatters into the ring-buffer FIFOs.
+computation: within-group ranks via an O(K^2) pairwise comparison for
+windowed candidate sets (or stable sort + segmented rank for
+whole-population inserts), capacity masking, and four scatters into the
+ring-buffer FIFOs.
 """
 from __future__ import annotations
 
@@ -16,6 +18,10 @@ import jax.numpy as jnp
 from ..config import PhysicsConfig, DEFAULT_PHYSICS
 from ..network import Network
 from ..state import AgentState, RoadState
+
+# Candidate-set size above which the O(K^2) pairwise rank falls back to the
+# argsort form (whole-population inserts); the windowed path stays under it.
+_PAIRWISE_RANK_MAX = 2048
 
 
 
@@ -30,42 +36,56 @@ def _admit_candidates(
 ) -> tuple[RoadState, AgentState]:
     """Shared admission core: capacity-clipped group insert of candidates.
 
-    Stable-sorts candidates by road (preserving agent order within groups,
-    the reference's argsort, base.py:275-277), ranks within groups via a
-    cumulative max, admits ``rank < capacity - CONGESTION_FILE - count``
-    (base.py:280-299), and scatters ids/arrival/departure into the ring
-    buffers with the congestion-law departure stamp (base.py:313-325).
+    The reference stable-sorts candidates by road and ranks within groups
+    (base.py:275-291); ranks here come from an O(K^2) pairwise comparison
+    instead — ``rank_i = #{j < i : road_j == road_i}`` — which is ~K^2 fused
+    boolean ops on the VPU and removes the per-tick sort (the argsort was
+    the largest remaining phase of the slot-major tick).  Identical
+    admission set, slots and stamps: admission order within a road group is
+    candidate order either way.  Admits ``rank < capacity - CONGESTION_FILE
+    - count`` (base.py:280-299) and scatters ids/arrival/departure/dest
+    into the ring buffers with the congestion-law departure stamp
+    (base.py:313-325).
     """
     R = road.num_roads
     Nmax = road.nmax
     A = agents.num_agents
     K = candidate_ids.shape[0]
 
-    order = jnp.argsort(road_key, stable=True)
-    road_sorted = road_key[order]
-    agent_sorted = candidate_ids[order].astype(jnp.int32)
+    if K <= _PAIRWISE_RANK_MAX:
+        road_cand = road_key.astype(jnp.int32)
+        agent_cand = candidate_ids.astype(jnp.int32)
+        same = road_cand[None, :] == road_cand[:, None]    # [K, K]
+        pos = jnp.arange(K, dtype=jnp.int32)
+        earlier = pos[None, :] < pos[:, None]
+        rank = jnp.sum(same & earlier, axis=1).astype(jnp.int32)
+    else:
+        # O(K^2) would blow up for whole-population inserts; fall back to
+        # the stable sort + segmented-rank form (same admission outcome).
+        order = jnp.argsort(road_key, stable=True)
+        road_cand = road_key[order].astype(jnp.int32)
+        agent_cand = candidate_ids[order].astype(jnp.int32)
+        pos = jnp.arange(K, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), road_cand[1:] != road_cand[:-1]]
+        )
+        group_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pos, 0)
+        )
+        rank = pos - group_start
 
-    pos = jnp.arange(K, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
-    )
-    group_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0)
-    )
-    rank = pos - group_start
-
-    safe_road = jnp.minimum(road_sorted, R - 1)
+    safe_road = jnp.minimum(road_cand, R - 1)
     count_before = road.count[safe_road]
     remaining = (
         network.capacity[safe_road]
         - physics.congestion_buffer
         - count_before.astype(jnp.float32)
     ).astype(jnp.int32)
-    ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
+    ok = (road_cand < R) & (rank < remaining) & (remaining > 0)
 
     # Scatter into ring buffers: logical slot = count_before + rank.
     slot = (road.head[safe_road] + count_before + rank) % Nmax
-    rows = jnp.where(ok, road_sorted, R)  # R is out of bounds -> dropped
+    rows = jnp.where(ok, road_cand, R)  # R is out of bounds -> dropped
 
     time_congestion = network.congestion_constant[safe_road] / (
         network.capacity[safe_road]
@@ -74,7 +94,7 @@ def _admit_candidates(
     )
     travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
 
-    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
+    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_cand, mode="drop")
     fifo_arrival = road.fifo_arrival.at[rows, slot].set(
         jnp.broadcast_to(time, (K,)), mode="drop"
     )
@@ -82,13 +102,13 @@ def _admit_candidates(
         time + travel_time, mode="drop"
     )
     fifo_dest = road.fifo_dest.at[rows, slot].set(
-        agents.dest[agent_sorted], mode="drop"
+        agents.dest[agent_cand], mode="drop"
     )
     count_add = jax.ops.segment_sum(
         ok.astype(jnp.int32), rows, num_segments=R + 1
     )[:R]
 
-    inserted_agents = jnp.where(ok, agent_sorted, A)  # A -> dropped
+    inserted_agents = jnp.where(ok, agent_cand, A)  # A -> dropped
     inserted = agents.inserted.at[inserted_agents].set(True, mode="drop")
 
     return (

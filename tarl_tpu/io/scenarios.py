@@ -137,11 +137,16 @@ def bottleneck_scenario(root: str, name: str = "Bottleneck",
     (DijkstraAgents, reference base.py:519-584) routes every co-located agent
     identically, so it can only bang-bang between the routes at its refresh
     period — the classic delayed-feedback oscillation — whereas a stochastic
-    learned policy can realize the split.  Companion experiment to the Braess
-    network (same file): Braess shows equilibrium *selection*, this shows
-    equilibrium *mixing*.
+    learned policy can realize the split.  A third, decoy route (S -> C -> T,
+    free-flow ~250 s, never part of any equilibrium) separates the methods:
+    uniform random wastes a third of the demand on it, the flapping table
+    avoids it but oscillates, and a learned policy must BOTH avoid the decoy
+    AND mix the two good routes.  Companion experiment to the Braess network
+    (same file): Braess shows equilibrium *selection*, this shows equilibrium
+    *mixing*.
     """
-    nodes = [("S", 0, 0), ("A", 500, 200), ("B", 500, -200), ("T", 1000, 0)]
+    nodes = [("S", 0, 0), ("A", 500, 200), ("B", 500, -200),
+             ("C", 500, -600), ("T", 1000, 0)]
     links = [
         # fast, scarce: fftt 20 s/link, 41 cells, queue tt up to ~73 s/link
         dict(id="SA", from_="S", to="A", length=300, capacity=600, freespeed=15, permlanes=1),
@@ -149,6 +154,9 @@ def bottleneck_scenario(root: str, name: str = "Bottleneck",
         # slow, plentiful: fftt 70+10 s, effectively uncongestible here
         dict(id="SB", from_="S", to="B", length=1050, capacity=3600, freespeed=15, permlanes=1),
         dict(id="BT", from_="B", to="T", length=150, capacity=3600, freespeed=15, permlanes=1),
+        # decoy: fftt 240+10 s, plentiful — never optimal
+        dict(id="SC", from_="S", to="C", length=1200, capacity=3600, freespeed=5, permlanes=1),
+        dict(id="CT", from_="C", to="T", length=150, capacity=3600, freespeed=15, permlanes=1),
         # return link so T is not a sink in the dual graph
         dict(id="TS", from_="T", to="S", length=1400, capacity=3600, freespeed=20, permlanes=1),
     ]
