@@ -39,15 +39,24 @@ from tarl_tpu.rl.trainer import ppo_train
 from tarl_tpu.routing.policies import random_choice
 from tarl_tpu.simulator import make_policy
 
-# Hyperparameters found by the round-2 sweep (see docs/LEARNING.md):
-# dense progress shaping, strong-ish discounting (routes differ by tens of
-# seconds ~ tens of steps), distance prior at scale 30.
+# Hyperparameters found by the round-2 sweeps (see docs/LEARNING.md):
+# Braess/Easy — dense progress shaping, strong-ish discounting (routes
+# differ by tens of seconds ~ tens of steps), distance prior at scale 30.
+# Bottleneck — the "system" reward (TSTT; the mixing objective) with an
+# entropy coefficient high enough to hold the A/B split open while the
+# distance prior keeps the decoy route closed; evaluated STOCHASTICALLY
+# (a mixed equilibrium is a mixed strategy — argmax cannot express it).
 RL = dict(rollout_steps=512, minibatch_size=128, num_epochs=4,
           entropy_coef=0.003, learning_rate=1e-3,
           reward_mode="progress", gamma=0.98, gae_lambda=0.9)
+RL_OVERRIDES = {
+    "Bottleneck": dict(reward_mode="system", gamma=0.997, gae_lambda=0.95,
+                       entropy_coef=0.03),
+}
+STOCHASTIC_HEADLINE = {"Bottleneck"}
 PRIOR_SCALE = 30.0
-EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 4000}
-ITERATIONS = {"Braess": 1000, "Easy": 1200, "Bottleneck": 1000}
+EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 5000}
+ITERATIONS = {"Braess": 1000, "Easy": 1200, "Bottleneck": 1500}
 
 
 def metrics_from(agents, road, t, net) -> dict:
@@ -100,7 +109,7 @@ def main(argv=None):
         print(f"{algo:18}: {table[f'classical_{algo}']}", flush=True)
 
     # --- mpnn+ppo ---------------------------------------------------------
-    rl = RLConfig(**RL)
+    rl = RLConfig(**{**RL, **RL_OVERRIDES.get(scen, {})})
     pnet = MPNNPolicyNet(
         num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
         use_distance_prior=True, prior_scale=PRIOR_SCALE,
@@ -137,7 +146,8 @@ def main(argv=None):
         "scenario": scen,
         "iterations": iters,
         "train_seconds": round(train_s, 1),
-        "hyperparameters": {**RL, "prior_scale": PRIOR_SCALE},
+        "hyperparameters": {**RL, **RL_OVERRIDES.get(scen, {}),
+                            "prior_scale": PRIOR_SCALE},
         "eval_steps": eval_steps,
         "table": table,
     }
@@ -145,7 +155,9 @@ def main(argv=None):
         json.dump(result, f, indent=2)
     print(f"wrote {out}/eval_table.json")
 
-    tr = table["mpnn_trained_greedy"]
+    headline = ("mpnn_trained_stochastic" if scen in STOCHASTIC_HEADLINE
+                else "mpnn_trained_greedy")
+    tr = table[headline]
     rnd = table["classical_random"]
     dij = table["classical_dijkstra"]
     ok_att = tr["avg_travel_time_s"] < rnd["avg_travel_time_s"] or (
