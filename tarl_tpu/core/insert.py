@@ -104,12 +104,26 @@ def _admit_candidates(
     fifo_dest = road.fifo_dest.at[rows, slot].set(
         agents.dest[agent_cand], mode="drop"
     )
-    count_add = jax.ops.segment_sum(
-        ok.astype(jnp.int32), rows, num_segments=R + 1
-    )[:R]
+    if K <= _PAIRWISE_RANK_MAX:
+        # Per-road admitted counts via the same pairwise trick (a [K, R]
+        # compare+sum is fused VPU work; the segment_sum alternative is
+        # another serialized scatter).
+        count_add = jnp.sum(
+            ok[:, None] & (road_cand[:, None] == jnp.arange(R)[None, :]),
+            axis=0,
+        ).astype(jnp.int32)
+    else:
+        count_add = jax.ops.segment_sum(
+            ok.astype(jnp.int32), rows, num_segments=R + 1
+        )[:R]
 
+    # Scatter into an int32 staging vector: TPU bool scatters run ~7x
+    # slower than int32 ones (measured); the OR is a fused [A] pass.
     inserted_agents = jnp.where(ok, agent_cand, A)  # A -> dropped
-    inserted = agents.inserted.at[inserted_agents].set(True, mode="drop")
+    ins_delta = jnp.zeros((A,), jnp.int32).at[inserted_agents].set(
+        1, mode="drop"
+    )
+    inserted = agents.inserted | (ins_delta > 0)
 
     return (
         road._replace(

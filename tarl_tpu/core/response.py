@@ -44,7 +44,8 @@ def confirm_step(
     del network
     R = road.num_roads
     pop_src = jnp.where(accept, win_src, R)
-    popped = jnp.zeros((R,), bool).at[pop_src].set(True, mode="drop")
+    # int32 staging: TPU bool scatters run ~7x slower (measured).
+    popped = jnp.zeros((R,), jnp.int32).at[pop_src].set(1, mode="drop") > 0
     new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
     new_count = road.count - popped.astype(jnp.int32)
     return road._replace(head=new_head, count=new_count), popped

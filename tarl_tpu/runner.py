@@ -315,7 +315,7 @@ def main(argv=None):
                              "the device mesh)")
     parser.add_argument("--reward-mode", default="progress",
                         choices=["progress", "on_network", "individual",
-                                 "throughput"],
+                                 "throughput", "system"],
                         help="'progress' (default) = potential-based shaping "
                              "that demonstrably learns (docs/LEARNING.md); "
                              "'on_network' = the reference's live reward")
