@@ -56,7 +56,7 @@ RL_OVERRIDES = {
 STOCHASTIC_HEADLINE = {"Bottleneck"}
 PRIOR_SCALE = 30.0
 EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 5000}
-ITERATIONS = {"Braess": 1000, "Easy": 1200, "Bottleneck": 1500}
+ITERATIONS = {"Braess": 1000, "Easy": 600, "Bottleneck": 1500}
 
 
 def metrics_from(agents, road, t, net) -> dict:

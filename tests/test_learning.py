@@ -67,3 +67,45 @@ def test_ppo_learns_braess_routing_from_scratch(tmp_path):
         f"no learning: untrained ({done0} done, {att0:.1f}s) vs "
         f"trained ({done1} done, {att1:.1f}s)"
     )
+
+
+def test_ppo_learns_bottleneck_mixing(tmp_path):
+    """Equilibrium-mixing regression (docs/LEARNING.md, Bottleneck): under
+    the "system" reward (TSTT with the stranding exploit closed) and an
+    entropy coefficient that keeps the two good routes mixed, the stochastic
+    trained policy must deliver everyone and decisively beat both the
+    untrained policy (~375 s, floods the fast route) and uniform random
+    (~123 s, wastes a third of demand on the decoy).  Calibrated: 600
+    iterations reach 81.8-89.9 s across seeds; classical dijkstra scores
+    80.5 s (the full 1500-iteration demo reaches 73.4 s, beating it)."""
+    from tarl_tpu.io.scenarios import bottleneck_scenario
+
+    base = bottleneck_scenario(str(tmp_path))
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    st = init_sim_state(net, agents, policy=Policy(choice=random_choice))
+    rl = RLConfig(rollout_steps=512, minibatch_size=128, num_epochs=4,
+                  entropy_coef=0.03, learning_rate=1e-3,
+                  reward_mode="system", progress_scale=100.0,
+                  gamma=0.997, gae_lambda=0.95)
+    pnet = MPNNPolicyNet(
+        num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
+        use_distance_prior=True, prior_scale=30.0,
+    )
+    ppo = PPO(net, pnet, MPNNValueNetSimple(), rl=rl)
+    ts = ppo.init(st, jax.random.PRNGKey(0))
+    for _ in range(600):
+        ts, _ = ppo.train_iteration(ts)
+
+    env, *_ = ppo.eval_rollout(
+        ts.params, st, jax.random.PRNGKey(3), 5000, deterministic=False
+    )
+    a = env.sim.agents
+    done_n = int(a.done[1:].sum())
+    att = float(
+        jnp.where(a.done, a.arrival - a.departure, 0).sum() / max(done_n, 1)
+    )
+    assert done_n == agents.num_agents - 1, f"delivered {done_n}"
+    assert att < 110.0, f"stochastic avg travel {att:.1f} >= 110"
