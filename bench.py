@@ -14,9 +14,9 @@ Scenario: 16x16 Manhattan grid (960 roads) with 50,000 commuters, random
 route choice, 2 h of simulated time at 1 s ticks.  Compile time is excluded
 (one warmup chunk); wall time covers the full on-device scan including all
 metric accumulators (hourly traffic counts AND hourly road-optimality).
-Withdraw depth 4 / insert window 1024: outcome-identical to the unbounded
-reference semantics on this workload (verified done-count/att parity up to
-Grid8x8), chosen for per-tick memory traffic.  The core runs the slot-major
+Withdraw depth 2 / insert window 1024: outcome-identical to the unbounded
+reference semantics on this workload (verified done-count/att parity at depths 1/2/4/8/None up to Grid8x8),
+chosen for per-tick memory traffic.  The core runs the slot-major
 XLA path (core/direction.py) — measured faster than the Pallas fused kernel
 at every size since the gather-free redesign.
 """
@@ -38,7 +38,7 @@ SIM_SECONDS = int(os.environ.get("TARL_BENCH_SECONDS", "7200"))
 TIMESTEP = 1
 CHUNK = int(os.environ.get("TARL_BENCH_CHUNK", "1024"))
 WINDOW = int(os.environ.get("TARL_BENCH_WINDOW", "1024"))
-DEPTH = int(os.environ.get("TARL_BENCH_DEPTH", "4"))
+DEPTH = int(os.environ.get("TARL_BENCH_DEPTH", "2"))
 
 
 def main() -> None:

@@ -199,6 +199,7 @@ def primal_all_pairs_dist(
     inter_out_ok: jnp.ndarray,    # bool[I, K]
     road_to: jnp.ndarray,         # int32[R] — head intersection of each road
     max_iters: int | None = None,
+    dist0: jnp.ndarray | None = None,  # float32[I, I] upper bound warm start
 ) -> jnp.ndarray:
     """All-pairs distances over the PRIMAL (intersection) graph: float32[I, I].
 
@@ -216,7 +217,14 @@ def primal_all_pairs_dist(
     i_n = inter_out_road.shape[0]
     iters = (i_n - 1) if max_iters is None else max_iters
     eye = jnp.eye(i_n, dtype=bool)
-    dist0 = jnp.where(eye, 0.0, BIG)
+    if dist0 is None:
+        dist0 = jnp.where(eye, 0.0, BIG)
+    else:
+        # Warm start: any VALID UPPER BOUND converges (relaxation only
+        # lowers); callers pass prev_dist * max(new_cost/old_cost), which
+        # bounds every path's revaluation, so the while_loop's early exit
+        # fires after a few sweeps instead of a diameter's worth.
+        dist0 = jnp.where(eye, 0.0, dist0)
     w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
     succ = road_to[inter_out_road]  # [I, K]
 

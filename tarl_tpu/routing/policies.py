@@ -185,14 +185,50 @@ def primal_table_init(network: Network, max_iters: int | None = None):
 
     Packed as ``concat(dist[I, I].ravel(), road_cost[R])`` — one flat float32
     array so the scan carry keeps a single routing slot (state.next_hop).
-    """
-    from .bellman_ford import primal_all_pairs_dist
 
-    dist = primal_all_pairs_dist(
-        network.free_flow, network.inter_out_road, network.inter_out_ok,
-        network.road_to, max_iters=max_iters,
+    For LARGE networks the one-time free-flow table is computed on the HOST
+    with scipy's sparse Dijkstra: the cold on-device relaxation needs a
+    diameter's worth of sweeps and each sweep's [I, K, I] gather hits XLA's
+    serial emitter (~400 s at Grid64x64, measured); scipy does the same
+    table in seconds.  Small networks keep the device BF so the free-flow
+    table is bit-for-bit the dual backend's (float summation order), which
+    the cross-backend episode-equality tests rely on.  Congested refreshes
+    always stay on device, warm-started from the carried table
+    (make_shortest_path_choice_primal).
+    """
+    import numpy as np
+
+    from .bellman_ford import BIG, primal_all_pairs_dist
+
+    i_n = network.num_intersections
+    if i_n * i_n <= 1_000_000:
+        dist = primal_all_pairs_dist(
+            network.free_flow, network.inter_out_road, network.inter_out_ok,
+            network.road_to, max_iters=max_iters,
+        )
+        return jnp.concatenate([dist.ravel(), network.free_flow])
+
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import dijkstra as host_dijkstra
+    ok = np.asarray(network.inter_out_ok)         # [I, K]
+    out_r = np.asarray(network.inter_out_road)    # [I, K]
+    road_to = np.asarray(network.road_to)
+    cost = np.asarray(network.free_flow)
+    mask = ok.ravel()                             # inter-major [I*K]
+    src = np.repeat(np.arange(i_n), ok.shape[1])[mask]
+    roads = out_r.ravel()[mask]
+    graph = csr_matrix(
+        (cost[roads], (src, road_to[roads])), shape=(i_n, i_n)
     )
-    return jnp.concatenate([dist.ravel(), network.free_flow])
+    dist = host_dijkstra(graph, directed=True)
+    # scipy can return duplicate-edge-summed entries only if (src, dst)
+    # repeats; the dual construction yields at most one turn edge per
+    # ordered pair, and csr_matrix sums duplicates of parallel roads —
+    # conservative (an upper bound), corrected by the first device refresh.
+    dist = np.where(np.isfinite(dist), dist, float(BIG)).astype(np.float32)
+    return jnp.concatenate(
+        [jnp.asarray(dist).ravel(), network.free_flow]
+    )
 
 
 def make_shortest_path_choice_primal(
@@ -214,13 +250,24 @@ def make_shortest_path_choice_primal(
     """
 
     def choice(state: SimState, network: Network):
-        from .bellman_ford import primal_all_pairs_dist, road_costs
+        from .bellman_ford import BIG, primal_all_pairs_dist, road_costs
+
+        i_n = network.num_intersections
 
         def refresh(_):
             cost = road_costs(state.road, network, physics)
+            # Warm start from the previous table inflated by the worst
+            # per-road cost ratio — a valid upper bound on every new
+            # distance, so relaxation converges down to the exact table
+            # (and the early exit fires fast when congestion barely moved).
+            prev_dist = state.next_hop[: i_n * i_n].reshape(i_n, i_n)
+            prev_cost = state.next_hop[i_n * i_n:]
+            ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+            dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
             dist = primal_all_pairs_dist(
                 cost, network.inter_out_road, network.inter_out_ok,
                 network.road_to, max_iters=routing.max_bf_iters,
+                dist0=dist0,
             )
             return jnp.concatenate([dist.ravel(), cost])
 
