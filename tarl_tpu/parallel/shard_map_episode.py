@@ -28,13 +28,14 @@ pinned:
   tie-break as ``core.direction``.
 
 Supported policies: ``random_choice`` (reads no road state, so its
-replicated recomputation is exact) and the shortest-path policy
-(``Policy.needs_next_hop``): its all-pairs Bellman-Ford refresh and
-per-road next-hop selection run REPLICATED on every shard from the
-halo-gathered counts/head ids — the [N, N] table is routing scratch, not
-simulation state, and recomputing it everywhere is cheaper than sharding
-it.  The direction/response pair uses the fused win-pop formulation proven
-equivalent in ``core.fused_core``.
+replicated recomputation is exact) and the shortest-path policy in BOTH
+table backends — the dense dual [N, N] form (``Policy.needs_next_hop``)
+and the O(I^2) primal form (``Policy.table_init``, for large networks):
+either refresh and its per-road next-hop selection run REPLICATED on every
+shard from the halo-gathered counts/head ids — the table is routing
+scratch, not simulation state, and recomputing it everywhere is cheaper
+than sharding it.  The direction/response pair uses the fused win-pop
+formulation proven equivalent in ``core.fused_core``.
 """
 from __future__ import annotations
 
@@ -85,7 +86,8 @@ def run_episode_shard_map(
     """
     from ..routing.policies import random_choice
 
-    shortest = policy.needs_next_hop
+    primal = policy.table_init is not None
+    shortest = policy.needs_next_hop or primal
     assert shortest or policy.choice is random_choice, (
         "shard_map episode supports the random and shortest-path policies"
     )
@@ -156,7 +158,18 @@ def run_episode_shard_map(
         # ---- insert (replicated candidate math, local scatter) ----------
         _, _, _, count_g, head_g, _ = halo(road)
         ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
-        if shortest:
+        if primal:
+            # Per-agent entry roads from the primal scratch (replicated;
+            # primal_entry_lookup equivalent).
+            from ..routing.policies import _dest_inter, _primal_argmin_road
+
+            from_i = jnp.clip(
+                (agents.origin - R) // 2, 0, network.num_intersections - 1
+            )
+            entry = _primal_argmin_road(
+                st.next_hop, network, from_i, _dest_inter(network, agents.dest)
+            )
+        elif shortest:
             # Per-agent entry roads (shortest_path_entry, replicated).
             entry = st.next_hop[agents.origin, agents.dest]
         else:
@@ -270,7 +283,45 @@ def run_episode_shard_map(
         # ---- choice (replicated computation on every shard) -------------
         # Halo #2: post-withdraw head summary, shared by choice and core.
         head_id_g, head_arr_g, head_dep_g, count_g, _, head_dest_g = halo(road)
-        if shortest:
+        if primal:
+            # Replicated primal refresh + lookups, mirroring
+            # make_shortest_path_choice_primal (costs from the halo counts).
+            from ..routing.bellman_ford import BIG, primal_all_pairs_dist
+            from ..routing.policies import _dest_inter, _primal_argmin_road
+
+            i_n = network.num_intersections
+
+            def refresh_p(_):
+                tc = cc / (
+                    cap + physics.congestion_softening
+                    - count_g.astype(jnp.float32)
+                )
+                cost = jnp.maximum(ff, tc)
+                prev_dist = st.next_hop[: i_n * i_n].reshape(i_n, i_n)
+                prev_cost = st.next_hop[i_n * i_n:]
+                ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+                dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
+                dist = primal_all_pairs_dist(
+                    cost, network.inter_out_road, network.inter_out_ok,
+                    network.road_to, max_iters=routing.max_bf_iters,
+                    dist0=dist0,
+                )
+                return jnp.concatenate([dist.ravel(), cost])
+
+            do_refresh = st.choice_count % routing.refresh_rate == 0
+            buf = jax.lax.cond(
+                do_refresh, refresh_p, lambda _: st.next_hop, operand=None
+            )
+            dest_i = _dest_inter(network, agents.dest[head_id_g])
+            sel_roads = _primal_argmin_road(
+                buf, network, network.road_to, dest_i
+            )
+            sel = st.selected_road.at[:R].set(sel_roads)
+            key = st.key
+            st = st._replace(
+                next_hop=buf, choice_count=st.choice_count + 1
+            )
+        elif shortest:
             from ..routing.bellman_ford import all_pairs_next_hop_nbr
 
             n_nodes = network.num_nodes
