@@ -188,9 +188,14 @@ def grid_scenario(
     peak_start: int = 6 * 3600,
     peak_spread: int = 3600,
     seed: int = 0,
+    num_dest_zones: Optional[int] = None,
 ) -> str:
     """An ``rows x cols`` Manhattan grid with bidirectional links and a random
-    commuter population drawn over all intersection pairs."""
+    commuter population drawn over all intersection pairs.
+
+    ``num_dest_zones`` restricts trip destinations to a random subset of that
+    many intersections (commuter "work zones") — the population shape the
+    destination-restricted routing tables are built for."""
     name = name or f"Grid{rows}x{cols}"
     nodes = []
     for r in range(rows):
@@ -216,8 +221,24 @@ def grid_scenario(
 
     rng = np.random.default_rng(seed)
     inter_ids = [n[0] for n in nodes]
+    if num_dest_zones is not None:
+        zones = rng.choice(len(inter_ids), size=num_dest_zones, replace=False)
     trips = []
     for i in range(num_agents):
+        if num_dest_zones is not None:
+            o = int(rng.integers(0, len(inter_ids)))
+            d = int(zones[rng.integers(0, num_dest_zones)])
+            while d == o:
+                o = int(rng.integers(0, len(inter_ids)))
+            dep = peak_start + int(rng.integers(0, peak_spread))
+            hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60
+            trips.append(
+                dict(person=f"p{i}", origin=inter_ids[o], dest=inter_ids[d],
+                     end_time=f"{hh:02d}:{mm:02d}:{ss:02d}",
+                     age=int(rng.integers(18, 80)),
+                     sex="f" if rng.random() < 0.5 else "m")
+            )
+            continue
         o, d = rng.choice(len(inter_ids), size=2, replace=False)
         dep = peak_start + int(rng.integers(0, peak_spread))
         hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60

@@ -228,6 +228,41 @@ def primal_all_pairs_dist(
         # bounds every path's revaluation, so the while_loop's early exit
         # fires after a few sweeps instead of a diameter's worth.
         dist0 = jnp.where(eye, 0.0, dist0)
+    return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
+                         road_to, iters)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def primal_dest_dist(
+    road_cost: jnp.ndarray,       # float32[R]
+    inter_out_road: jnp.ndarray,  # int32[I, K]
+    inter_out_ok: jnp.ndarray,    # bool[I, K]
+    road_to: jnp.ndarray,         # int32[R]
+    dest_list: jnp.ndarray,       # int32[D] — destination intersections
+    max_iters: int | None = None,
+    dist0: jnp.ndarray | None = None,  # float32[I, D] warm start
+) -> jnp.ndarray:
+    """Destination-restricted primal distances: float32[I, D].
+
+    Real populations commute to a concentrated set of destination zones, so
+    the routing table only needs columns for intersections that actually
+    appear as trip destinations — O(I*D) instead of O(I^2) memory and sweep
+    work (13 MB instead of 1 GB at Grid128x128 with 200 zones).  Same
+    relaxation and warm-start semantics as :func:`primal_all_pairs_dist`.
+    """
+    i_n = inter_out_road.shape[0]
+    iters = (i_n - 1) if max_iters is None else max_iters
+    anchor = jnp.arange(i_n, dtype=jnp.int32)[:, None] == dest_list[None, :]
+    if dist0 is None:
+        dist0 = jnp.where(anchor, 0.0, BIG)
+    else:
+        dist0 = jnp.where(anchor, 0.0, dist0)
+    return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
+                         road_to, iters)
+
+
+def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
+                  iters):
     w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
     succ = road_to[inter_out_road]  # [I, K]
     k_n = succ.shape[1]

@@ -150,26 +150,32 @@ def make_shortest_path_choice(
     return choice
 
 
-def _primal_argmin_road(buf, network, from_inter, dest_inter):
-    """Best outgoing road at each ``from_inter`` toward ``dest_inter``.
-
-    ``buf`` is the packed primal routing scratch (see
-    :func:`make_shortest_path_choice_primal`).  Returns int32 roads, -1 when
-    nothing is reachable.  Slot order matches the dual table's tie-breaks.
-    """
-    i_n = network.num_intersections
-    dist = buf[: i_n * i_n].reshape(i_n, i_n)
-    cost = buf[i_n * i_n:]
+def _argmin_road(dist, cost, network, from_inter, dest_col):
+    """Best outgoing road at each ``from_inter`` toward table column
+    ``dest_col`` of ``dist`` ([I, D]; D == I for the all-pairs form).
+    Returns int32 roads, -1 when nothing is reachable.  Slot order matches
+    the dual table's tie-breaks."""
     out_r = network.inter_out_road[from_inter]        # [..., K]
     ok = network.inter_out_ok[from_inter]
     cand = jnp.where(
-        ok, cost[out_r] + dist[network.road_to[out_r], dest_inter[..., None]],
+        ok, cost[out_r] + dist[network.road_to[out_r], dest_col[..., None]],
         jnp.float32(1e18),
     )
     k = jnp.argmin(cand, axis=-1)
     best = jnp.take_along_axis(out_r, k[..., None], axis=-1)[..., 0]
     reachable = jnp.take_along_axis(cand, k[..., None], axis=-1)[..., 0] < 1e18
     return jnp.where(reachable, best, -1).astype(jnp.int32)
+
+
+def _primal_argmin_road(buf, network, from_inter, dest_inter):
+    """Best outgoing road at each ``from_inter`` toward ``dest_inter``.
+
+    ``buf`` is the packed all-pairs primal routing scratch (see
+    :func:`make_shortest_path_choice_primal`)."""
+    i_n = network.num_intersections
+    dist = buf[: i_n * i_n].reshape(i_n, i_n)
+    cost = buf[i_n * i_n:]
+    return _argmin_road(dist, cost, network, from_inter, dest_inter)
 
 
 def _dest_inter(network, dest_nodes):
@@ -182,6 +188,10 @@ def _dest_inter(network, dest_nodes):
 
 def primal_table_init(network: Network, max_iters: int | None = None):
     """Free-flow primal routing scratch for :class:`~tarl_tpu.state.SimState`.
+
+    NOTE: ``max_iters`` caps the device relaxation for the INIT only when
+    explicitly passed; `make_policy` passes None so the free-flow anchor is
+    always exact regardless of the refresh cap.
 
     Packed as ``concat(dist[I, I].ravel(), road_cost[R])`` — one flat float32
     array so the scan carry keeps a single routing slot (state.next_hop).
@@ -288,6 +298,94 @@ def make_shortest_path_choice_primal(
         return new_state, None
 
     return choice
+
+
+def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING,
+                           physics: PhysicsConfig = DEFAULT_PHYSICS):
+    """Destination-restricted primal routing: ``(choice, entry_lookup,
+    table_init)`` callables over a ``dist[I, D]`` table whose columns are
+    the population's actual destination intersections.
+
+    O(I*D) memory and sweep work instead of O(I^2) — the scalable form for
+    metropolitan networks with concentrated commuting destinations (e.g.
+    Grid128x128 with 200 work zones: 13 MB instead of 1 GB).  Same costs,
+    refresh cadence, warm start and tie-breaks as the all-pairs backend;
+    lookups map a destination intersection to its column (destinations
+    outside the set — only the dummy agent's — read column 0, whose value
+    is never used).
+    """
+    import numpy as np
+
+    dest_np = np.unique(np.asarray(dest_inters, dtype=np.int32))
+    d_n = int(dest_np.shape[0])
+    dest_list = jnp.asarray(dest_np)
+
+    def col_of(network):
+        col = np.zeros((network.num_intersections,), np.int32)
+        col[dest_np] = np.arange(d_n, dtype=np.int32)
+        return jnp.asarray(col)
+
+    def unpack(buf, network):
+        i_n = network.num_intersections
+        return buf[: i_n * d_n].reshape(i_n, d_n), buf[i_n * d_n:]
+
+    def table_init(network):
+        # The free-flow table must be EXACT (it anchors every warm-started
+        # refresh); only refreshes honor routing.max_bf_iters.
+        from .bellman_ford import primal_dest_dist
+
+        dist = primal_dest_dist(
+            network.free_flow, network.inter_out_road, network.inter_out_ok,
+            network.road_to, dest_list, max_iters=None,
+        )
+        return jnp.concatenate([dist.ravel(), network.free_flow])
+
+    def choice(state: SimState, network: Network):
+        from .bellman_ford import BIG, primal_dest_dist, road_costs
+
+        i_n = network.num_intersections
+
+        def refresh(_):
+            cost = road_costs(state.road, network, physics)
+            prev_dist = state.next_hop[: i_n * d_n].reshape(i_n, d_n)
+            prev_cost = state.next_hop[i_n * d_n:]
+            ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+            dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
+            dist = primal_dest_dist(
+                cost, network.inter_out_road, network.inter_out_ok,
+                network.road_to, dest_list, max_iters=routing.max_bf_iters,
+                dist0=dist0,
+            )
+            return jnp.concatenate([dist.ravel(), cost])
+
+        do_refresh = state.choice_count % routing.refresh_rate == 0
+        buf = jax.lax.cond(
+            do_refresh, refresh, lambda _: state.next_hop, operand=None
+        )
+        dist, cost = unpack(buf, network)
+        head_ids = state.road.head_ids()
+        dcol = col_of(network)[_dest_inter(network, state.agents.dest[head_ids])]
+        sel_roads = _argmin_road(dist, cost, network, network.road_to, dcol)
+        sel = state.selected_road.at[: network.num_roads].set(sel_roads)
+        return state._replace(
+            selected_road=sel, next_hop=buf,
+            choice_count=state.choice_count + 1,
+        ), None
+
+    def entry_lookup(state, network, agent_ids=None):
+        origin = (state.agents.origin if agent_ids is None
+                  else state.agents.origin[agent_ids])
+        dest = (state.agents.dest if agent_ids is None
+                else state.agents.dest[agent_ids])
+        from_i = jnp.clip(
+            (origin - network.num_roads) // 2, 0,
+            network.num_intersections - 1,
+        )
+        dist, cost = unpack(state.next_hop, network)
+        dcol = col_of(network)[_dest_inter(network, dest)]
+        return _argmin_road(dist, cost, network, from_i, dcol)
+
+    return choice, entry_lookup, table_init
 
 
 def primal_entry_lookup(state, network, agent_ids=None):

@@ -66,6 +66,7 @@ def make_policy(
     routing: RoutingConfig = DEFAULT_ROUTING,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     network=None,
+    dest_inters=None,
 ) -> Policy:
     """Policy factory for the classical algorithms (runner.py:36-42).
 
@@ -92,6 +93,20 @@ def make_policy(
                 raise ValueError(
                     "strict_compat requires the dual routing backend"
                 )
+            if dest_inters is not None:
+                # Destination-restricted tables: O(I*D) — for metropolitan
+                # networks with concentrated commuting destinations.
+                from .routing.policies import make_primal_dest_parts
+
+                choice, entry_lookup, table_init = make_primal_dest_parts(
+                    dest_inters, routing, physics
+                )
+                return Policy(
+                    choice=choice,
+                    entry=lambda s, n: entry_lookup(s, n),
+                    entry_lookup=entry_lookup,
+                    table_init=table_init,
+                )
             from .routing.policies import (
                 make_shortest_path_choice_primal,
                 primal_entry_lookup,
@@ -103,8 +118,9 @@ def make_policy(
                 choice=make_shortest_path_choice_primal(routing, physics),
                 entry=lambda s, n: primal_entry_lookup(s, n),
                 entry_lookup=primal_entry_lookup,
+                # Init must be exact; only refreshes honor max_bf_iters.
                 table_init=functools.partial(
-                    primal_table_init, max_iters=routing.max_bf_iters
+                    primal_table_init, max_iters=None
                 ),
             )
         choice = make_shortest_path_choice(routing, physics)

@@ -430,6 +430,82 @@ class TestPrimalRouting:
         assert int(finals["primal"].agents.done[1:].sum()) > 0
 
 
+class TestDestRestrictedPrimal:
+    """The destination-restricted primal tables (dist[I, D]) must agree with
+    the all-pairs backend wherever a column exists, and a full episode with
+    the restriction covering the population's destinations must be
+    bitwise-identical to the unrestricted primal episode."""
+
+    def test_dest_dist_matches_all_pairs(self):
+        import os
+        import tempfile
+
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.routing.bellman_ford import (
+            primal_all_pairs_dist,
+            primal_dest_dist,
+        )
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        net = load_network(os.path.join(base, "network"))
+        rng = np.random.default_rng(2)
+        cost = jnp.asarray(rng.uniform(1.0, 50.0, net.num_roads), jnp.float32)
+        dests = jnp.asarray([1, 5, 11], jnp.int32)
+        full = primal_all_pairs_dist(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        restricted = primal_dest_dist(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to, dests
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full[:, np.asarray(dests)]), np.asarray(restricted)
+        )
+
+    def test_dest_restricted_episode_matches_full(self, tmp_path):
+        import os
+        import tempfile
+
+        from tarl_tpu.config import RoutingConfig, SimConfig
+        from tarl_tpu.core.step import init_sim_state, run_episode
+        from tarl_tpu.io.matsim import load_network, load_population
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.simulator import make_policy
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        net = load_network(os.path.join(base, "network"))
+        agents, _ = load_population(
+            os.path.join(base, "population"), os.path.join(base, "network")
+        )
+        dest_inters = np.unique(
+            (np.asarray(agents.dest[1:]) - net.num_roads - 1) // 2
+        )
+        sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+        finals = {}
+        for tag, kwargs in (
+            ("full", {}),
+            ("restricted", {"dest_inters": dest_inters}),
+        ):
+            pol = make_policy(
+                "dijkstra", RoutingConfig(backend="primal"), network=net,
+                **kwargs,
+            )
+            s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+            final, _ = run_episode(s0, net, pol, 1500, sim=sim)
+            finals[tag] = final
+        np.testing.assert_array_equal(
+            np.asarray(finals["full"].agents.arrival),
+            np.asarray(finals["restricted"].agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(finals["full"].road.count),
+            np.asarray(finals["restricted"].road.count),
+        )
+        assert int(finals["restricted"].agents.done[1:].sum()) > 0
+
+
 class TestPingPongConfirm:
     """Regression for the reference's response double-fire (documented
     deviation, core/response.py): when agent a transfers u -> v onto an
