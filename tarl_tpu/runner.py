@@ -59,6 +59,7 @@ class RunnerArgs:
     reward_mode: str = "progress"
     distance_prior: bool = True
     gamma: float = 0.98
+    entropy_coef: float = 0.003   # 0.03 is the Bottleneck mixing recipe
     data_root: str = "data"
     save_root: str = "save"
 
@@ -112,7 +113,7 @@ class Runner:
                 gamma=a.gamma,
                 gae_lambda=0.9 if a.reward_mode == "progress" else 0.95,
                 minibatch_size=min(128, a.rollout_steps),
-                entropy_coef=0.003,
+                entropy_coef=a.entropy_coef,
             )
             value_uses_graph = False
             if a.algo.startswith("transformer"):
@@ -324,6 +325,9 @@ def main(argv=None):
                         help="Disable the shortest-path logit prior "
                              "(the reference's intended compute_dijkstra_logits)")
     parser.add_argument("--gamma", type=float, default=0.98)
+    parser.add_argument("--entropy-coef", type=float, default=0.003,
+                        help="PPO entropy bonus (0.03 = the equilibrium-"
+                             "mixing recipe, docs/LEARNING.md)")
     args = parser.parse_args(argv)
 
     runner = Runner(
@@ -346,6 +350,7 @@ def main(argv=None):
             reward_mode=args.reward_mode,
             distance_prior=args.distance_prior,
             gamma=args.gamma,
+            entropy_coef=args.entropy_coef,
         )
     )
     runner.setup()
