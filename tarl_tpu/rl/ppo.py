@@ -133,6 +133,7 @@ class PPO:
         )
 
         self._train_iteration = jax.jit(self._train_iteration_impl)
+        self._eval_cache: dict = {}
 
     # ------------------------------------------------------------------
     def _policy_logits(self, policy_params, x):
@@ -373,28 +374,34 @@ class PPO:
         the classical path records for the leg histogram
         (transportation_simulator.py:344-349).
         """
+        cache_key = (num_steps, deterministic)
+        run = self._eval_cache.get(cache_key)
+        if run is None:
+            # One jitted program per (length, mode): defining the closure
+            # inline per call would make every eval a fresh trace.
+            @jax.jit
+            def run(params, sim_state, key):
+                env, obs = env_reset(sim_state, self.network, self.rl,
+                                     self.physics, self._dist_ff)
 
-        @functools.partial(jax.jit, static_argnames=())
-        def run(params, sim_state, key):
-            env, obs = env_reset(sim_state, self.network, self.rl,
-                             self.physics, self._dist_ff)
+                def step(carry, _):
+                    env, obs, key = carry
+                    key, k = jax.random.split(key)
+                    action = self.act(params, env, obs, k, deterministic)
+                    env, obs, reward, done, info = env_step(
+                        env, action, self.network, self.rl, self.sim_cfg,
+                        self.physics, dist_ff=self._dist_ff,
+                    )
+                    out = (reward, done, info["arrivals"], info["on_network"],
+                           env.sim.time)
+                    return (env, obs, key), out
 
-            def step(carry, _):
-                env, obs, key = carry
-                key, k = jax.random.split(key)
-                action = self.act(params, env, obs, k, deterministic)
-                env, obs, reward, done, info = env_step(
-                    env, action, self.network, self.rl, self.sim_cfg, self.physics,
-                    dist_ff=self._dist_ff,
+                (env, obs, key), (rewards, dones, arrivals, on_net, times) = (
+                    jax.lax.scan(step, (env, obs, key), length=num_steps)
                 )
-                out = (reward, done, info["arrivals"], info["on_network"],
-                       env.sim.time)
-                return (env, obs, key), out
+                return env, rewards, dones, arrivals, on_net, times
 
-            (env, obs, key), (rewards, dones, arrivals, on_net, times) = (
-                jax.lax.scan(step, (env, obs, key), length=num_steps)
-            )
-            return env, rewards, dones, arrivals, on_net, times
+            self._eval_cache[cache_key] = run
 
         env, rewards, dones, arrivals, on_net, times = run(params, sim_state, key)
         logs = {"arrivals": arrivals, "on_network": on_net, "time": times}
