@@ -49,6 +49,43 @@ from ..state import RoadState
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def upstream_pack_layout(num_roads: int, nmax: int) -> tuple[int, int, int]:
+    """Bit layout for the packed upstream word: ``(shift_free, shift_sel,
+    free_mask)``.
+
+    3 flag bits (departure-reached / non-empty / gridlock-stuck), then
+    free-space (``cap - count``, needs ceil(log2(Nmax+1)) bits — the
+    "effectively full" test derives from it as ``free <= congestion
+    buffer``), then the selected road (ceil(log2(R+1)) bits; R encodes
+    "no/invalid selection").  Sized per network so neither field can clip.
+    """
+    bits_free = max((nmax + 1).bit_length(), 1)
+    bits_sel = max((num_roads + 1).bit_length(), 1)
+    if 3 + bits_free + bits_sel > 31:
+        raise ValueError(
+            f"upstream pack overflow: Nmax={nmax} needs {bits_free} bits and "
+            f"R={num_roads} needs {bits_sel}; split the network or widen the "
+            "pack word"
+        )
+    return 3, 3 + bits_free, (1 << bits_free) - 1
+
+
+def pack_upstream(head_departure, count, cap, sel_enc, time, physics,
+                  num_roads: int, nmax: int):
+    """One int32 per road of everything the downstream slot loop needs."""
+    shift_free, shift_sel, _ = upstream_pack_layout(num_roads, nmax)
+    count_f = count.astype(jnp.float32)
+    u_free_i = jnp.clip(cap - count_f, 0, (1 << (shift_sel - shift_free)) - 1)
+    return (
+        (head_departure <= time).astype(jnp.int32)
+        | ((count > 0).astype(jnp.int32) << 1)
+        | (((head_departure - time) < -physics.gridlock_patience)
+           .astype(jnp.int32) << 2)
+        | (u_free_i.astype(jnp.int32) << shift_free)
+        | (sel_enc << shift_sel)
+    )
+
+
 def direction_step(
     road: RoadState,
     selected_road: jnp.ndarray,
@@ -87,24 +124,12 @@ def direction_step(
 
     # Upstream-side state packed into ONE int32 per road, so each slot costs
     # a single gather (unsorted [R] gathers run at ~7 ns/element on TPU —
-    # module docstring): flag bits (head departure reached / non-empty /
-    # gridlock-stuck / effectively-full, direction_mpnn.py:81-90), 9 bits of
-    # free space (cap - count, bounded by Nmax < 512), and 18 bits for the
-    # selected road (supports R < 262k; out-of-range/negative selections
-    # encode as R, which never equals a road index).
-    dep_ok_u = head_departure <= time
-    nonempty_u = count > 0
-    stuck_u = (head_departure - time) < -physics.gridlock_patience
-    u_full_u = cap - physics.congestion_buffer <= count_f
-    u_free_i = jnp.clip(cap - count_f, 0, 511).astype(jnp.int32)
+    # module docstring).  Bit layout sized per network: see
+    # :func:`upstream_pack_layout` (direction_mpnn.py:81-90 semantics).
+    shift_free, shift_sel, free_mask = upstream_pack_layout(R, Nmax)
     sel_enc = jnp.where((sel >= 0) & (sel < R), sel, R).astype(jnp.int32)
-    pack = (
-        dep_ok_u.astype(jnp.int32)
-        | (nonempty_u.astype(jnp.int32) << 1)
-        | (stuck_u.astype(jnp.int32) << 2)
-        | (u_full_u.astype(jnp.int32) << 3)
-        | (u_free_i << 4)
-        | (sel_enc << 13)
+    pack = pack_upstream(
+        head_departure, count, cap, sel_enc, time, physics, R, Nmax
     )
 
     # --- message + aggregate fused: per in-slot eligibility, Gumbel-max ---
@@ -121,9 +146,10 @@ def direction_step(
         dep_ok = (p_k & 1) > 0
         nonempty = (p_k & 2) > 0
         stuck = (p_k & 4) > 0
-        u_full = (p_k & 8) > 0
-        u_free = ((p_k >> 4) & 0x1FF).astype(jnp.float32)
-        wants_v = (p_k >> 13) == iota
+        u_free = ((p_k >> shift_free) & free_mask).astype(jnp.float32)
+        # "effectively full" (cap - buffer <= count) == free <= buffer.
+        u_full = u_free <= physics.congestion_buffer
+        wants_v = (p_k >> shift_sel) == iota
         mask = dep_ok & space_ok & wants_v & nonempty
         # Gridlock escape (direction_mpnn.py:87-90) with two safety guards
         # the reference gets implicitly from its zero-filled FIFO / flat

@@ -376,20 +376,15 @@ def run_episode_shard_map(
 
         # Upstream state packed into one int32 per road, exactly as
         # core.direction (one gather per slot instead of three).
-        count_gf = count_g.astype(jnp.float32)
+        from ..core.direction import pack_upstream, upstream_pack_layout
+
+        shift_free, shift_sel, free_mask = upstream_pack_layout(R, nmax)
         sel_r = sel[:R]
         sel_enc = jnp.where(
             (sel_r >= 0) & (sel_r < R), sel_r, R
         ).astype(jnp.int32)
-        pack = (
-            (head_dep_g <= t).astype(jnp.int32)
-            | ((count_g > 0).astype(jnp.int32) << 1)
-            | (((head_dep_g - t) < -physics.gridlock_patience)
-               .astype(jnp.int32) << 2)
-            | ((cap - physics.congestion_buffer <= count_gf)
-               .astype(jnp.int32) << 3)
-            | (jnp.clip(cap - count_gf, 0, 511).astype(jnp.int32) << 4)
-            | (sel_enc << 13)
+        pack = pack_upstream(
+            head_dep_g, count_g, cap, sel_enc, t, physics, R, nmax
         )
 
         gumbel_full = jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32)
@@ -413,9 +408,9 @@ def run_episode_shard_map(
             dep_ok = (p_k & 1) > 0
             nonempty = (p_k & 2) > 0
             stuck = (p_k & 4) > 0
-            u_full = (p_k & 8) > 0
-            u_free = ((p_k >> 4) & 0x1FF).astype(jnp.float32)
-            wants_v = (p_k >> 13) == v_global
+            u_free = ((p_k >> shift_free) & free_mask).astype(jnp.float32)
+            u_full = u_free <= physics.congestion_buffer
+            wants_v = (p_k >> shift_sel) == v_global
             mask = dep_ok & space_ok & wants_v & nonempty
             mask = mask | (
                 stuck & u_full & (u_free <= v_free) & wants_v & nonempty
