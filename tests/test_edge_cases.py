@@ -86,3 +86,54 @@ class TestDegenerateNetworks:
         state = init_sim_state(net, agents, sim=sim, policy=policy)
         final, _ = run_episode(state, net, policy, 60, sim=sim)
         assert bool(final.agents.on_way[1]) or bool(final.agents.done[1])
+
+
+def test_star_junction_high_degree():
+    """A 16-spoke star junction: the slot-major core must handle high
+    in/out-degree tables (KIN = KOUT = 16 at the hub) — conservation and
+    completion through a random episode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tarl_tpu.config import SimConfig
+    from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+    from tarl_tpu.network import build_network
+    from tarl_tpu.routing.policies import random_choice
+    from tarl_tpu.state import init_agent_state
+
+    spokes = 16
+    # roads: spoke->hub (i) and hub->spoke (spokes+i) for each spoke
+    length = np.full(2 * spokes, 150.0)
+    from_inter = np.concatenate([np.arange(1, spokes + 1), np.zeros(spokes)])
+    to_inter = np.concatenate([np.zeros(spokes), np.arange(1, spokes + 1)])
+    net = build_network(
+        length=length,
+        max_flow=np.full(2 * spokes, 600.0),
+        free_speed=np.full(2 * spokes, 15.0),
+        perm_lanes=np.ones(2 * spokes),
+        from_inter=from_inter.astype(int),
+        to_inter=to_inter.astype(int),
+        num_intersections=spokes + 1,
+    )
+    assert net.in_src_tab.shape[0] >= spokes  # hub's in-degree drives KIN
+
+    rng = np.random.default_rng(0)
+    n_agents = 64
+    origins = net.num_roads + 2 * rng.integers(1, spokes + 1, n_agents)
+    dests = net.num_roads + 2 * rng.integers(1, spokes + 1, n_agents) + 1
+    agents = init_agent_state(
+        origin=np.concatenate([[0], origins]),
+        dest=np.concatenate([[0], dests]),
+        departure=np.concatenate([[2 * 86400.0],
+                                  rng.uniform(0, 60, n_agents)]),
+    )
+    sim = SimConfig(start_time=0, timestep=1)
+    pol = Policy(choice=random_choice)
+    s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+    final, _ = run_episode(s0, net, pol, 3000, sim=sim)
+    on_way = int(final.road.count.sum())
+    done = int(final.agents.done[1:].sum())
+    assert done + on_way + int(
+        (~final.agents.inserted[1:]).sum()
+    ) == n_agents, "agents must be conserved"
+    assert done > n_agents // 2, f"random walk should deliver most: {done}"
