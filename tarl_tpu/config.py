@@ -100,6 +100,11 @@ class RoutingConfig:
     # behaviour, scalable memory (routing.policies.make_shortest_path_choice_primal).
     # "auto" picks primal when the dual table would exceed ~64M entries.
     backend: str = "auto"
+    # Refresh cost function: "travel_time" (the reference's congested
+    # shortest path -> user-equilibrium-seeking) or "marginal" (marginal
+    # social cost tt + n*dtt/dn -> system-optimal routing; the CLI's
+    # --algo so).  bellman_ford.marginal_road_costs.
+    cost_mode: str = "travel_time"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -54,6 +54,44 @@ def node_entry_costs(
     )
 
 
+def marginal_road_costs(
+    road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
+) -> jnp.ndarray:
+    """Marginal social cost per road: ``tt(n) + n * d tt/dn`` — the
+    system-optimal (tolled) routing objective.
+
+    Under the congestion law ``tt(n) = cc / (cap + 10 - n)`` the external
+    term is ``n * cc / (cap + 10 - n)^2``, zero in the free-flow regime
+    where tt is flat.  Routing on these costs internalizes the congestion
+    externality: a deterministic next-hop table diverts traffic BEFORE a
+    queue binds, which reaches the system optimum on networks where
+    travel-time routing oscillates (measured on the Bottleneck scenario:
+    68.2 s vs the UE-seeking table's 80.5 s; see docs/LEARNING.md).  This
+    is the routing-policy counterpart of the metrics' Price-of-Anarchy
+    machinery — the reference has no equivalent.  float32[R].
+    """
+    count_f = road.count.astype(jnp.float32)
+    denom = network.capacity + physics.congestion_softening - count_f
+    tt_c = network.congestion_constant / denom
+    tt = jnp.maximum(network.free_flow, tt_c)
+    ext = jnp.where(
+        tt_c > network.free_flow,
+        count_f * network.congestion_constant / (denom * denom),
+        0.0,
+    )
+    return tt + ext
+
+
+def marginal_node_costs(
+    road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
+) -> jnp.ndarray:
+    """Marginal social cost of entering each node (0 for SRC/DEST nodes)."""
+    n = network.num_nodes
+    return jnp.zeros((n,), jnp.float32).at[: network.num_roads].set(
+        marginal_road_costs(road, network, physics)
+    )
+
+
 def reference_edge_costs(
     road: RoadState, network: Network, physics: PhysicsConfig = DEFAULT_PHYSICS
 ) -> jnp.ndarray:

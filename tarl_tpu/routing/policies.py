@@ -114,11 +114,13 @@ def make_shortest_path_choice(
 
         return choice
 
+    node_cost_fn = _node_cost_fn(routing)
+
     def choice(state: SimState, network: Network):
         n = network.num_nodes
 
         def refresh(_):
-            cost = node_entry_costs(state.road, network, physics)
+            cost = node_cost_fn(state.road, network, physics)
             _, nh = all_pairs_next_hop_nbr(
                 network.nbr, network.nbr_ok, cost,
                 max_iters=routing.max_bf_iters,
@@ -148,6 +150,20 @@ def make_shortest_path_choice(
         return new_state, None
 
     return choice
+
+
+def _node_cost_fn(routing: RoutingConfig):
+    from .bellman_ford import marginal_node_costs, node_entry_costs
+
+    return (marginal_node_costs if routing.cost_mode == "marginal"
+            else node_entry_costs)
+
+
+def _road_cost_fn(routing: RoutingConfig):
+    from .bellman_ford import marginal_road_costs, road_costs
+
+    return (marginal_road_costs if routing.cost_mode == "marginal"
+            else road_costs)
 
 
 def _argmin_road(dist, cost, network, from_inter, dest_col):
@@ -259,13 +275,15 @@ def make_shortest_path_choice_primal(
     taken it).
     """
 
+    road_cost_fn = _road_cost_fn(routing)
+
     def choice(state: SimState, network: Network):
-        from .bellman_ford import BIG, primal_all_pairs_dist, road_costs
+        from .bellman_ford import BIG, primal_all_pairs_dist
 
         i_n = network.num_intersections
 
         def refresh(_):
-            cost = road_costs(state.road, network, physics)
+            cost = road_cost_fn(state.road, network, physics)
             # Warm start from the previous table inflated by the worst
             # per-road cost ratio — a valid upper bound on every new
             # distance, so relaxation converges down to the exact table
@@ -340,13 +358,15 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         )
         return jnp.concatenate([dist.ravel(), network.free_flow])
 
+    road_cost_fn = _road_cost_fn(routing)
+
     def choice(state: SimState, network: Network):
-        from .bellman_ford import BIG, primal_dest_dist, road_costs
+        from .bellman_ford import BIG, primal_dest_dist
 
         i_n = network.num_intersections
 
         def refresh(_):
-            cost = road_costs(state.road, network, physics)
+            cost = road_cost_fn(state.road, network, physics)
             prev_dist = state.next_hop[: i_n * d_n].reshape(i_n, d_n)
             prev_cost = state.next_hop[i_n * d_n:]
             ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))

@@ -98,7 +98,7 @@ class Runner:
         self.sim.load_network(a.scenario)
         self.sim.load_population(a.scenario)
 
-        if a.algo in {"dijkstra", "random"}:
+        if a.algo in {"dijkstra", "random", "so"}:
             self.sim.set_policy(make_policy(a.algo, network=self.sim.network))
             self.sim.config_parameters(
                 timestep_size=a.timestep_size, start_time=a.start_end_time[0]
@@ -184,7 +184,7 @@ class Runner:
         a = self.args
         n_timesteps = (a.start_end_time[1] - a.start_end_time[0]) // a.timestep_size
 
-        if a.algo in {"dijkstra", "random"}:
+        if a.algo in {"dijkstra", "random", "so"}:
             run_episode(
                 self.sim,
                 steps=n_timesteps,
@@ -286,7 +286,7 @@ def main(argv=None):
         description="Unified runner for classical and RL traffic-assignment experiments (TPU-native)"
     )
     parser.add_argument("--algo",
-                        choices=["dijkstra", "random", "mpnn", "mpnn+ppo",
+                        choices=["dijkstra", "random", "so", "mpnn", "mpnn+ppo",
                                  "transformer", "transformer+ppo"],
                         default="dijkstra")
     parser.add_argument("--scenario", type=str, default="Easy",

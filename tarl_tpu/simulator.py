@@ -83,6 +83,21 @@ def make_policy(
     """
     if algo == "random":
         return Policy(choice=random_choice)
+    if algo == "so":
+        # System-optimal routing: the shortest-path machinery on MARGINAL
+        # social costs (tt + n*dtt/dn, bellman_ford.marginal_road_costs).
+        # Internalizing the congestion externality diverts traffic before a
+        # queue binds — reaches the system optimum where travel-time routing
+        # oscillates (Bottleneck: 68.2 s vs dijkstra's 80.5; docs/LEARNING.md).
+        # No reference equivalent; the routing-policy face of the PoA metrics.
+        import dataclasses as _dc
+
+        if routing.strict_compat:
+            raise ValueError("--algo so is incompatible with strict_compat")
+        return make_policy(
+            "dijkstra", _dc.replace(routing, cost_mode="marginal"),
+            physics, network=network, dest_inters=dest_inters,
+        )
     if algo == "dijkstra":
         backend = routing.backend
         if backend == "auto":

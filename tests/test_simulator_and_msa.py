@@ -224,3 +224,38 @@ class TestMetricInvariants:
         on_net = int(jnp.sum(sim.state.road.count))
         on_way = int(sim.state.agents.on_way.sum())
         assert on_net == on_way  # every queued id has ON_WAY set and vice versa
+
+
+def test_marginal_cost_routing_beats_travel_time_routing(tmp_path):
+    """System-optimal (marginal-cost) routing: on the Bottleneck scenario
+    the travel-time next-hop table oscillates between the two good routes
+    (~80 s) while routing on tt + n*dtt/dn diverts before the queue binds
+    and reaches the ~68 s system optimum (docs/LEARNING.md)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from tarl_tpu.config import RoutingConfig, SimConfig
+    from tarl_tpu.core.step import init_sim_state, run_episode, \
+        average_travel_time
+    from tarl_tpu.io.matsim import load_network, load_population
+    from tarl_tpu.io.scenarios import ensure_scenario
+    from tarl_tpu.simulator import make_policy
+
+    root = tempfile.mkdtemp()
+    base = ensure_scenario(root, "Bottleneck")
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+    att = {}
+    for algo in ("dijkstra", "so"):
+        pol = make_policy(algo, RoutingConfig(refresh_rate=5), network=net)
+        s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+        final, _ = run_episode(s0, net, pol, 5000, sim=sim)
+        assert int(final.agents.done[1:].sum()) == agents.num_agents - 1
+        att[algo] = float(average_travel_time(final.agents))
+    # Calibrated: so ~68.4 s, dijkstra ~80.5 s.
+    assert att["so"] < att["dijkstra"] - 5.0, att
+    assert att["so"] < 75.0, att
