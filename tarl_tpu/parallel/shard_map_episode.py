@@ -126,6 +126,20 @@ def run_episode_shard_map(
     log_spec = TickLog(departures=P(), arrivals=P(), on_way=P(), time=P(),
                        road_delta_tt=P())
 
+    def _halo_road_costs(count_g):
+        """Per-road refresh costs from halo counts, honoring
+        routing.cost_mode exactly like bellman_ford.road_costs /
+        marginal_road_costs (so an --algo so policy stays bitwise-equal
+        under shard_map)."""
+        count_f = count_g.astype(jnp.float32)
+        denom = cap + physics.congestion_softening - count_f
+        tc = cc / denom
+        cost = jnp.maximum(ff, tc)
+        if routing.cost_mode == "marginal":
+            ext = jnp.where(tc > ff, count_f * cc / (denom * denom), 0.0)
+            cost = cost + ext
+        return cost
+
     def halo(road_local):
         """All-gather the per-road head summary (the halo exchange)."""
         count = road_local.count
@@ -292,11 +306,7 @@ def run_episode_shard_map(
             i_n = network.num_intersections
 
             def refresh_p(_):
-                tc = cc / (
-                    cap + physics.congestion_softening
-                    - count_g.astype(jnp.float32)
-                )
-                cost = jnp.maximum(ff, tc)
+                cost = _halo_road_costs(count_g)
                 prev_dist = st.next_hop[: i_n * i_n].reshape(i_n, i_n)
                 prev_cost = st.next_hop[i_n * i_n:]
                 ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
@@ -327,12 +337,8 @@ def run_episode_shard_map(
             n_nodes = network.num_nodes
 
             def refresh(_):
-                tc = cc / (
-                    cap + physics.congestion_softening
-                    - count_g.astype(jnp.float32)
-                )
                 cost = jnp.zeros((n_nodes,), jnp.float32).at[:R].set(
-                    jnp.maximum(ff, tc)
+                    _halo_road_costs(count_g)
                 )
                 _, nh = all_pairs_next_hop_nbr(
                     network.nbr, network.nbr_ok, cost,

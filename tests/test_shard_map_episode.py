@@ -179,3 +179,31 @@ def test_shard_map_primal_backend_matches_unsharded(setup):
         np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
     )
     assert int(sm_final.agents.done[1:].sum()) > 0, "some trips must finish"
+
+
+def test_shard_map_marginal_cost_matches_unsharded(setup):
+    """--algo so (marginal-cost refreshes) under shard_map is bitwise-equal
+    to the unsharded system-optimal episode."""
+    from tarl_tpu.config import RoutingConfig
+    from tarl_tpu.simulator import make_policy
+
+    net, agents = setup
+    routing = RoutingConfig(refresh_rate=10, cost_mode="marginal")
+    policy = make_policy("so", routing, network=net)
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 400)
+    state = init_sim_state(net, agents, sim=sim, policy=policy)
+
+    ref_final, ref_logs = run_episode(state, net, policy, 400, sim=sim)
+    mesh = make_road_mesh(8)
+    sm_final, sm_logs = run_episode_shard_map(
+        state, net, policy, 400, mesh, sim=sim, routing=routing
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.arrival), np.asarray(sm_final.agents.arrival)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.road.count), np.asarray(sm_final.road.count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
+    )
