@@ -1,12 +1,17 @@
 # Dev tooling (reference: Makefile:1-37)
 PYTEST_ENV = env -u PALLAS_AXON_POOL_IPS PYTHONPATH= JAX_PLATFORMS=cpu
 
-.PHONY: run test lint coverage bench
+.PHONY: run test test-all lint coverage bench
 
 run:
 	python main.py --algo dijkstra --scenario Easy --mode eval --start-end-time 21600 28800
 
+# Fast set (<5 min): everything except the @pytest.mark.slow learning demos.
 test:
+	$(PYTEST_ENV) python -m pytest --ff -m "not slow" tests
+
+# Full suite including the slow learning/consistency demos (~20 min).
+test-all:
 	$(PYTEST_ENV) python -m pytest --ff tests
 
 lint:

@@ -27,7 +27,7 @@ general emitter runs serially at ~7 ns/element, so one unsorted [R]-from-[E]
 gather (or any edge-list segment reduction / FIFO row-scatter) costs more
 than the rest of the tick at large R.  The whole step is therefore computed
 in SLOT-MAJOR form: slot k of road v is its k-th incoming turn edge
-(network.in_src_tab / in_logit_tab / in_cap_tab, slot order = increasing
+(network.in_src_tab / in_logit_tab, slot order = increasing
 edge id), every per-edge quantity is an [R]-row, upstream state is gathered
 with spatially-banded road indices, the Gumbel noise is drawn directly in
 [KIN, R] slot-major order, and the FIFO push is a dense [R, Nmax] select.
@@ -72,7 +72,17 @@ def upstream_pack_layout(num_roads: int, nmax: int) -> tuple[int, int, int]:
 
 def pack_upstream(head_departure, count, cap, sel_enc, time, physics,
                   num_roads: int, nmax: int):
-    """One int32 per road of everything the downstream slot loop needs."""
+    """One int32 per road of everything the downstream slot loop needs.
+
+    REQUIRES integral ``cap``: free space ``cap - count`` is truncated to an
+    integer field, and the downstream tests ``u_full = free <= buffer`` /
+    ``v_freer = u_free <= v_free`` compare the truncated value against exact
+    ones — equivalent to the unpacked semantics only when capacity is a whole
+    number.  :func:`~tarl_tpu.network.build_network` guarantees this
+    (``int(length*lanes/cell) + 1``, ts.py:122-124) and asserts it; a
+    hand-built :class:`Network` with fractional capacities would silently
+    shift gridlock behaviour.
+    """
     shift_free, shift_sel, _ = upstream_pack_layout(num_roads, nmax)
     count_f = count.astype(jnp.float32)
     u_free_i = jnp.clip(cap - count_f, 0, (1 << (shift_sel - shift_free)) - 1)

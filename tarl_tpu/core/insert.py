@@ -23,6 +23,11 @@ from ..state import AgentState, RoadState
 # argsort form (whole-population inserts); the windowed path stays under it.
 _PAIRWISE_RANK_MAX = 2048
 
+# The pairwise count_add materializes a [K, R] boolean intermediate; at metro
+# scale (R ~ 65k) that is ~134M elements per tick even when K is small, so
+# the compare+sum only pays off while K*R stays modest.
+_PAIRWISE_COUNT_MAX_ELEMS = 16 * 1024 * 1024
+
 
 
 def _admit_candidates(
@@ -104,7 +109,7 @@ def _admit_candidates(
     fifo_dest = road.fifo_dest.at[rows, slot].set(
         agents.dest[agent_cand], mode="drop"
     )
-    if K <= _PAIRWISE_RANK_MAX:
+    if K <= _PAIRWISE_RANK_MAX and K * R <= _PAIRWISE_COUNT_MAX_ELEMS:
         # Per-road admitted counts via the same pairwise trick (a [K, R]
         # compare+sum is fused VPU work; the segment_sum alternative is
         # another serialized scatter).

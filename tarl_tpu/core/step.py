@@ -45,7 +45,11 @@ class Policy(NamedTuple):
     ``needs_next_hop`` requests the dense next-hop table in the scan carry;
     ``table_init`` (optional) overrides how the routing scratch
     (``state.next_hop``) is initialized — e.g. the primal backend's packed
-    dist/cost buffer (routing.policies.primal_table_init).
+    dist/cost buffer (routing.policies.primal_table_init);
+    ``learned`` (optional) carries the :class:`~tarl_tpu.rl.learned_policy.
+    LearnedSpec` of a trained neural policy so parallel episode drivers can
+    re-derive the forward pass shard-locally (the spec hashes by identity,
+    keeping Policy usable as a static jit argument).
     """
 
     choice: object                # ChoiceFn
@@ -53,6 +57,7 @@ class Policy(NamedTuple):
     entry_lookup: Optional[object] = None
     needs_next_hop: bool = False
     table_init: Optional[object] = None
+    learned: Optional[object] = None
 
 
 def init_sim_state(

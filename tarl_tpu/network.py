@@ -91,7 +91,6 @@ class Network:
     in_edge_ok: jnp.ndarray           # bool[KIN, R] — road R's k-th in-edge exists
     in_src_tab: jnp.ndarray           # int32[KIN, R] — that edge's source road (0-padded)
     in_logit_tab: jnp.ndarray         # float32[KIN, R] — log(edge_attr); -inf on padding
-    in_cap_tab: jnp.ndarray           # float32[KIN, R] — capacity[source road]
     out_edge_ok: jnp.ndarray          # bool[KOUT, R]
     out_dst_tab: jnp.ndarray          # int32[KOUT, R] — k-th out-edge's target road
     # Same for route choice: per node (roads + SRC), its candidate next roads
@@ -170,6 +169,11 @@ def build_network(
     free_flow = length / free_speed
     capacity = (length * perm_lanes / physics.effective_cell_size).astype(np.int64) + 1
     nmax = int(capacity.max()) + 1
+    # core.direction.pack_upstream truncates free space (cap - count) to an
+    # integer bit-field; its gridlock comparisons are only equivalent to the
+    # unpacked semantics when capacity is integral.  Integral by construction
+    # here — asserted so a future builder change fails loudly.
+    assert np.issubdtype(capacity.dtype, np.integer)
 
     # Turn edges: link u -> link v iff head(u) == tail(v); weight is v's share
     # of the total outgoing capacity at that intersection (ts.py:153-168).
@@ -257,7 +261,6 @@ def build_network(
         return tab, ok
 
     e_w_np = np.asarray(e_w, dtype=np.float32)
-    cap_np = capacity.astype(np.float32)
     in_tab, in_tab_ok = _edge_table(e_dst_np, num_roads)
     out_tab, out_tab_ok = _edge_table(e_src_np, num_roads)
     ch_tab, ch_tab_ok = _edge_table(f_src_np[choice_mask], num_nodes)
@@ -268,7 +271,6 @@ def build_network(
             np.log(np.maximum(e_w_np[in_tab], 1e-30)),
             -np.inf,
         ).astype(np.float32)
-    in_cap = np.where(in_tab_ok, cap_np[in_src], 0.0).astype(np.float32)
     out_dst = np.where(out_tab_ok, e_dst_np[out_tab], 0).astype(np.int32)
     ch_dst = np.where(
         ch_tab_ok, f_dst_np[choice_mask][ch_tab], 0
@@ -301,7 +303,6 @@ def build_network(
         in_edge_ok=jnp.asarray(in_tab_ok),
         in_src_tab=jnp.asarray(in_src),
         in_logit_tab=jnp.asarray(in_logit),
-        in_cap_tab=jnp.asarray(in_cap),
         out_edge_ok=jnp.asarray(out_tab_ok),
         out_dst_tab=jnp.asarray(out_dst),
         choice_ok=jnp.asarray(ch_tab_ok),

@@ -88,9 +88,25 @@ def run_episode_shard_map(
 
     primal = policy.table_init is not None
     shortest = policy.needs_next_hop or primal
-    assert shortest or policy.choice is random_choice, (
-        "shard_map episode supports the random and shortest-path policies"
+    learned = policy.learned  # LearnedSpec of a trained neural policy
+    assert shortest or learned is not None or policy.choice is random_choice, (
+        "shard_map episode supports the random, shortest-path and learned "
+        "(make_learned_choice) policies"
     )
+    if primal:
+        # The replicated refresh below unpacks the ALL-PAIRS primal buffer
+        # (dist[I, I] ++ cost[R]); a dest-restricted policy from
+        # make_primal_dest_parts also sets table_init but packs dist[I, D] —
+        # reject it here rather than fail with an opaque reshape error (or,
+        # if I*D + R happened to equal I*I + R, silently misroute).
+        i_n = network.num_intersections
+        expect = i_n * i_n + network.num_roads
+        assert state.next_hop.size == expect, (
+            f"shard_map primal routing needs the all-pairs buffer "
+            f"(dist[I,I] ++ cost[R], size {expect}); got size "
+            f"{state.next_hop.size} — dest-restricted primal tables are not "
+            "supported under shard_map"
+        )
     assert not routing.strict_compat, (
         "strict-compat routing is not supported under shard_map"
     )
@@ -105,6 +121,17 @@ def run_episode_shard_map(
     cap = network.capacity
     ff = network.free_flow
     cc = network.congestion_constant
+
+    if learned is not None:
+        # Slot-major out-edge tables for the edge-sharded policy forward
+        # (rl.learned_policy).  Shard i owns the edge groups whose SOURCE
+        # road is in its block; the small SRC/DEST-node groups (entry-edge
+        # logits) are recomputed replicated, like the routing refreshes.
+        from ..rl.learned_policy import full_out_tables
+
+        lp_ok, lp_dst, lp_attr = full_out_tables(network)
+        KF = int(lp_ok.shape[0])
+        N = network.num_nodes
 
     road_spec = SimState(
         road=jax.tree.map(lambda _: P(AXIS), state.road),
@@ -297,7 +324,61 @@ def run_episode_shard_map(
         # ---- choice (replicated computation on every shard) -------------
         # Halo #2: post-withdraw head summary, shared by choice and core.
         head_id_g, head_arr_g, head_dep_g, count_g, _, head_dest_g = halo(road)
-        if primal:
+        if learned is not None:
+            # Edge-sharded learned-policy forward (rl.learned_policy):
+            # the [N, 16] context is built replicated from the halo-gathered
+            # global counts/heads, the policy MLP runs only on THIS shard's
+            # road-source edge groups (plus the replicated virtual groups),
+            # and the per-road winners ride the same all_gather as the
+            # physics.  Bitwise-equal to the unsharded make_learned_choice:
+            # same replicated [KF, N] Gumbel matrix column-sliced to the
+            # block, same ascending-slot strict-> tie-break, and the Flax
+            # forward is row-independent (rl.learned_policy.slot_logits).
+            from ..rl.learned_policy import (
+                _slot_argmax,
+                rollout_context,
+                slot_logits,
+            )
+
+            x_ctx = rollout_context(
+                st, network, learned.pending_entrants,
+                count=count_g, head_ids=head_id_g,
+            )
+            key, sub = jax.random.split(st.key)
+            if learned.deterministic:
+                g_full = jnp.zeros((KF, N), jnp.float32)
+            else:
+                g_full = jax.random.gumbel(sub, (KF, N), jnp.float32)
+
+            # Local road block columns.
+            cols_blk = block0 + rows_local
+            logit_blk = slot_logits(
+                learned, x_ctx, network, lp_dst, lp_attr, cols_blk
+            )
+            g_blk = jax.lax.dynamic_slice(g_full, (0, block0), (KF, rl))
+            ok_blk = jax.lax.dynamic_slice(lp_ok, (0, block0), (KF, rl))
+            dst_blk = jax.lax.dynamic_slice(lp_dst, (0, block0), (KF, rl))
+            score_blk = jnp.where(ok_blk, logit_blk + g_blk, -jnp.inf)
+            prev_blk = jax.lax.dynamic_slice_in_dim(
+                st.selected_road, block0, rl
+            )
+            sel_blk = _slot_argmax(score_blk, dst_blk, prev_blk)
+            sel_roads = jax.lax.all_gather(sel_blk, AXIS, tiled=True)  # [R]
+
+            # Virtual (SRC/DEST) columns, replicated on every shard.
+            cols_virt = jnp.arange(R, N, dtype=jnp.int32)
+            logit_virt = slot_logits(
+                learned, x_ctx, network, lp_dst, lp_attr, cols_virt
+            )
+            score_virt = jnp.where(
+                lp_ok[:, R:], logit_virt + g_full[:, R:], -jnp.inf
+            )
+            sel_virt = _slot_argmax(
+                score_virt, lp_dst[:, R:], st.selected_road[R:]
+            )
+
+            sel = st.selected_road.at[:R].set(sel_roads).at[R:].set(sel_virt)
+        elif primal:
             # Replicated primal refresh + lookups, mirroring
             # make_shortest_path_choice_primal (costs from the halo counts).
             from ..routing.bellman_ford import BIG, primal_all_pairs_dist

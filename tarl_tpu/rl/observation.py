@@ -17,13 +17,21 @@ from ..state import SimState
 NUM_OBS = 7  # reinforcement_learning.py:124
 
 
-def node_features(state: SimState, network: Network) -> jnp.ndarray:
-    """float32[N, 7] in ObservationFeatureHelpers column order."""
+def node_features(state: SimState, network: Network,
+                  count: jnp.ndarray | None = None) -> jnp.ndarray:
+    """float32[N, 7] in ObservationFeatureHelpers column order.
+
+    ``count`` overrides ``state.road.count`` — the shard_map episode passes
+    the halo-gathered global occupancy so each shard can build the full
+    context from its local road block (parallel.shard_map_episode).
+    """
     R = network.num_roads
     n = network.num_nodes
+    if count is None:
+        count = state.road.count
     feats = jnp.zeros((n, NUM_OBS), jnp.float32)
     feats = feats.at[:R, 0].set(network.capacity)
-    feats = feats.at[:R, 1].set(state.road.count.astype(jnp.float32))
+    feats = feats.at[:R, 1].set(count.astype(jnp.float32))
     feats = feats.at[:R, 2].set(network.free_flow)
     feats = feats.at[:R, 3].set(network.length)
     feats = feats.at[:R, 4].set(network.max_flow)
@@ -36,7 +44,8 @@ def node_features(state: SimState, network: Network) -> jnp.ndarray:
 
 
 def agent_index(
-    state: SimState, network: Network, pending_entrants: bool = False
+    state: SimState, network: Network, pending_entrants: bool = False,
+    head_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """int32[N] FIFO-head agent id per node (HEAD_FIFO column).
 
@@ -47,10 +56,15 @@ def agent_index(
     SRC node surfaces its earliest-departing agent that has not entered the
     network yet, making the action at SRC edges destination-aware.  Road
     rows are unchanged.
+
+    ``head_ids`` overrides ``state.road.head_ids()`` (halo-gathered global
+    heads under shard_map).
     """
     n = network.num_nodes
+    if head_ids is None:
+        head_ids = state.road.head_ids()
     idx = jnp.zeros((n,), jnp.int32)
-    idx = idx.at[: network.num_roads].set(state.road.head_ids())
+    idx = idx.at[: network.num_roads].set(head_ids)
     if pending_entrants:
         a = state.agents
         A = a.num_agents

@@ -13,6 +13,7 @@ equilibrium and training preserves it.
 """
 import os
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def _eval(ppo, params, st, net, steps=9000):
     return done_n, att, gap
 
 
+@pytest.mark.slow
 def test_ppo_learns_braess_routing_from_scratch(tmp_path):
     base = ensure_scenario(str(tmp_path), "Braess")
     net = load_network(os.path.join(base, "network"))
@@ -69,6 +71,7 @@ def test_ppo_learns_braess_routing_from_scratch(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ppo_learns_bottleneck_mixing(tmp_path):
     """Equilibrium-mixing regression (docs/LEARNING.md, Bottleneck): under
     the "system" reward (TSTT with the stranding exploit closed) and an

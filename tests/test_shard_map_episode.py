@@ -181,6 +181,79 @@ def test_shard_map_primal_backend_matches_unsharded(setup):
     assert int(sm_final.agents.done[1:].sum()) > 0, "some trips must finish"
 
 
+def test_shard_map_learned_policy_matches_unsharded(setup):
+    """VERDICT r2 #1: the learned MPNN policy forward runs EDGE-SHARDED
+    inside the shard_map episode (per-block slot columns + replicated
+    virtual groups) and is bitwise-equal to the unsharded learned rollout —
+    both in stochastic (Gumbel-max) and deterministic (argmax) modes."""
+    from tarl_tpu.models.mpnn import MPNNPolicyNet
+    from tarl_tpu.rl.learned_policy import make_learned_choice, rollout_context
+
+    net, agents = setup
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 300)
+    base_state, _ = _state(net, agents, sim)
+
+    pnet = MPNNPolicyNet(num_nodes=net.num_nodes,
+                         num_node_embeddings=net.num_roads + 1)
+    x0 = rollout_context(base_state, net)
+    params = pnet.init(
+        jax.random.PRNGKey(7), x0, jnp.zeros((4, 1)),
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4,), jnp.int32),
+    )
+    mesh = make_road_mesh(8)
+
+    for deterministic in (False, True):
+        policy = make_learned_choice(pnet, params, net,
+                                     deterministic=deterministic)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        ref_final, ref_logs = run_episode(state, net, policy, 300, sim=sim)
+        sm_final, sm_logs = run_episode_shard_map(
+            state, net, policy, 300, mesh, sim=sim
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.done), np.asarray(sm_final.agents.done)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.arrival),
+            np.asarray(sm_final.agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.road.count), np.asarray(sm_final.road.count)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.selected_road),
+            np.asarray(sm_final.selected_road),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
+        )
+        assert not sm_final.road.count.sharding.is_fully_replicated
+
+
+def test_learned_rollout_context_matches_ppo_context(setup):
+    """rollout_context (the classical-episode context builder) must produce
+    exactly the x[N, 16] the PPO training path feeds the policy, so trained
+    params transfer verbatim to learned rollouts."""
+    from tarl_tpu.models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
+    from tarl_tpu.rl.env import env_reset
+    from tarl_tpu.rl.learned_policy import rollout_context
+    from tarl_tpu.rl.ppo import PPO
+
+    net, agents = setup
+    state, _ = _state(net, agents, SimConfig())
+    ppo = PPO(
+        net,
+        MPNNPolicyNet(num_nodes=net.num_nodes,
+                      num_node_embeddings=net.num_roads + 1),
+        MPNNValueNetSimple(),
+    )
+    env, obs = env_reset(state, net, ppo.rl)
+    x_ppo = ppo._context(env, obs)
+    x_roll = rollout_context(env.sim, net,
+                             ppo.rl.observe_pending_entrants)
+    np.testing.assert_array_equal(np.asarray(x_ppo), np.asarray(x_roll))
+
+
 def test_shard_map_marginal_cost_matches_unsharded(setup):
     """--algo so (marginal-cost refreshes) under shard_map is bitwise-equal
     to the unsharded system-optimal episode."""

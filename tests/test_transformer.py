@@ -89,6 +89,7 @@ class TestGraphTransformerNet:
 
 
 class TestTransformerAgent:
+    @pytest.mark.slow
     def test_ppo_with_transformer(self, setup):
         """The transformer policy/value drop into the PPO pipeline."""
         net, agents, state = setup

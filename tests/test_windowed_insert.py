@@ -38,6 +38,7 @@ def _run(net, agents, window, steps=3000):
     return final
 
 
+@pytest.mark.slow
 def test_large_window_matches_exact(setup):
     """Window >= population: identical trajectory (deterministic policy +
     same PRNG stream)."""
