@@ -69,7 +69,7 @@ def main():
     @jax.jit
     def scan_insert(state):
         def body(s, _):
-            road, ag, ptr = insert_agents_windowed(
+            road, ag, ptr, _ = insert_agents_windowed(
                 s.road, s.agents, s.selected_road, net, s.time,
                 s.insert_order, s.insert_ptr, sim.insert_window, physics,
             )

@@ -56,6 +56,14 @@ class SimConfig:
     # reference semantics).  A static window keeps per-tick cost O(W log W)
     # for multi-million-agent populations.
     insert_window: int | None = None
+    # Declare the population DEPARTURE-SORTED (ids 1..A-1 in nondecreasing
+    # departure order; the dummy agent 0 departs past the horizon).  The
+    # windowed insert then replaces its window gathers and the inserted-flag
+    # scatter with contiguous dynamic slices — the fastest insert path
+    # (core.insert.insert_agents_windowed, sorted_fast).  Relabel a
+    # population with state.sort_agents_by_departure; outcomes are the
+    # unsorted run's up to the id permutation.
+    sorted_population: bool = False
     # Record per-tick road-optimality series (delta travel time per road,
     # reference: transportation_simulator.py:351).  Costs T x R floats.
     record_road_optimality: bool = True

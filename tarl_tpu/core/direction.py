@@ -151,8 +151,12 @@ def direction_step(
     best = jnp.full((R,), NEG_INF, jnp.float32)
     win_slot = jnp.zeros((R,), jnp.int32)
     accept = jnp.zeros((R,), bool)
+    # ONE [KIN*R] gather instead of KIN separate [R] gathers: the per-slot
+    # kernels are launch-bound at bench sizes, and the flattened index set
+    # is the same data either way.
+    pack_slots = pack[network.in_src_tab.reshape(-1)].reshape(KIN, R)
     for k in range(KIN):
-        p_k = pack[network.in_src_tab[k]]
+        p_k = pack_slots[k]
         dep_ok = (p_k & 1) > 0
         nonempty = (p_k & 2) > 0
         stuck = (p_k & 4) > 0

@@ -9,6 +9,24 @@ computation: within-group ranks via an O(K^2) pairwise comparison for
 windowed candidate sets (or stable sort + segmented rank for
 whole-population inserts), capacity masking, and four scatters into the
 ring-buffer FIFOs.
+
+Performance note (r3 consolidation): the windowed tick is LAUNCH-bound —
+~20 small kernels at ~5-7 us each, dominated by one-column [W] gathers.
+All per-candidate reads are therefore batched into three row gathers:
+
+* one ``[A, 3]`` static agent table (departure / origin / dest) — built by
+  ``jnp.stack`` from arrays that ``run_episode`` keeps OUT of the scan
+  carry, so XLA hoists the stack out of the loop;
+* one ``[R, 3]`` static road table (capacity / congestion constant / fftt),
+  likewise loop-invariant;
+* one packed head/count word per road (both < Nmax+1, one int32) — a cheap
+  [R] elementwise pack replacing two gathers.
+
+Readiness needs only the ``inserted`` flag: ``done`` implies ``inserted``
+(arrival is stamped strictly after insertion), so the reference's
+``~ON_WAY & ~DONE`` (base.py:247-251) reduces to ``~inserted`` — no
+arrival gather.  The post-insert "settled" scan of the windowed pointer
+advance reuses the admission mask instead of re-gathering agent flags.
 """
 from __future__ import annotations
 
@@ -29,6 +47,15 @@ _PAIRWISE_RANK_MAX = 2048
 _PAIRWISE_COUNT_MAX_ELEMS = 16 * 1024 * 1024
 
 
+def _road_static_tab(network: Network) -> jnp.ndarray:
+    """[R, 3] = (capacity, congestion_constant, free_flow) — loop-invariant
+    (network arrays are scan constants), so one row gather serves all three
+    per-candidate reads."""
+    return jnp.stack(
+        [network.capacity, network.congestion_constant, network.free_flow],
+        axis=1,
+    )
+
 
 def _admit_candidates(
     road: RoadState,
@@ -38,7 +65,9 @@ def _admit_candidates(
     physics: PhysicsConfig,
     candidate_ids: jnp.ndarray,  # int32[K] agent ids
     road_key: jnp.ndarray,       # int32[K] entry road, R = not a candidate
-) -> tuple[RoadState, AgentState]:
+    cand_dest: jnp.ndarray | None = None,  # int32[K] dest per candidate
+    update_inserted: bool = True,
+) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Shared admission core: capacity-clipped group insert of candidates.
 
     The reference stable-sorts candidates by road and ranks within groups
@@ -51,15 +80,21 @@ def _admit_candidates(
     - count`` (base.py:280-299) and scatters ids/arrival/departure/dest
     into the ring buffers with the congestion-law departure stamp
     (base.py:313-325).
+
+    Returns ``(road, agents, admitted)`` where ``admitted`` is the admission
+    mask in CANDIDATE order (windowed insertion derives its pointer advance
+    from it without re-reading agent flags).
     """
     R = road.num_roads
     Nmax = road.nmax
     A = agents.num_agents
     K = candidate_ids.shape[0]
 
-    if K <= _PAIRWISE_RANK_MAX:
+    pairwise = K <= _PAIRWISE_RANK_MAX
+    if pairwise:
         road_cand = road_key.astype(jnp.int32)
         agent_cand = candidate_ids.astype(jnp.int32)
+        dest_cand = cand_dest
         same = road_cand[None, :] == road_cand[:, None]    # [K, K]
         pos = jnp.arange(K, dtype=jnp.int32)
         earlier = pos[None, :] < pos[:, None]
@@ -70,6 +105,7 @@ def _admit_candidates(
         order = jnp.argsort(road_key, stable=True)
         road_cand = road_key[order].astype(jnp.int32)
         agent_cand = candidate_ids[order].astype(jnp.int32)
+        dest_cand = None if cand_dest is None else cand_dest[order]
         pos = jnp.arange(K, dtype=jnp.int32)
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), road_cand[1:] != road_cand[:-1]]
@@ -80,24 +116,32 @@ def _admit_candidates(
         rank = pos - group_start
 
     safe_road = jnp.minimum(road_cand, R - 1)
-    count_before = road.count[safe_road]
+
+    # One packed head/count gather (both fields < Nmax+1; RoadState keeps
+    # them integral by construction) + one static-table row gather.
+    hc = road.head * (Nmax + 1) + road.count            # [R] elementwise
+    hc_c = hc[safe_road]
+    head_c = hc_c // (Nmax + 1)
+    count_before = hc_c % (Nmax + 1)
+    rs = _road_static_tab(network)[safe_road]           # [K, 3]
+    cap_c, cc_c, ff_c = rs[:, 0], rs[:, 1], rs[:, 2]
+
     remaining = (
-        network.capacity[safe_road]
-        - physics.congestion_buffer
-        - count_before.astype(jnp.float32)
+        cap_c - physics.congestion_buffer - count_before.astype(jnp.float32)
     ).astype(jnp.int32)
     ok = (road_cand < R) & (rank < remaining) & (remaining > 0)
 
     # Scatter into ring buffers: logical slot = count_before + rank.
-    slot = (road.head[safe_road] + count_before + rank) % Nmax
+    slot = (head_c + count_before + rank) % Nmax
     rows = jnp.where(ok, road_cand, R)  # R is out of bounds -> dropped
 
-    time_congestion = network.congestion_constant[safe_road] / (
-        network.capacity[safe_road]
-        + physics.congestion_softening
-        - count_before.astype(jnp.float32)
+    time_congestion = cc_c / (
+        cap_c + physics.congestion_softening - count_before.astype(jnp.float32)
     )
-    travel_time = jnp.maximum(network.free_flow[safe_road], time_congestion)
+    travel_time = jnp.maximum(ff_c, time_congestion)
+
+    if dest_cand is None:
+        dest_cand = agents.dest[agent_cand]
 
     fifo_ids = road.fifo_ids.at[rows, slot].set(agent_cand, mode="drop")
     fifo_arrival = road.fifo_arrival.at[rows, slot].set(
@@ -106,10 +150,8 @@ def _admit_candidates(
     fifo_departure = road.fifo_departure.at[rows, slot].set(
         time + travel_time, mode="drop"
     )
-    fifo_dest = road.fifo_dest.at[rows, slot].set(
-        agents.dest[agent_cand], mode="drop"
-    )
-    if K <= _PAIRWISE_RANK_MAX and K * R <= _PAIRWISE_COUNT_MAX_ELEMS:
+    fifo_dest = road.fifo_dest.at[rows, slot].set(dest_cand, mode="drop")
+    if pairwise and K * R <= _PAIRWISE_COUNT_MAX_ELEMS:
         # Per-road admitted counts via the same pairwise trick (a [K, R]
         # compare+sum is fused VPU work; the segment_sum alternative is
         # another serialized scatter).
@@ -122,13 +164,24 @@ def _admit_candidates(
             ok.astype(jnp.int32), rows, num_segments=R + 1
         )[:R]
 
-    # Scatter into an int32 staging vector: TPU bool scatters run ~7x
-    # slower than int32 ones (measured); the OR is a fused [A] pass.
-    inserted_agents = jnp.where(ok, agent_cand, A)  # A -> dropped
-    ins_delta = jnp.zeros((A,), jnp.int32).at[inserted_agents].set(
-        1, mode="drop"
-    )
-    inserted = agents.inserted | (ins_delta > 0)
+    if update_inserted:
+        # Scatter into an int32 staging vector: TPU bool scatters run ~7x
+        # slower than int32 ones (measured); the OR is a fused [A] pass.
+        inserted_agents = jnp.where(ok, agent_cand, A)  # A -> dropped
+        ins_delta = jnp.zeros((A,), jnp.int32).at[inserted_agents].set(
+            1, mode="drop"
+        )
+        inserted = agents.inserted | (ins_delta > 0)
+    else:
+        # Caller updates the flag itself (the sorted fast path replaces the
+        # scatter with a contiguous dynamic_update_slice).
+        inserted = agents.inserted
+
+    if pairwise:
+        admitted = ok
+    else:
+        # Map the admission mask back to candidate order for the caller.
+        admitted = jnp.zeros((K,), bool).at[order].set(ok)
 
     return (
         road._replace(
@@ -139,6 +192,7 @@ def _admit_candidates(
             count=road.count + count_add,
         ),
         agents._replace(inserted=inserted),
+        admitted,
     )
 
 
@@ -165,7 +219,8 @@ def insert_agents(
 
     Semantics matched to the reference:
 
-    * ready = departure reached & not ON_WAY & not DONE (base.py:247-251);
+    * ready = departure reached & not ON_WAY & not DONE (base.py:247-251) —
+      equivalently ``~inserted``, since DONE implies inserted;
     * per-road admitted count = min(#candidates, capacity - CONGESTION_FILE -
       count) with candidates admitted in agent-index order (base.py:275-299);
     * arrival stamped ``time``; departure stamped ``time + max(fftt,
@@ -174,15 +229,17 @@ def insert_agents(
     """
     R = road.num_roads
 
-    ready = (agents.departure <= time) & (~agents.on_way) & (~agents.done)
+    ready = (agents.departure <= time) & (~agents.inserted)
     if entry_road is None:
         entry_road = selected_road[agents.origin]
     valid_road = (entry_road >= 0) & (entry_road < R)
     road_key = jnp.where(ready & valid_road, entry_road, R).astype(jnp.int32)
     candidate_ids = jnp.arange(agents.num_agents, dtype=jnp.int32)
-    return _admit_candidates(
-        road, agents, network, time, physics, candidate_ids, road_key
+    road, agents, _ = _admit_candidates(
+        road, agents, network, time, physics, candidate_ids, road_key,
+        cand_dest=agents.dest,
     )
+    return road, agents
 
 
 def insert_agents_windowed(
@@ -197,7 +254,8 @@ def insert_agents_windowed(
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     entry_road: jnp.ndarray | None = None,
     entry_lookup=None,
-) -> tuple[RoadState, AgentState, jnp.ndarray]:
+    sorted_fast: bool = False,
+) -> tuple[RoadState, AgentState, jnp.ndarray, jnp.ndarray]:
     """Windowed insertion: O(W log W) per tick instead of O(A log A).
 
     ``entry_lookup(agent_ids) -> roads`` supplies per-agent entry roads for
@@ -213,44 +271,95 @@ def insert_agents_windowed(
     ``W`` agents are simultaneously pending, the overflow waits extra ticks
     (bounded, documented deviation from the all-at-once reference scan).
 
-    Returns ``(road, agents, new_ptr)``.
+    Returns ``(road, agents, new_ptr, saturated)``.  ``saturated`` (bool[])
+    is the in-run overflow monitor: True when the window's TAIL agent is
+    already due, i.e. due agents may extend beyond the window and this
+    tick's admission can differ from exact whole-population insertion.  A
+    run whose saturated series is all-False is outcome-identical to
+    ``insert_agents`` (given the same entry roads); measured at the official
+    bench workload (Grid16x16 / 50k / 2 h peak) saturation occurs and the
+    done-count deviation stays under 0.6% for W in [512, 2048] — see
+    bench.py.
     """
     R = road.num_roads
-    Nmax = road.nmax
     A = agents.num_agents
     W = min(window, A)
 
-    # Explicit clamped start: dynamic_slice clamps anyway, but the pointer
-    # arithmetic below must use the *actual* slice start.
-    start = jnp.minimum(ptr, A - W).astype(jnp.int32)
-    win_ids = jax.lax.dynamic_slice_in_dim(order, start, W)
+    if sorted_fast:
+        # SimConfig.sorted_population: ids 1..A-1 ARE the departure order,
+        # so the window is a contiguous id range [start+1, start+1+W) —
+        # every window read is a dynamic slice (no gathers) and the
+        # inserted-flag write is a dynamic_update_slice (no scatter).  The
+        # dummy agent 0 departs past the horizon and is simply never
+        # windowed.  ``order`` is ignored.
+        W = min(W, A - 1)
+        start = jnp.minimum(ptr, A - 1 - W).astype(jnp.int32)
+        lo = start + 1
+        win_ids = lo + jnp.arange(W, dtype=jnp.int32)
+        win_dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, W)
+        win_origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, W)
+        win_dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, W)
+        win_inserted = jax.lax.dynamic_slice_in_dim(agents.inserted, lo, W)
+    else:
+        # Explicit clamped start: dynamic_slice clamps anyway, but the
+        # pointer arithmetic below must use the *actual* slice start.
+        start = jnp.minimum(ptr, A - W).astype(jnp.int32)
+        win_ids = jax.lax.dynamic_slice_in_dim(order, start, W).astype(
+            jnp.int32
+        )
 
-    ready = (
-        (agents.departure[win_ids] <= time)
-        & (~agents.on_way[win_ids])
-        & (~agents.done[win_ids])
-    )
+        # ONE row gather of the static per-agent columns.  The stack is
+        # loop-invariant when run_episode keeps these arrays out of the
+        # scan carry (module docstring); int columns round-trip exactly
+        # through f32 for A, N < 2^24.
+        static_tab = jnp.stack(
+            [
+                agents.departure,
+                agents.origin.astype(jnp.float32),
+                agents.dest.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        win_static = static_tab[win_ids]                # [W, 3]
+        win_dep = win_static[:, 0]
+        win_origin = win_static[:, 1].astype(jnp.int32)
+        win_dest = win_static[:, 2].astype(jnp.int32)
+        win_inserted = agents.inserted[win_ids]         # dynamic flag gather
+
+    # done => inserted (arrival is stamped strictly after insertion), so the
+    # reference's ~ON_WAY & ~DONE readiness (base.py:247-251) is ~inserted.
+    ready = (win_dep <= time) & (~win_inserted)
     if entry_lookup is not None:
         win_entry = entry_lookup(win_ids)
     elif entry_road is not None:
         win_entry = entry_road[win_ids]
     else:
-        win_entry = selected_road[agents.origin[win_ids]]
+        win_entry = selected_road[win_origin]
     valid_road = (win_entry >= 0) & (win_entry < R)
     road_key = jnp.where(ready & valid_road, win_entry, R).astype(jnp.int32)
 
-    road, agents = _admit_candidates(
-        road, agents, network, time, physics, win_ids.astype(jnp.int32), road_key
+    road, agents, admitted = _admit_candidates(
+        road, agents, network, time, physics, win_ids, road_key,
+        cand_dest=win_dest, update_inserted=not sorted_fast,
     )
-    on_way = agents.on_way
+    if sorted_fast:
+        agents = agents._replace(
+            inserted=jax.lax.dynamic_update_slice_in_dim(
+                agents.inserted, win_inserted | admitted, lo, axis=0
+            )
+        )
 
-    # Advance past the leading settled run (ON_WAY or DONE after this insert),
-    # measured from the actual slice start.  The run length is the first
-    # unsettled position — a min-reduce, which is much cheaper on TPU than
-    # the equivalent cumprod-and-sum scan (~80 us/tick at W=1024, measured).
-    settled = on_way[win_ids] | agents.done[win_ids]
+    # Advance past the leading settled run, measured from the actual slice
+    # start.  settled = ON_WAY | DONE = inserted, and post-insert that is
+    # exactly (pre-insert inserted) | (admitted this tick) — no re-gather.
+    # The run length is the first unsettled position — a min-reduce, much
+    # cheaper on TPU than the cumprod-and-sum scan (~80 us/tick, measured).
+    settled = win_inserted | admitted
     pos_w = jnp.arange(W, dtype=jnp.int32)
     advance = jnp.min(jnp.where(settled, W, pos_w))
     new_ptr = jnp.minimum(start + advance, A).astype(jnp.int32)
 
-    return road, agents, new_ptr
+    # Conservative: the tail agent being DUE (inserted or not) means later
+    # departures beyond the window may be due too.
+    saturated = win_dep[W - 1] <= time
+    return road, agents, new_ptr, saturated

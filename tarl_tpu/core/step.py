@@ -130,6 +130,7 @@ def tick(
 
     # --- insert (agents/base.py:244-331) ---
     insert_ptr = state.insert_ptr
+    saturated = jnp.zeros((), jnp.float32)
     if sim.insert_window is not None:
         from .insert import insert_agents_windowed
 
@@ -140,11 +141,12 @@ def tick(
             entry_fn = lambda ids: full_entry[ids]  # noqa: E731
         else:
             entry_fn = None
-        road, agents, insert_ptr = insert_agents_windowed(
+        road, agents, insert_ptr, sat = insert_agents_windowed(
             state.road, state.agents, state.selected_road, network, t,
             state.insert_order, state.insert_ptr, sim.insert_window, physics,
-            entry_lookup=entry_fn,
+            entry_lookup=entry_fn, sorted_fast=sim.sorted_population,
         )
+        saturated = sat.astype(jnp.float32)
     else:
         entry_road = (
             policy.entry(state, network) if policy.entry is not None else None
@@ -231,6 +233,7 @@ def tick(
         on_way=on_way_total,
         time=new_time,
         road_delta_tt=road_delta_tt,
+        window_saturated=saturated,
     )
     return new_state, log
 
@@ -247,13 +250,44 @@ def run_episode(
     physics: PhysicsConfig = DEFAULT_PHYSICS,
 ) -> tuple[SimState, TickLog]:
     """Run ``num_steps`` ticks as one fused ``lax.scan`` (the reference's
-    ``run_episode`` host loop, algorithms/base_runner.py:42-43, on device)."""
+    ``run_episode`` host loop, algorithms/base_runner.py:42-43, on device).
 
-    def body(s, _):
-        return tick(s, network, policy, sim, physics)
+    Only the DYNAMIC agent columns (``arrival``, ``inserted``) ride the scan
+    carry; the static ones (origin/dest/departure/demographics) and the
+    departure-sorted ``insert_order`` are closed over as scan constants, so
+    loop-invariant derived tables — e.g. windowed insertion's packed
+    ``[A, 3]`` agent row (core.insert) — hoist out of the loop instead of
+    being rebuilt every tick."""
+    ag = state.agents
+    order_const = state.insert_order
 
-    final, logs = jax.lax.scan(body, state, length=num_steps)
-    return final, logs
+    def assemble(carry) -> SimState:
+        (road, arrival, inserted, selected_road, time, key, metrics,
+         next_hop, choice_count, insert_ptr) = carry
+        return SimState(
+            road=road,
+            agents=ag._replace(arrival=arrival, inserted=inserted),
+            selected_road=selected_road,
+            time=time,
+            key=key,
+            metrics=metrics,
+            next_hop=next_hop,
+            choice_count=choice_count,
+            insert_order=order_const,
+            insert_ptr=insert_ptr,
+        )
+
+    def disassemble(s: SimState):
+        return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
+                s.time, s.key, s.metrics, s.next_hop, s.choice_count,
+                s.insert_ptr)
+
+    def body(carry, _):
+        s, log = tick(assemble(carry), network, policy, sim, physics)
+        return disassemble(s), log
+
+    carry, logs = jax.lax.scan(body, disassemble(state), length=num_steps)
+    return assemble(carry), logs
 
 
 def average_travel_time(agents: AgentState) -> jnp.ndarray:

@@ -281,3 +281,60 @@ def ensure_scenario(data_root: str, scenario: str) -> str:
     raise FileNotFoundError(
         f"Scenario '{scenario}' not found under {data_root} and no builtin generator exists."
     )
+
+
+def pad_network_xml(network_base: str, multiple: int) -> str:
+    """Pad a network to ``num_roads % multiple == 0`` with inert roads.
+
+    The explicit shard_map episode blocks roads contiguously and requires
+    ``R % num_shards == 0`` (parallel.shard_map_episode); real networks
+    rarely oblige.  This appends ``(-R) % multiple`` self-loop links, each
+    on its OWN fresh intersection whose id starts with ``~`` so it sorts
+    AFTER every real id — existing intersection ordinals (ts.py:142 sorted()
+    indexing) are unchanged, and each pad road's only turn edge is its own
+    self-loop, so it can never receive or emit a transfer and no population
+    activity references it: the padded simulation is the unpadded one on
+    the real roads (the direction Gumbel matrix is [KIN, R_pad], so random-
+    policy STREAMS differ from the unpadded network; deterministic routing
+    outcomes are identical).
+
+    Writes ``<network_base>_pad<multiple>.xml`` next to the source (reusing
+    it if already present) and returns its base path (without extension) —
+    load BOTH the network and the population against it so the SRC/DEST
+    node indexing (R + 2k) stays consistent.
+    """
+    import xml.etree.ElementTree as ET
+
+    from .matsim import resolve_xml_path
+
+    src = resolve_xml_path(network_base)
+    out_base = f"{network_base}_pad{multiple}"
+    out_path = out_base + ".xml"
+    if os.path.exists(out_path):
+        return out_base
+
+    if src.endswith(".gz"):
+        with gzip.open(src, "rb") as f:
+            tree = ET.parse(f)
+    else:
+        tree = ET.parse(src)
+    root = tree.getroot()
+    links_el = root.find("links")
+    nodes_el = root.find("nodes")
+    if links_el is None:
+        raise ValueError("The XML file does not contain a 'links' element.")
+    links = [e for e in links_el if e.tag == "link"]
+    num_pad = (-len(links)) % multiple
+    if num_pad == 0:
+        return network_base
+    for k in range(num_pad):
+        nid = f"~pad{k}"
+        if nodes_el is not None:
+            ET.SubElement(nodes_el, "node", id=nid, x="0", y="0")
+        ET.SubElement(
+            links_el, "link",
+            id=f"~padlink{k}", attrib={"from": nid, "to": nid},
+            length="7.5", capacity="1", freespeed="7.5", permlanes="1",
+        )
+    tree.write(out_path)
+    return out_base

@@ -35,6 +35,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Max segment-block width per grid step: [TILE_E, SEG_TILE] one-hot tiles
+# (~2 live f32 copies) against the ~16 MB scoped-vmem limit.  Larger segment
+# counts TILE over blocks (a second grid dimension): each edge tile is
+# re-streamed per block, so total work is O(E * num_segments / SEG_TILE)
+# grid steps — unbounded segment support, matching torch_scatter
+# (direction_mpnn.py:133-139).
+SEG_TILE = 2048
+
+
+def _seg_blocks(r_pad: int) -> tuple[int, int]:
+    """(block width, number of blocks) covering ``r_pad`` columns."""
+    if r_pad <= SEG_TILE:
+        return r_pad, 1
+    return SEG_TILE, (r_pad + SEG_TILE - 1) // SEG_TILE
+
+
 def _pad_edges(data, seg, tile_e, pad_seg_value):
     e = data.shape[0]
     e_pad = _round_up(max(e, tile_e), tile_e)
@@ -47,18 +63,18 @@ def _pad_edges(data, seg, tile_e, pad_seg_value):
 # ---------------------------------------------------------------------------
 # segment sum: one-hot MXU contraction
 # ---------------------------------------------------------------------------
-def _segment_sum_kernel(seg_ref, data_ref, out_ref):
-    r_pad = out_ref.shape[1]
+def _segment_sum_kernel(seg_ref, data_ref, out_ref, *, seg_tile):
     tile_e = data_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     seg = seg_ref[0, :]  # [TILE_E]
     data = data_ref[0, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 1)
-    onehot = (seg[:, None] == col).astype(jnp.float32)
+    base = pl.program_id(0) * seg_tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, seg_tile), 1)
+    onehot = (seg[:, None] == col + base).astype(jnp.float32)
     # [1, TILE_E] @ [TILE_E, R_pad] on the MXU.  HIGHEST precision: the MXU's
     # default bf16 passes would round the data before summation.
     partial = jax.lax.dot_general(
@@ -82,16 +98,19 @@ def segment_sum_pallas(data, segment_ids, num_segments: int,
     seg = jnp.where((seg < 0) | (seg >= num_segments), num_segments, seg)
     data, seg, e_pad = _pad_edges(data, seg, tile_e, num_segments)
 
+    seg_tile, n_blocks = _seg_blocks(r_pad)
     out = pl.pallas_call(
-        _segment_sum_kernel,
-        grid=(e_pad // tile_e,),
+        functools.partial(_segment_sum_kernel, seg_tile=seg_tile),
+        grid=(n_blocks, e_pad // tile_e),
         in_specs=[
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, seg_tile), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_blocks * seg_tile), jnp.float32),
     )(seg[None, :], data[None, :])
     return out[0, :num_segments]
 
@@ -99,18 +118,18 @@ def segment_sum_pallas(data, segment_ids, num_segments: int,
 # ---------------------------------------------------------------------------
 # segment max: VPU masked-max sweep
 # ---------------------------------------------------------------------------
-def _segment_max_kernel(seg_ref, data_ref, out_ref):
-    r_pad = out_ref.shape[1]
+def _segment_max_kernel(seg_ref, data_ref, out_ref, *, seg_tile):
     tile_e = data_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.full_like(out_ref, NEG_LARGE)
 
     seg = seg_ref[0, :]
     data = data_ref[0, :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 1)
-    masked = jnp.where(seg[:, None] == col, data[:, None], NEG_LARGE)
+    base = pl.program_id(0) * seg_tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, seg_tile), 1)
+    masked = jnp.where(seg[:, None] == col + base, data[:, None], NEG_LARGE)
     out_ref[:] = jnp.maximum(out_ref[:], masked.max(axis=0)[None, :])
 
 
@@ -127,16 +146,19 @@ def segment_max_pallas(data, segment_ids, num_segments: int,
     data, seg, e_pad = _pad_edges(data, seg, tile_e, num_segments)
     data = jnp.where(seg == num_segments, NEG_LARGE, data)
 
+    seg_tile, n_blocks = _seg_blocks(r_pad)
     out = pl.pallas_call(
-        _segment_max_kernel,
-        grid=(e_pad // tile_e,),
+        functools.partial(_segment_max_kernel, seg_tile=seg_tile),
+        grid=(n_blocks, e_pad // tile_e),
         in_specs=[
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, seg_tile), lambda j, i: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_blocks * seg_tile), jnp.float32),
     )(seg[None, :], data[None, :])
     return out[0, :num_segments]
 
@@ -144,21 +166,22 @@ def segment_max_pallas(data, segment_ids, num_segments: int,
 # ---------------------------------------------------------------------------
 # segment argmax: two-output sweep (max value + min index attaining it)
 # ---------------------------------------------------------------------------
-def _segment_argmax_kernel(seg_ref, data_ref, max_ref, arg_ref, *, e_total):
-    r_pad = max_ref.shape[1]
+def _segment_argmax_kernel(seg_ref, data_ref, max_ref, arg_ref, *,
+                           e_total, seg_tile):
     tile_e = data_ref.shape[1]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         max_ref[:] = jnp.full_like(max_ref, NEG_LARGE)
         arg_ref[:] = jnp.full_like(arg_ref, e_total)
 
     seg = seg_ref[0, :]
     data = data_ref[0, :]
-    base = pl.program_id(0) * tile_e
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile_e, r_pad), 0)
-    is_seg = seg[:, None] == col
+    base = pl.program_id(1) * tile_e
+    seg_base = pl.program_id(0) * seg_tile
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_e, seg_tile), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_e, seg_tile), 0)
+    is_seg = seg[:, None] == col + seg_base
     masked = jnp.where(is_seg, data[:, None], NEG_LARGE)
     tile_max = masked.max(axis=0)  # [R_pad]
     # Lowest edge index attaining the tile max within each segment column.
@@ -189,20 +212,26 @@ def segment_argmax_pallas(scores, segment_ids, num_segments: int,
     scores, seg, e_pad = _pad_edges(scores, seg, tile_e, num_segments)
     scores = jnp.where(seg == num_segments, NEG_LARGE, scores)
 
+    seg_tile, n_blocks = _seg_blocks(r_pad)
     _, arg = pl.pallas_call(
-        functools.partial(_segment_argmax_kernel, e_total=e_total),
-        grid=(e_pad // tile_e,),
+        functools.partial(_segment_argmax_kernel, e_total=e_total,
+                          seg_tile=seg_tile),
+        grid=(n_blocks, e_pad // tile_e),
         in_specs=[
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_e), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_e), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, r_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg_tile), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seg_tile), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, r_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_blocks * seg_tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_blocks * seg_tile), jnp.int32),
         ),
     )(seg[None, :], scores[None, :])
     return jnp.minimum(arg[0, :num_segments], e_total)

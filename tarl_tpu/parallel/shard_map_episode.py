@@ -122,6 +122,11 @@ def run_episode_shard_map(
     ff = network.free_flow
     cc = network.congestion_constant
 
+    if primal:
+        from ..routing.policies import _maybe_delta_buckets
+
+        _pb_shifts, _pb_slot = _maybe_delta_buckets(network)
+
     if learned is not None:
         # Slot-major out-edge tables for the edge-sharded policy forward
         # (rl.learned_policy).  Shard i owns the edge groups whose SOURCE
@@ -151,7 +156,7 @@ def run_episode_shard_map(
         insert_ptr=P(),
     )
     log_spec = TickLog(departures=P(), arrivals=P(), on_way=P(), time=P(),
-                       road_delta_tt=P())
+                       road_delta_tt=P(), window_saturated=P())
 
     def _halo_road_costs(count_g):
         """Per-road refresh costs from halo counts, honoring
@@ -602,6 +607,8 @@ def run_episode_shard_map(
             time=new_time,
             road_delta_tt=(delta_full if sim.record_road_optimality
                            else jnp.zeros((0,), jnp.float32)),
+            # shard_map insert is whole-population: never window-bounded.
+            window_saturated=jnp.zeros((), jnp.float32),
         )
         return new_st, log
 

@@ -190,7 +190,7 @@ def env_step(
     if sim_cfg.insert_window is not None:
         from ..core.insert import insert_agents_windowed
 
-        road, agents, insert_ptr = insert_agents_windowed(
+        road, agents, insert_ptr, _ = insert_agents_windowed(
             road, agents, sim.selected_road, network, t,
             sim.insert_order, sim.insert_ptr, sim_cfg.insert_window, physics,
         )

@@ -233,7 +233,7 @@ def all_pairs_next_hop_nbr(
     return dist, next_hop
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "delta_shifts"))
 def primal_all_pairs_dist(
     road_cost: jnp.ndarray,       # float32[R] — cost of traversing each road
     inter_out_road: jnp.ndarray,  # int32[I, K] — outgoing roads per intersection
@@ -241,6 +241,8 @@ def primal_all_pairs_dist(
     road_to: jnp.ndarray,         # int32[R] — head intersection of each road
     max_iters: int | None = None,
     dist0: jnp.ndarray | None = None,  # float32[I, I] upper bound warm start
+    delta_shifts: tuple | None = None,   # static offsets (primal_delta_buckets)
+    delta_slot: jnp.ndarray | None = None,  # int32[R] weight-table slots
 ) -> jnp.ndarray:
     """All-pairs distances over the PRIMAL (intersection) graph: float32[I, I].
 
@@ -266,11 +268,13 @@ def primal_all_pairs_dist(
         # bounds every path's revaluation, so the while_loop's early exit
         # fires after a few sweeps instead of a diameter's worth.
         dist0 = jnp.where(eye, 0.0, dist0)
+    buckets = (None if delta_shifts is None
+               else (delta_shifts, delta_slot))
     return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
-                         road_to, iters)
+                         road_to, iters, buckets=buckets)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "delta_shifts"))
 def primal_dest_dist(
     road_cost: jnp.ndarray,       # float32[R]
     inter_out_road: jnp.ndarray,  # int32[I, K]
@@ -279,6 +283,8 @@ def primal_dest_dist(
     dest_list: jnp.ndarray,       # int32[D] — destination intersections
     max_iters: int | None = None,
     dist0: jnp.ndarray | None = None,  # float32[I, D] warm start
+    delta_shifts: tuple | None = None,   # static offsets (primal_delta_buckets)
+    delta_slot: jnp.ndarray | None = None,  # int32[R] weight-table slots
 ) -> jnp.ndarray:
     """Destination-restricted primal distances: float32[I, D].
 
@@ -295,23 +301,226 @@ def primal_dest_dist(
         dist0 = jnp.where(anchor, 0.0, BIG)
     else:
         dist0 = jnp.where(anchor, 0.0, dist0)
+    buckets = (None if delta_shifts is None
+               else (delta_shifts, delta_slot))
     return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
-                         road_to, iters)
+                         road_to, iters, buckets=buckets)
+
+
+def primal_delta_buckets(
+    inter_out_road, inter_out_ok, road_to, max_deltas: int = 32
+):
+    """Host-side sweep analysis: bucket primal edges by INDEX OFFSET.
+
+    The gather sweep of :func:`_primal_relax` reads ``dist[succ[:, k]]`` —
+    row gathers that hit XLA:TPU's serial emitter and run ~25x off HBM
+    bandwidth (docs/BENCH.md).  But road networks have very few distinct
+    values of ``(head - tail) mod I`` under any locality-ish node ordering
+    (a 64x64 grid with the reference's lexicographic intersection order has
+    20), and a fixed-offset neighbor read is ``jnp.roll`` — a full-bandwidth
+    contiguous copy.  This helper groups every primal edge by its offset
+    ``d = (road_to[r] - tail(r)) mod I``:
+
+    Returns ``(deltas, slot_of_road)`` — a tuple of python-int offsets and
+    an ``int32[R]`` map of each road to its slot ``b * I + tail`` in the
+    flattened ``[B, I]`` sweep weight table — or ``None`` when the network
+    has more than ``max_deltas`` distinct offsets (irregular orderings fall
+    back to the gather sweep; a locality-preserving relabeling would
+    recover the fast path).  Parallel roads sharing (tail, head) collide on
+    one slot; the weight table is built with a ``min`` scatter, which is
+    exactly the min-plus relaxation's treatment of parallel edges.
+    """
+    import numpy as np
+
+    out = np.asarray(inter_out_road)
+    ok = np.asarray(inter_out_ok)
+    rt = np.asarray(road_to)
+    i_n, k_n = out.shape
+    src = np.repeat(np.arange(i_n, dtype=np.int64), k_n)[ok.ravel()]
+    roads = out.ravel()[ok.ravel()]
+    dst = rt[roads]
+    d_mod = (dst - src) % i_n
+    deltas = np.unique(d_mod)
+    if deltas.shape[0] > max_deltas:
+        return None
+    b_of = {int(d): b for b, d in enumerate(deltas)}
+    num_roads = rt.shape[0]
+    slot = np.full(num_roads, deltas.shape[0] * i_n, np.int64)  # pad: dropped
+    for s, r, d in zip(src, roads, d_mod):
+        slot[r] = b_of[int(d)] * i_n + s
+    return tuple(int(d) for d in deltas), jnp.asarray(slot, jnp.int32)
+
+
+def _sweep_kernel_body(delta_ref, w_ref, dist_ref, out_ref, *, num_deltas):
+    """One min-plus sweep over a [I, T] column tile, all shifts in VMEM.
+
+    ``dist`` is loaded from HBM exactly once per sweep; each delta is a
+    sublane-rotate (``pltpu.roll``) of the resident tile — the
+    full-bandwidth form of the relaxation (the XLA roll formulation
+    re-reads HBM per delta, the gather formulation hits the serial
+    emitter).  A fori_loop with a dynamic shift keeps the VMEM stack at
+    ONE rotated temporary (an unrolled static-slice form allocated a
+    buffer per delta and blew scoped VMEM)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    tile = dist_ref[...]
+    w_all = w_ref[...]  # [I, B_pad]
+    lane = jax.lax.broadcasted_iota(jnp.int32, w_all.shape, 1)
+
+    def step(b, new):
+        # delta_ref holds PRE-NEGATED shifts ((I - d) % I), so the roll is a
+        # positive dynamic sublane rotate; the w column is selected with a
+        # masked lane-reduce (Mosaic cannot prove alignment of a dynamic
+        # lane index for a vector load).
+        shifted = pltpu.roll(tile, delta_ref[0, b], 0)
+        w_b = jnp.where(lane == b, w_all, 0.0).sum(axis=1, keepdims=True)
+        return jnp.minimum(new, w_b + shifted)
+
+    out_ref[...] = jax.lax.fori_loop(0, num_deltas, step, tile)
+
+
+def _sweep_pallas(dist, w_cols, delta_arr, num_deltas: int, tile_d: int):
+    """dist [I, Dp] -> one relaxation sweep (see _sweep_kernel_body)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i_n, d_p = dist.shape
+    b_pad = w_cols.shape[1]
+    return pl.pallas_call(
+        partial(_sweep_kernel_body, num_deltas=num_deltas),
+        grid=(d_p // tile_d,),
+        in_specs=[
+            pl.BlockSpec((1, delta_arr.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((i_n, b_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((i_n, tile_d), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((i_n, tile_d), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((i_n, d_p), jnp.float32),
+        # Resident tile + w columns + the rotate temporary sit a few MB over
+        # the conservative 16 MB default scoped-VMEM limit at I=4096.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SWEEP_VMEM_BYTES
+        ),
+    )(delta_arr, w_cols, dist)
+
+
+# VMEM gate for the Pallas sweep: resident tile + output tile + rotate
+# temporary + w columns, with headroom (v5e VMEM is far above the 16 MB
+# default scoped limit; CompilerParams raises it to this budget).
+_SWEEP_TILE_D = 128
+_SWEEP_VMEM_BYTES = 40 * 1024 * 1024
+
+
+def _pallas_sweep_ok(i_n: int, num_deltas: int) -> bool:
+    """Opt-in (TARL_PALLAS_SWEEP=1): measured on the v5e chip the tiled
+    kernel runs ~2x SLOWER than the gather sweep at Grid64x64 (30 vs 14 ms
+    per 8-sweep refresh) — the dynamic sublane rotates and masked w-column
+    selects are VPU-bound and outweigh the single-HBM-read advantage.  Kept
+    as the re-owned native formulation and a tuning base (static-shift
+    specialization is the known next step); bitwise-equal to the gather
+    sweep, verified on hardware."""
+    import os
+
+    if os.environ.get("TARL_PALLAS_SWEEP", "0") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if i_n % 8 != 0:  # sublane alignment; rolls assume unpadded rows
+        return False
+    need = 5 * 4 * i_n * _SWEEP_TILE_D + 4 * i_n * _round_up_lane(num_deltas)
+    return need <= _SWEEP_VMEM_BYTES
+
+
+def _round_up_lane(x: int) -> int:
+    return ((x + 127) // 128) * 128
 
 
 def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
-                  iters):
-    w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
-    succ = road_to[inter_out_road]  # [I, K]
-    k_n = succ.shape[1]
+                  iters, buckets=None):
+    i_n = inter_out_road.shape[0]
 
-    def sweep(dist):
-        # Slot loop of full-row gathers: measured ~1.75x faster than the
-        # [I, K, I] 3-D gather form on TPU (no K-major intermediate).
-        new = dist
-        for k in range(k_n):
-            new = jnp.minimum(new, w[:, k][:, None] + dist[succ[:, k]])
-        return new
+    if buckets is not None and _pallas_sweep_ok(i_n, len(buckets[0])):
+        # Pallas tiled sweep: pad destination columns to the lane tile; the
+        # BIG-padded columns relax independently and are sliced off.
+        deltas, slot_of_road = buckets
+        b_n = len(deltas)
+        b_pad = _round_up_lane(b_n)
+        w_flat = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
+            road_cost
+        )[: b_n * i_n]
+        # Transposed [I, B_pad] so each row's weights broadcast over lanes.
+        w_cols = jnp.full((i_n, b_pad), BIG).at[:, :b_n].set(
+            w_flat.reshape(b_n, i_n).T
+        )
+        d = dist0.shape[1]
+        d_p = _round_up_lane(d)
+        dist_p = (dist0 if d_p == d
+                  else jnp.pad(dist0, ((0, 0), (0, d_p - d)),
+                               constant_values=BIG))
+
+        def cond(carry):
+            i, dist, changed = carry
+            return changed & (i < iters)
+
+        delta_arr = jnp.asarray(
+            [(i_n - d) % i_n for d in deltas]
+            + [0] * (_round_up_lane(b_n) - b_n),
+            jnp.int32,
+        )[None, :]
+
+        def body(carry):
+            i, dist, _ = carry
+            new = _sweep_pallas(dist, w_cols, delta_arr, b_n, _SWEEP_TILE_D)
+            return i + 1, new, jnp.any(new < dist)
+
+        _, dist_p, _ = jax.lax.while_loop(
+            cond, body, (0, dist_p, jnp.bool_(True))
+        )
+        return dist_p[:, :d]
+
+    if buckets is not None and jax.default_backend() == "tpu" and \
+            not _pallas_sweep_ok(i_n, len(buckets[0])):
+        # Measured on the v5e: BOTH delta formulations lose to the gather
+        # sweep on TPU (XLA rolls re-read HBM per delta: 38 vs 14 ms per
+        # 8-sweep refresh; the Pallas kernel is VPU-bound: 30 ms) — ignore
+        # the buckets unless the kernel is explicitly opted in.
+        buckets = None
+
+    if buckets is not None:
+        # Delta-bucketed sweep: one jnp.roll per distinct index offset
+        # instead of per-slot row gathers (the CPU/semantics path), or the
+        # opt-in Pallas kernel below.  Bitwise-equal to the gather sweep:
+        # min is exact, the per-edge sums w + dist pair identically, and
+        # ties resolve to the same value whatever the reduction order.
+        deltas, slot_of_road = buckets
+        b_n = len(deltas)
+        w_tab = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
+            road_cost
+        )[: b_n * i_n].reshape(b_n, i_n)
+
+        def sweep(dist):
+            new = dist
+            for b, d in enumerate(deltas):
+                new = jnp.minimum(
+                    new, w_tab[b][:, None] + jnp.roll(dist, -d, axis=0)
+                )
+            return new
+    else:
+        w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
+        succ = road_to[inter_out_road]  # [I, K]
+        k_n = succ.shape[1]
+
+        def sweep(dist):
+            # Slot loop of full-row gathers: measured ~1.75x faster than the
+            # [I, K, I] 3-D gather form on TPU (no K-major intermediate).
+            new = dist
+            for k in range(k_n):
+                new = jnp.minimum(new, w[:, k][:, None] + dist[succ[:, k]])
+            return new
 
     def cond(carry):
         i, dist, changed = carry

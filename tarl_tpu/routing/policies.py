@@ -166,6 +166,20 @@ def _road_cost_fn(routing: RoutingConfig):
             else road_costs)
 
 
+def _maybe_delta_buckets(network: Optional[Network]):
+    """(delta_shifts, delta_slot) for the fast roll-based primal sweep, or
+    (None, None) when no concrete network is at hand (fallback: the gather
+    sweep — bitwise-identical results, see bellman_ford._primal_relax)."""
+    if network is None:
+        return None, None
+    from .bellman_ford import primal_delta_buckets
+
+    b = primal_delta_buckets(
+        network.inter_out_road, network.inter_out_ok, network.road_to
+    )
+    return (None, None) if b is None else b
+
+
 def _argmin_road(dist, cost, network, from_inter, dest_col):
     """Best outgoing road at each ``from_inter`` toward table column
     ``dest_col`` of ``dist`` ([I, D]; D == I for the all-pairs form).
@@ -260,6 +274,7 @@ def primal_table_init(network: Network, max_iters: int | None = None):
 def make_shortest_path_choice_primal(
     routing: RoutingConfig = DEFAULT_ROUTING,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    network: Optional[Network] = None,
 ) -> ChoiceFn:
     """Shortest-path policy on the PRIMAL (intersection) graph.
 
@@ -276,6 +291,7 @@ def make_shortest_path_choice_primal(
     """
 
     road_cost_fn = _road_cost_fn(routing)
+    shifts, slot = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
         from .bellman_ford import BIG, primal_all_pairs_dist
@@ -295,7 +311,7 @@ def make_shortest_path_choice_primal(
             dist = primal_all_pairs_dist(
                 cost, network.inter_out_road, network.inter_out_ok,
                 network.road_to, max_iters=routing.max_bf_iters,
-                dist0=dist0,
+                dist0=dist0, delta_shifts=shifts, delta_slot=slot,
             )
             return jnp.concatenate([dist.ravel(), cost])
 
@@ -319,7 +335,8 @@ def make_shortest_path_choice_primal(
 
 
 def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING,
-                           physics: PhysicsConfig = DEFAULT_PHYSICS):
+                           physics: PhysicsConfig = DEFAULT_PHYSICS,
+                           network: Optional[Network] = None):
     """Destination-restricted primal routing: ``(choice, entry_lookup,
     table_init)`` callables over a ``dist[I, D]`` table whose columns are
     the population's actual destination intersections.
@@ -352,13 +369,16 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         # refresh); only refreshes honor routing.max_bf_iters.
         from .bellman_ford import primal_dest_dist
 
+        sh, sl = _maybe_delta_buckets(network)
         dist = primal_dest_dist(
             network.free_flow, network.inter_out_road, network.inter_out_ok,
             network.road_to, dest_list, max_iters=None,
+            delta_shifts=sh, delta_slot=sl,
         )
         return jnp.concatenate([dist.ravel(), network.free_flow])
 
     road_cost_fn = _road_cost_fn(routing)
+    shifts, slot = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
         from .bellman_ford import BIG, primal_dest_dist
@@ -374,7 +394,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             dist = primal_dest_dist(
                 cost, network.inter_out_road, network.inter_out_ok,
                 network.road_to, dest_list, max_iters=routing.max_bf_iters,
-                dist0=dist0,
+                dist0=dist0, delta_shifts=shifts, delta_slot=slot,
             )
             return jnp.concatenate([dist.ravel(), cost])
 

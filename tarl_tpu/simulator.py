@@ -114,7 +114,7 @@ def make_policy(
                 from .routing.policies import make_primal_dest_parts
 
                 choice, entry_lookup, table_init = make_primal_dest_parts(
-                    dest_inters, routing, physics
+                    dest_inters, routing, physics, network=network
                 )
                 return Policy(
                     choice=choice,
@@ -130,7 +130,9 @@ def make_policy(
             import functools
 
             return Policy(
-                choice=make_shortest_path_choice_primal(routing, physics),
+                choice=make_shortest_path_choice_primal(
+                    routing, physics, network=network
+                ),
                 entry=lambda s, n: primal_entry_lookup(s, n),
                 entry_lookup=primal_entry_lookup,
                 # Init must be exact; only refreshes honor max_bf_iters.
@@ -255,7 +257,7 @@ class TransportationSimulator:
                 if simc.insert_window is not None:
                     from .core.insert import insert_agents_windowed
 
-                    road, agents, ptr = insert_agents_windowed(
+                    road, agents, ptr, _ = insert_agents_windowed(
                         state.road, state.agents, state.selected_road,
                         self.network, state.time, state.insert_order,
                         state.insert_ptr, simc.insert_window, physics,

@@ -160,6 +160,36 @@ class AgentState(NamedTuple):
         return self.inserted & (self.arrival <= 0.0)
 
 
+def sort_agents_by_departure(agents: "AgentState") -> "AgentState":
+    """Relabel agents 1..A-1 into nondecreasing departure order (stable).
+
+    The dummy sentinel keeps id 0 (its departure is forced past the horizon
+    by the population loader, so it sorts last anyway and is never
+    windowed).  With the relabeled population, ``SimConfig.
+    sorted_population`` activates the gather-free windowed-insert fast path
+    (core.insert).  The simulation is the unsorted one up to the agent-id
+    permutation (ids only name rows; admission order within a tick is
+    departure order either way).
+    """
+    import numpy as np
+
+    dep = np.asarray(agents.departure)
+    perm = np.concatenate(
+        [[0], 1 + np.argsort(dep[1:], kind="stable")]
+    ).astype(np.int32)
+    take = lambda a: jnp.asarray(np.asarray(a)[perm])  # noqa: E731
+    return AgentState(
+        origin=take(agents.origin),
+        dest=take(agents.dest),
+        departure=take(agents.departure),
+        arrival=take(agents.arrival),
+        age=take(agents.age),
+        sex=take(agents.sex),
+        employed=take(agents.employed),
+        inserted=take(agents.inserted),
+    )
+
+
 def init_agent_state(
     origin, dest, departure, age=None, sex=None, employed=None
 ) -> AgentState:
@@ -235,3 +265,10 @@ class TickLog(NamedTuple):
     on_way: jnp.ndarray           # float32[] — agents currently en route
     time: jnp.ndarray             # float32[]
     road_delta_tt: jnp.ndarray    # float32[R] or float32[0] — congestion delay
+    # Windowed-insertion overflow monitor: 1.0 on ticks where the insert
+    # window's TAIL agent was already due, i.e. due agents may extend past
+    # the window and the bounded-entry deviation from the reference's
+    # all-at-once scan (core.insert.insert_agents_windowed) is ACTIVE.
+    # All-zero means the windowed run is outcome-identical to exact insert.
+    # 0.0 always under exact (window=None) insertion.
+    window_saturated: jnp.ndarray  # float32[]

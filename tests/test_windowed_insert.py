@@ -65,3 +65,42 @@ def test_small_window_conserves_and_completes(setup):
     att_w = float(average_travel_time(final.agents))
     att_e = float(average_travel_time(exact.agents))
     assert att_w == pytest.approx(att_e, rel=0.25)
+
+
+def test_sorted_fast_path_matches_windowed(setup):
+    """SimConfig.sorted_population (the gather-free windowed-insert fast
+    path) must reproduce the normal windowed trajectory bitwise on a
+    departure-relabeled population."""
+    from tarl_tpu.state import sort_agents_by_departure
+
+    net, agents = setup
+    agents_sorted = sort_agents_by_departure(agents)
+    dep = np.asarray(agents_sorted.departure)
+    assert (np.diff(dep[1:]) >= 0).all()
+    assert float(dep[0]) > float(dep[1:].max())  # dummy past the horizon
+
+    steps = 2000
+    sims = {}
+    for fast in (False, True):
+        sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
+                        insert_window=64, record_road_optimality=False,
+                        sorted_population=fast)
+        policy = Policy(
+            choice=make_shortest_path_choice(),
+            entry=lambda s, n: s.next_hop[s.agents.origin, s.agents.dest],
+            needs_next_hop=True,
+        )
+        state = init_sim_state(net, agents_sorted, sim=sim, policy=policy)
+        final, _ = run_episode(state, net, policy, steps, sim=sim)
+        sims[fast] = final
+    np.testing.assert_array_equal(
+        np.asarray(sims[True].agents.arrival),
+        np.asarray(sims[False].agents.arrival),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sims[True].agents.done), np.asarray(sims[False].agents.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sims[True].road.count), np.asarray(sims[False].road.count)
+    )
+    assert int(np.asarray(sims[True].agents.done)[1:].sum()) > 0
