@@ -81,10 +81,16 @@ def main(argv=None):
     ap.add_argument("--iterations", type=int, default=0)
     ap.add_argument("--out", default="runs/learning")
     ap.add_argument("--data-root", default="data")
+    ap.add_argument("--extra-obs", action="store_true",
+                    help="Train with the congestion-aware context columns "
+                         "(RLConfig.extra_obs); artifacts go to "
+                         "<out>/<scenario>_xobs")
     args = ap.parse_args(argv)
     scen = args.scenario
     iters = args.iterations or ITERATIONS[scen]
-    out = os.path.join(args.out, scen.lower())
+    out = os.path.join(
+        args.out, scen.lower() + ("_xobs" if args.extra_obs else "")
+    )
     os.makedirs(out, exist_ok=True)
     eval_steps = EVAL_STEPS[scen]
 
@@ -109,7 +115,8 @@ def main(argv=None):
         print(f"{algo:18}: {table[f'classical_{algo}']}", flush=True)
 
     # --- mpnn+ppo ---------------------------------------------------------
-    rl = RLConfig(**{**RL, **RL_OVERRIDES.get(scen, {})})
+    rl = RLConfig(**{**RL, **RL_OVERRIDES.get(scen, {})},
+                  extra_obs=args.extra_obs)
     pnet = MPNNPolicyNet(
         num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
         use_distance_prior=True, prior_scale=PRIOR_SCALE,
@@ -147,7 +154,8 @@ def main(argv=None):
         "iterations": iters,
         "train_seconds": round(train_s, 1),
         "hyperparameters": {**RL, **RL_OVERRIDES.get(scen, {}),
-                            "prior_scale": PRIOR_SCALE},
+                            "prior_scale": PRIOR_SCALE,
+                            "extra_obs": args.extra_obs},
         "eval_steps": eval_steps,
         "table": table,
     }

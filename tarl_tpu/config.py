@@ -176,6 +176,14 @@ class RLConfig:
     # real destination.  Documented deviation; False restores the exact
     # reference observation (rl/observation.py).
     observe_pending_entrants: bool = True
+    # Append rl.observation.extra_node_features to the policy/value context:
+    # V/C occupancy fraction, relative congested delay, and log1p(pending
+    # entrants) per SRC node.  The reference's raw-count observation
+    # saturates through the MLP squash long before a capacity bind does —
+    # these columns keep the congestion state sharp near the bind (the
+    # measured ceiling on Bottleneck equilibrium mixing).  Documented
+    # deviation; False restores the exact 16-column reference context.
+    extra_obs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

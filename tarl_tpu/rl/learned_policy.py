@@ -36,7 +36,7 @@ import numpy as np
 from ..network import Network
 from ..schema import agent_features_matrix
 from ..state import SimState
-from .observation import agent_index, node_features
+from .observation import agent_index, extra_node_features, node_features
 
 # Agent-row columns kept for VIRTUAL (SRC/DEST) nodes in the context:
 # origin + destination only (see PPO._context: demographics/time columns of
@@ -51,12 +51,14 @@ class LearnedSpec:
 
     def __init__(self, policy_net, params, *, deterministic: bool = False,
                  pending_entrants: bool = False,
-                 dist: Optional[jnp.ndarray] = None):
+                 dist: Optional[jnp.ndarray] = None,
+                 extra_obs: bool = False):
         self.policy_net = policy_net
         self.params = params
         self.deterministic = deterministic
         self.pending_entrants = pending_entrants
         self.dist = dist  # [N, N] distance-prior table (or None)
+        self.extra_obs = extra_obs  # append observation.extra_node_features
 
 
 def rollout_context(
@@ -65,18 +67,24 @@ def rollout_context(
     pending_entrants: bool = False,
     count: jnp.ndarray | None = None,
     head_ids: jnp.ndarray | None = None,
+    extra_obs: bool = False,
 ) -> jnp.ndarray:
     """x[N, 16] node context — value-identical to ``PPO._context`` (same
     formulas over the same inputs), but computed directly from a SimState so
     classical episodes need no EnvState.  ``count``/``head_ids`` override the
-    local road state with halo-gathered globals under shard_map."""
+    local road state with halo-gathered globals under shard_map.  With
+    ``extra_obs`` the three congestion columns of
+    ``observation.extra_node_features`` are appended (x[N, 19])."""
     nf = node_features(state, network, count=count)
     ai = agent_index(state, network, pending_entrants, head_ids=head_ids)
     rows = agent_features_matrix(state.agents)[ai]
     is_virtual = nf[:, 6:7] < 0  # ROAD_INDEX == -1
     keep = jnp.asarray(VIRTUAL_KEEP, jnp.float32)
     rows = jnp.where(is_virtual, rows * keep[None, :], rows)
-    return jnp.concatenate([nf, rows], axis=-1)
+    cols = [nf, rows]
+    if extra_obs:
+        cols.append(extra_node_features(state, network, count=count))
+    return jnp.concatenate(cols, axis=-1)
 
 
 def full_out_tables(network: Network):
@@ -149,6 +157,7 @@ def make_learned_choice(
     deterministic: bool = False,
     pending_entrants: bool = False,
     dist: Optional[jnp.ndarray] = None,
+    extra_obs: bool = False,
 ):
     """Build a :class:`~tarl_tpu.core.step.Policy` that routes with a trained
     neural policy (see module docstring).
@@ -163,14 +172,15 @@ def make_learned_choice(
 
     spec = LearnedSpec(
         policy_net, params, deterministic=deterministic,
-        pending_entrants=pending_entrants, dist=dist,
+        pending_entrants=pending_entrants, dist=dist, extra_obs=extra_obs,
     )
     ok, dst_tab, attr_tab = full_out_tables(network)
     n = network.num_nodes
     all_cols = jnp.arange(n, dtype=jnp.int32)
 
     def choice(state: SimState, network: Network):
-        x = rollout_context(state, network, spec.pending_entrants)
+        x = rollout_context(state, network, spec.pending_entrants,
+                            extra_obs=spec.extra_obs)
         logits = slot_logits(spec, x, network, dst_tab, attr_tab, all_cols)
         key, sub = jax.random.split(state.key)
         if spec.deterministic:

@@ -11,10 +11,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import DEFAULT_PHYSICS, PhysicsConfig
 from ..network import Network
 from ..state import SimState
 
 NUM_OBS = 7  # reinforcement_learning.py:124
+NUM_EXTRA_OBS = 3  # extra_node_features columns (RLConfig.extra_obs)
 
 
 def node_features(state: SimState, network: Network,
@@ -40,6 +42,57 @@ def node_features(state: SimState, network: Network,
         [jnp.arange(R, dtype=jnp.float32), -jnp.ones(n - R, jnp.float32)]
     )
     feats = feats.at[:, 6].set(road_index)
+    return feats
+
+
+def extra_node_features(
+    state: SimState, network: Network,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    count: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """float32[N, 3] congestion-aware context columns (``RLConfig.extra_obs``).
+
+    The reference observation (transportation_simulator.py:360-366) exposes
+    only the raw occupancy count; squashed through the policy MLP's
+    ``x/(1+|x|)`` it saturates long before a capacity bind does, which is
+    the measured ceiling on the Bottleneck mixing gap (VERDICT r2 weak #5).
+    These columns give the policy the *congestion state* in units that stay
+    sharp near the bind:
+
+    0. ``count / capacity`` — V/C occupancy fraction (0..~1);
+    1. ``(tt_c - fftt) / fftt`` — relative congested delay an agent entering
+       the road NOW would be stamped with (the congestion law of
+       direction_mpnn.py:185-190 at current occupancy);
+    2. ``log1p(pending)`` at SRC nodes — agents past departure still waiting
+       to insert at that origin (the demand the insertion queue carries; 0
+       at road/DEST nodes).
+
+    ``count`` overrides ``state.road.count`` (halo-gathered global occupancy
+    under shard_map — the parallel episode passes it so every shard derives
+    identical columns).  All inputs are replicated there, so the columns stay
+    bitwise-equal across shards.
+    """
+    R = network.num_roads
+    n = network.num_nodes
+    if count is None:
+        count = state.road.count
+    count_f = count.astype(jnp.float32)
+    vc = count_f / jnp.maximum(network.capacity, 1.0)
+    tc = network.congestion_constant / (
+        network.capacity + physics.congestion_softening - count_f
+    )
+    delay = (jnp.maximum(network.free_flow, tc) - network.free_flow) / (
+        jnp.maximum(network.free_flow, 1.0)
+    )
+    a = state.agents
+    waiting = (~a.inserted) & (~a.done) & (a.departure <= state.time)
+    pending = jax.ops.segment_sum(
+        waiting.astype(jnp.float32), a.origin, num_segments=n
+    )
+    feats = jnp.zeros((n, NUM_EXTRA_OBS), jnp.float32)
+    feats = feats.at[:R, 0].set(vc)
+    feats = feats.at[:R, 1].set(delay)
+    feats = feats.at[:, 2].set(jnp.log1p(pending))
     return feats
 
 

@@ -166,13 +166,24 @@ class PPO:
 
     def _context(self, env: EnvState, obs: Observation) -> jnp.ndarray:
         """x[N, 16] = observation columns ++ FIFO-head agent row (routing
-        columns only at virtual nodes, see _VIRTUAL_KEEP)."""
+        columns only at virtual nodes, see _VIRTUAL_KEEP).  With
+        ``rl.extra_obs`` the three congestion columns of
+        ``observation.extra_node_features`` are appended (x[N, 19]) —
+        mirrored exactly by ``learned_policy.rollout_context`` so trained
+        params transfer verbatim to classical rollouts."""
         agent_mat = agent_features_matrix(env.sim.agents)
         rows = agent_mat[obs.agent_index]
         is_virtual = obs.node_features[:, 6:7] < 0  # ROAD_INDEX == -1
         keep = jnp.asarray(self._VIRTUAL_KEEP, jnp.float32)
         rows = jnp.where(is_virtual, rows * keep[None, :], rows)
-        return jnp.concatenate([obs.node_features, rows], axis=-1)
+        cols = [obs.node_features, rows]
+        if self.rl.extra_obs:
+            from .observation import extra_node_features
+
+            cols.append(
+                extra_node_features(env.sim, self.network, self.physics)
+            )
+        return jnp.concatenate(cols, axis=-1)
 
     # ------------------------------------------------------------------
     def init(self, sim_state, key: jax.Array) -> TrainState:

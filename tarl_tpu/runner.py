@@ -60,6 +60,7 @@ class RunnerArgs:
     distance_prior: bool = True
     gamma: float = 0.98
     entropy_coef: float = 0.003   # 0.03 is the Bottleneck mixing recipe
+    extra_obs: bool = False       # congestion-aware context columns (RLConfig)
     data_root: str = "data"
     save_root: str = "save"
 
@@ -114,6 +115,7 @@ class Runner:
                 gae_lambda=0.9 if a.reward_mode == "progress" else 0.95,
                 minibatch_size=min(128, a.rollout_steps),
                 entropy_coef=a.entropy_coef,
+                extra_obs=a.extra_obs,
             )
             value_uses_graph = False
             if a.algo.startswith("transformer"):
@@ -328,6 +330,10 @@ def main(argv=None):
     parser.add_argument("--entropy-coef", type=float, default=0.003,
                         help="PPO entropy bonus (0.03 = the equilibrium-"
                              "mixing recipe, docs/LEARNING.md)")
+    parser.add_argument("--extra-obs", action="store_true",
+                        help="Append congestion-aware context columns (V/C, "
+                             "congested delay, pending demand) to the "
+                             "policy/value observation")
     args = parser.parse_args(argv)
 
     runner = Runner(
@@ -351,6 +357,7 @@ def main(argv=None):
             distance_prior=args.distance_prior,
             gamma=args.gamma,
             entropy_coef=args.entropy_coef,
+            extra_obs=args.extra_obs,
         )
     )
     runner.setup()

@@ -149,6 +149,24 @@ class TestPPO:
         )
         assert changed, "parameters must update"
 
+    def test_train_iteration_with_extra_obs(self, setup):
+        """RLConfig.extra_obs widens the context to [N, 16+3] end-to-end:
+        init + one jitted training iteration stay finite."""
+        net, agents, state = setup
+        rl = RLConfig(rollout_steps=8, minibatch_size=4, extra_obs=True)
+        ppo = PPO(
+            net,
+            MPNNPolicyNet(num_nodes=net.num_nodes,
+                          num_node_embeddings=net.num_roads + 1),
+            MPNNValueNetSimple(),
+            rl=rl,
+        )
+        ts = ppo.init(state, jax.random.PRNGKey(0))
+        x = ppo._context(ts.env, ts.obs)
+        assert x.shape[1] == 16 + 3
+        ts2, metrics = ppo.train_iteration(ts)
+        assert np.isfinite(float(metrics.loss_total))
+
     def test_graph_value_net(self, setup):
         net, agents, state = setup
         rl = RLConfig(rollout_steps=4, minibatch_size=4, num_epochs=1)

@@ -253,6 +253,70 @@ def test_learned_rollout_context_matches_ppo_context(setup):
                              ppo.rl.observe_pending_entrants)
     np.testing.assert_array_equal(np.asarray(x_ppo), np.asarray(x_roll))
 
+    # With extra_obs: three congestion columns appended, same 16-col prefix,
+    # and rollout_context mirrors PPO._context exactly (param transfer).
+    from tarl_tpu.config import RLConfig
+    from tarl_tpu.rl.observation import NUM_EXTRA_OBS
+
+    ppo_x = PPO(
+        net,
+        MPNNPolicyNet(num_nodes=net.num_nodes,
+                      num_node_embeddings=net.num_roads + 1),
+        MPNNValueNetSimple(),
+        rl=RLConfig(extra_obs=True),
+    )
+    env, obs = env_reset(state, net, ppo_x.rl)
+    x_ppo_x = ppo_x._context(env, obs)
+    assert x_ppo_x.shape[1] == x_ppo.shape[1] + NUM_EXTRA_OBS
+    np.testing.assert_array_equal(
+        np.asarray(x_ppo_x[:, : x_ppo.shape[1]]), np.asarray(x_ppo)
+    )
+    x_roll_x = rollout_context(env.sim, net,
+                               ppo_x.rl.observe_pending_entrants,
+                               extra_obs=True)
+    np.testing.assert_array_equal(np.asarray(x_ppo_x), np.asarray(x_roll_x))
+    assert bool(np.isfinite(np.asarray(x_roll_x)).all())
+
+
+def test_shard_map_learned_extra_obs_matches_unsharded(setup):
+    """The extra_obs congestion columns are derived from halo-gathered
+    globals under shard_map — an extra_obs learned policy stays bitwise-equal
+    to its unsharded rollout."""
+    from tarl_tpu.models.mpnn import MPNNPolicyNet
+    from tarl_tpu.rl.learned_policy import make_learned_choice, rollout_context
+
+    net, agents = setup
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 200)
+    base_state, _ = _state(net, agents, sim)
+
+    pnet = MPNNPolicyNet(num_nodes=net.num_nodes,
+                         num_node_embeddings=net.num_roads + 1)
+    x0 = rollout_context(base_state, net, extra_obs=True)
+    params = pnet.init(
+        jax.random.PRNGKey(11), x0, jnp.zeros((4, 1)),
+        jnp.zeros((4,), jnp.int32), jnp.zeros((4,), jnp.int32),
+    )
+    mesh = make_road_mesh(8)
+    policy = make_learned_choice(pnet, params, net, extra_obs=True)
+    state = init_sim_state(net, agents, sim=sim, policy=policy)
+    ref_final, ref_logs = run_episode(state, net, policy, 200, sim=sim)
+    sm_final, sm_logs = run_episode_shard_map(
+        state, net, policy, 200, mesh, sim=sim
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.done), np.asarray(sm_final.agents.done)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.agents.arrival),
+        np.asarray(sm_final.agents.arrival),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_final.road.count), np.asarray(sm_final.road.count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
+    )
+
 
 def test_shard_map_marginal_cost_matches_unsharded(setup):
     """--algo so (marginal-cost refreshes) under shard_map is bitwise-equal
