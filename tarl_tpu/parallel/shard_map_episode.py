@@ -95,17 +95,19 @@ def run_episode_shard_map(
     )
     if primal:
         # The replicated refresh below unpacks the ALL-PAIRS primal buffer
-        # (dist[I, I] ++ cost[R]); a dest-restricted policy from
-        # make_primal_dest_parts also sets table_init but packs dist[I, D] —
-        # reject it here rather than fail with an opaque reshape error (or,
-        # if I*D + R happened to equal I*I + R, silently misroute).
+        # (dist[I, I] ++ cost[R] ++ next_road[I, I]); a dest-restricted
+        # policy from make_primal_dest_parts also sets table_init but packs
+        # dist[I, D] — reject it here rather than fail with an opaque
+        # reshape error (or, on a size collision, silently misroute).
+        from ..routing.policies import primal_buf_size
+
         i_n = network.num_intersections
-        expect = i_n * i_n + network.num_roads
+        expect = primal_buf_size(i_n, i_n, network.num_roads)
         assert state.next_hop.size == expect, (
             f"shard_map primal routing needs the all-pairs buffer "
-            f"(dist[I,I] ++ cost[R], size {expect}); got size "
-            f"{state.next_hop.size} — dest-restricted primal tables are not "
-            "supported under shard_map"
+            f"(dist[I,I] ++ cost[R] ++ next_road[I,I], size {expect}); got "
+            f"size {state.next_hop.size} — dest-restricted primal tables "
+            "are not supported under shard_map"
         )
     assert not routing.strict_compat, (
         "strict-compat routing is not supported under shard_map"
@@ -212,7 +214,7 @@ def run_episode_shard_map(
             from_i = jnp.clip(
                 (agents.origin - R) // 2, 0, network.num_intersections - 1
             )
-            entry = _primal_argmin_road(
+            entry = _primal_argmin_road(  # one element gather per agent
                 st.next_hop, network, from_i, _dest_inter(network, agents.dest)
             )
         elif shortest:
@@ -348,6 +350,7 @@ def run_episode_shard_map(
             x_ctx = rollout_context(
                 st, network, learned.pending_entrants,
                 count=count_g, head_ids=head_id_g,
+                extra_obs=learned.extra_obs,
             )
             key, sub = jax.random.split(st.key)
             if learned.deterministic:
@@ -386,15 +389,25 @@ def run_episode_shard_map(
         elif primal:
             # Replicated primal refresh + lookups, mirroring
             # make_shortest_path_choice_primal (costs from the halo counts).
-            from ..routing.bellman_ford import BIG, primal_all_pairs_dist
-            from ..routing.policies import _dest_inter, _primal_argmin_road
+            from ..routing.bellman_ford import (
+                BIG,
+                primal_all_pairs_dist,
+                primal_next_roads,
+            )
+            from ..routing.policies import (
+                _dest_inter,
+                _primal_argmin_road,
+                _primal_pack,
+                _primal_unpack,
+            )
 
             i_n = network.num_intersections
 
             def refresh_p(_):
                 cost = _halo_road_costs(count_g)
-                prev_dist = st.next_hop[: i_n * i_n].reshape(i_n, i_n)
-                prev_cost = st.next_hop[i_n * i_n:]
+                prev_dist, prev_cost, _ = _primal_unpack(
+                    st.next_hop, i_n, i_n, R
+                )
                 ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
                 dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
                 dist = primal_all_pairs_dist(
@@ -402,7 +415,11 @@ def run_episode_shard_map(
                     network.road_to, max_iters=routing.max_bf_iters,
                     dist0=dist0,
                 )
-                return jnp.concatenate([dist.ravel(), cost])
+                road = primal_next_roads(
+                    dist, cost, network.inter_out_road,
+                    network.inter_out_ok, network.road_to,
+                )
+                return _primal_pack(dist, cost, road)
 
             do_refresh = st.choice_count % routing.refresh_rate == 0
             buf = jax.lax.cond(

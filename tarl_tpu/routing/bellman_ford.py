@@ -379,6 +379,84 @@ def _sweep_kernel_body(delta_ref, w_ref, dist_ref, out_ref, *, num_deltas):
     out_ref[...] = jax.lax.fori_loop(0, num_deltas, step, tile)
 
 
+def _multisweep_kernel_body(w_ref, dist_ref, out_ref, *, shifts, num_sweeps):
+    """ALL ``num_sweeps`` min-plus sweeps on a resident [I, T] column tile.
+
+    Two structural upgrades over :func:`_sweep_kernel_body` (the dynamic
+    single-sweep form):
+
+    * **Static shifts** — the delta offsets are baked into the kernel as
+      python ints, so every rotate is a compile-time sublane permutation
+      instead of a dynamic ``pltpu.roll`` (the measured VPU bottleneck of
+      the first kernel), and each bucket's weight column is a static slice
+      instead of a masked lane-reduce.
+    * **All sweeps in one launch** — relaxation couples ROWS (sources) of a
+      column tile, never columns, so a tile that holds the full source axis
+      can run every sweep without leaving VMEM: HBM traffic for an 8-sweep
+      refresh drops from 8 reads + 8 writes of the table to exactly one of
+      each.  A fixed sweep count is outcome-identical to the early-exiting
+      ``while_loop`` (min-plus relaxation is idempotent at its fixpoint, and
+      the loop's cap is the same ``iters``).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_all = w_ref[...]  # [I, B_pad]
+
+    def sweep(tile):
+        new = tile
+        for b, sh in enumerate(shifts):
+            new = jnp.minimum(new, w_all[:, b:b + 1] + pltpu.roll(tile, sh, 0))
+        return new
+
+    # Per-TILE early exit: column tiles are independent, so a tile whose
+    # rows stopped changing can stop sweeping — with the production warm
+    # start (prev table x worst cost ratio) most tiles converge in a couple
+    # of sweeps, and the VPU rotate work (the kernel's bound) scales with
+    # sweeps actually run.  Outcome-identical to the fixed count (idempotent
+    # fixpoint), hence to the gather while_loop.
+    def cond(c):
+        i, tile, changed = c
+        return changed & (i < num_sweeps)
+
+    def body(c):
+        i, tile, _ = c
+        new = sweep(tile)
+        return i + 1, new, jnp.any(new < tile)
+
+    _, final, _ = jax.lax.while_loop(
+        cond, body, (0, dist_ref[...], jnp.bool_(True))
+    )
+    out_ref[...] = final
+
+
+def _multisweep_pallas(dist, w_cols, shifts: tuple, num_sweeps: int,
+                       tile_d: int):
+    """dist [I, Dp] -> ``num_sweeps`` relaxation sweeps in ONE kernel launch
+    (see _multisweep_kernel_body)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i_n, d_p = dist.shape
+    b_pad = w_cols.shape[1]
+    return pl.pallas_call(
+        partial(_multisweep_kernel_body, shifts=shifts,
+                num_sweeps=num_sweeps),
+        grid=(d_p // tile_d,),
+        in_specs=[
+            pl.BlockSpec((i_n, b_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((i_n, tile_d), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((i_n, tile_d), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((i_n, d_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MULTISWEEP_VMEM_BYTES
+        ),
+    )(w_cols, dist)
+
+
 def _sweep_pallas(dist, w_cols, delta_arr, num_deltas: int, tile_d: int):
     """dist [I, Dp] -> one relaxation sweep (see _sweep_kernel_body)."""
     from jax.experimental import pallas as pl
@@ -439,9 +517,59 @@ def _round_up_lane(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
+# The unrolled static-shift sweep materializes one rotated temporary per
+# delta bucket (Mosaic does not collapse their live ranges), so the scoped
+# budget scales with num_deltas; v5e VMEM is 128 MB.
+_MULTISWEEP_VMEM_BYTES = 100 * 1024 * 1024
+
+
+def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
+    """Default-on TPU gate for the static-shift multi-sweep kernel
+    (TARL_MULTISWEEP=0 opts out — e.g. to A/B against the gather sweep).
+    Requires a bounded static sweep count (refresh caps; the uncapped
+    diameter-bound init keeps the early-exiting gather loop) and sublane
+    alignment of the source axis."""
+    import os
+
+    if os.environ.get("TARL_MULTISWEEP", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if iters > 16 or i_n % 8 != 0:
+        return False
+    # (num_deltas + 4) column tiles (in/out/carry + per-delta rotates) + w.
+    need = (num_deltas + 4) * 4 * i_n * _SWEEP_TILE_D \
+        + 4 * i_n * _round_up_lane(num_deltas)
+    return need <= _MULTISWEEP_VMEM_BYTES
+
+
 def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
                   iters, buckets=None):
     i_n = inter_out_road.shape[0]
+
+    if buckets is not None and _multisweep_ok(i_n, len(buckets[0]), iters):
+        # Static-shift multi-sweep kernel: the whole capped refresh is ONE
+        # kernel launch reading and writing the table once (see
+        # _multisweep_kernel_body).  Outcome-identical to the early-exiting
+        # gather while_loop (idempotent relaxation, same cap).
+        deltas, slot_of_road = buckets
+        b_n = len(deltas)
+        b_pad = _round_up_lane(b_n)
+        w_flat = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
+            road_cost
+        )[: b_n * i_n]
+        w_cols = jnp.full((i_n, b_pad), BIG).at[:, :b_n].set(
+            w_flat.reshape(b_n, i_n).T
+        )
+        d = dist0.shape[1]
+        d_p = _round_up_lane(d)
+        dist_p = (dist0 if d_p == d
+                  else jnp.pad(dist0, ((0, 0), (0, d_p - d)),
+                               constant_values=BIG))
+        shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
+        dist_p = _multisweep_pallas(dist_p, w_cols, shifts, iters,
+                                    _SWEEP_TILE_D)
+        return dist_p[:, :d]
 
     if buckets is not None and _pallas_sweep_ok(i_n, len(buckets[0])):
         # Pallas tiled sweep: pad destination columns to the lane tile; the
@@ -533,6 +661,47 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
 
     _, dist, _ = jax.lax.while_loop(cond, body, (0, dist0, jnp.bool_(True)))
     return dist
+
+
+@jax.jit
+def primal_next_roads(
+    dist: jnp.ndarray,            # float32[I, D] primal distances
+    road_cost: jnp.ndarray,       # float32[R]
+    inter_out_road: jnp.ndarray,  # int32[I, K]
+    inter_out_ok: jnp.ndarray,    # bool[I, K]
+    road_to: jnp.ndarray,         # int32[R]
+) -> jnp.ndarray:
+    """Materialize the best outgoing ROAD per (intersection, dest column):
+    float32[I, D] road ids (-1.0 = unreachable).
+
+    ``next_road[i, d] = argmin over out-slots k of cost[out_r[i, k]] +
+    dist[road_to[out_r[i, k]], d]`` with the ascending-slot strict-< loop —
+    outcome-identical to the per-lookup ``jnp.argmin`` the policies used to
+    run every tick (first minimal slot wins ties, same float sums).
+
+    Computed ONCE per congested refresh so the per-tick lookup degrades to a
+    single element gather (``tab[from_inter, dest]``) instead of three
+    unsorted [R, K] gathers through XLA:TPU's ~7 ns/element serial emitter —
+    the measured per-tick bottleneck of congested shortest-path routing
+    (docs/BENCH.md).  The K slot passes here are contiguous row gathers at
+    refresh cadence, amortized over ``RoutingConfig.refresh_rate`` ticks.
+
+    Road ids are exact in float32 (< 2^24), so the table packs into the flat
+    float32 routing scratch (state.next_hop) next to dist and cost.
+    """
+    k_n = inter_out_road.shape[1]
+    w = jnp.where(inter_out_ok, road_cost[inter_out_road], BIG)  # [I, K]
+    succ = road_to[inter_out_road]                               # [I, K]
+    best = jnp.full(dist.shape, BIG, jnp.float32)
+    road = jnp.full(dist.shape, -1.0, jnp.float32)
+    for k in range(k_n):
+        cand = w[:, k][:, None] + dist[succ[:, k]]
+        take = cand < best
+        best = jnp.where(take, cand, best)
+        road = jnp.where(
+            take, inter_out_road[:, k].astype(jnp.float32)[:, None], road
+        )
+    return jnp.where(best < BIG, road, -1.0)
 
 
 def congested_next_hop(

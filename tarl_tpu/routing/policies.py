@@ -197,15 +197,42 @@ def _argmin_road(dist, cost, network, from_inter, dest_col):
     return jnp.where(reachable, best, -1).astype(jnp.int32)
 
 
+def _primal_pack(dist, cost, road) -> jnp.ndarray:
+    """Flat float32 routing scratch: ``dist[I, D] ++ cost[R] ++
+    next_road[I, D]`` (road ids as float32, -1 = unreachable — exact below
+    2^24; see bellman_ford.primal_next_roads)."""
+    return jnp.concatenate([dist.ravel(), cost, road.ravel()])
+
+
+def _primal_unpack(buf, i_n: int, d_n: int, num_roads: int):
+    """Inverse of :func:`_primal_pack`: ``(dist[I, D], cost[R],
+    next_road[I, D])``."""
+    dist = buf[: i_n * d_n].reshape(i_n, d_n)
+    cost = buf[i_n * d_n: i_n * d_n + num_roads]
+    road = buf[i_n * d_n + num_roads:].reshape(i_n, d_n)
+    return dist, cost, road
+
+
+def primal_buf_size(i_n: int, d_n: int, num_roads: int) -> int:
+    """Element count of the packed primal routing scratch."""
+    return 2 * i_n * d_n + num_roads
+
+
+def _road_lookup(road_tab, from_inter, dest_col) -> jnp.ndarray:
+    """Per-lookup best outgoing road from the PRECOMPUTED table: one element
+    gather (the per-tick fast path; the K-slot argmin now runs once per
+    refresh inside bellman_ford.primal_next_roads)."""
+    return road_tab[from_inter, dest_col].astype(jnp.int32)
+
+
 def _primal_argmin_road(buf, network, from_inter, dest_inter):
     """Best outgoing road at each ``from_inter`` toward ``dest_inter``.
 
     ``buf`` is the packed all-pairs primal routing scratch (see
     :func:`make_shortest_path_choice_primal`)."""
     i_n = network.num_intersections
-    dist = buf[: i_n * i_n].reshape(i_n, i_n)
-    cost = buf[i_n * i_n:]
-    return _argmin_road(dist, cost, network, from_inter, dest_inter)
+    _, _, road = _primal_unpack(buf, i_n, i_n, network.num_roads)
+    return _road_lookup(road, from_inter, dest_inter)
 
 
 def _dest_inter(network, dest_nodes):
@@ -223,8 +250,10 @@ def primal_table_init(network: Network, max_iters: int | None = None):
     explicitly passed; `make_policy` passes None so the free-flow anchor is
     always exact regardless of the refresh cap.
 
-    Packed as ``concat(dist[I, I].ravel(), road_cost[R])`` — one flat float32
-    array so the scan carry keeps a single routing slot (state.next_hop).
+    Packed as ``concat(dist[I, I].ravel(), road_cost[R], next_road[I, I])``
+    — one flat float32 array so the scan carry keeps a single routing slot
+    (state.next_hop); ``next_road`` is the refresh-time-materialized best
+    outgoing road per (intersection, dest) (bellman_ford.primal_next_roads).
 
     For LARGE networks the one-time free-flow table is computed on the HOST
     with scipy's sparse Dijkstra: the cold on-device relaxation needs a
@@ -238,7 +267,14 @@ def primal_table_init(network: Network, max_iters: int | None = None):
     """
     import numpy as np
 
-    from .bellman_ford import BIG, primal_all_pairs_dist
+    from .bellman_ford import BIG, primal_all_pairs_dist, primal_next_roads
+
+    def pack(dist):
+        road = primal_next_roads(
+            dist, network.free_flow, network.inter_out_road,
+            network.inter_out_ok, network.road_to,
+        )
+        return _primal_pack(dist, network.free_flow, road)
 
     i_n = network.num_intersections
     if i_n * i_n <= 1_000_000:
@@ -246,7 +282,7 @@ def primal_table_init(network: Network, max_iters: int | None = None):
             network.free_flow, network.inter_out_road, network.inter_out_ok,
             network.road_to, max_iters=max_iters,
         )
-        return jnp.concatenate([dist.ravel(), network.free_flow])
+        return pack(dist)
 
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import dijkstra as host_dijkstra
@@ -266,9 +302,7 @@ def primal_table_init(network: Network, max_iters: int | None = None):
     # ordered pair, and csr_matrix sums duplicates of parallel roads —
     # conservative (an upper bound), corrected by the first device refresh.
     dist = np.where(np.isfinite(dist), dist, float(BIG)).astype(np.float32)
-    return jnp.concatenate(
-        [jnp.asarray(dist).ravel(), network.free_flow]
-    )
+    return pack(jnp.asarray(dist))
 
 
 def make_shortest_path_choice_primal(
@@ -294,7 +328,11 @@ def make_shortest_path_choice_primal(
     shifts, slot = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
-        from .bellman_ford import BIG, primal_all_pairs_dist
+        from .bellman_ford import (
+            BIG,
+            primal_all_pairs_dist,
+            primal_next_roads,
+        )
 
         i_n = network.num_intersections
 
@@ -304,8 +342,9 @@ def make_shortest_path_choice_primal(
             # per-road cost ratio — a valid upper bound on every new
             # distance, so relaxation converges down to the exact table
             # (and the early exit fires fast when congestion barely moved).
-            prev_dist = state.next_hop[: i_n * i_n].reshape(i_n, i_n)
-            prev_cost = state.next_hop[i_n * i_n:]
+            prev_dist, prev_cost, _ = _primal_unpack(
+                state.next_hop, i_n, i_n, network.num_roads
+            )
             ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
             dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
             dist = primal_all_pairs_dist(
@@ -313,16 +352,21 @@ def make_shortest_path_choice_primal(
                 network.road_to, max_iters=routing.max_bf_iters,
                 dist0=dist0, delta_shifts=shifts, delta_slot=slot,
             )
-            return jnp.concatenate([dist.ravel(), cost])
+            road = primal_next_roads(
+                dist, cost, network.inter_out_road, network.inter_out_ok,
+                network.road_to,
+            )
+            return _primal_pack(dist, cost, road)
 
         do_refresh = state.choice_count % routing.refresh_rate == 0
         buf = jax.lax.cond(
             do_refresh, refresh, lambda _: state.next_hop, operand=None
         )
 
+        _, _, road_tab = _primal_unpack(buf, i_n, i_n, network.num_roads)
         head_ids = state.road.head_ids()
         dest_i = _dest_inter(network, state.agents.dest[head_ids])
-        sel_roads = _primal_argmin_road(buf, network, network.road_to, dest_i)
+        sel_roads = _road_lookup(road_tab, network.road_to, dest_i)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         new_state = state._replace(
             selected_road=sel,
@@ -360,14 +404,10 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         col[dest_np] = np.arange(d_n, dtype=np.int32)
         return jnp.asarray(col)
 
-    def unpack(buf, network):
-        i_n = network.num_intersections
-        return buf[: i_n * d_n].reshape(i_n, d_n), buf[i_n * d_n:]
-
     def table_init(network):
         # The free-flow table must be EXACT (it anchors every warm-started
         # refresh); only refreshes honor routing.max_bf_iters.
-        from .bellman_ford import primal_dest_dist
+        from .bellman_ford import primal_dest_dist, primal_next_roads
 
         sh, sl = _maybe_delta_buckets(network)
         dist = primal_dest_dist(
@@ -375,20 +415,25 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             network.road_to, dest_list, max_iters=None,
             delta_shifts=sh, delta_slot=sl,
         )
-        return jnp.concatenate([dist.ravel(), network.free_flow])
+        road = primal_next_roads(
+            dist, network.free_flow, network.inter_out_road,
+            network.inter_out_ok, network.road_to,
+        )
+        return _primal_pack(dist, network.free_flow, road)
 
     road_cost_fn = _road_cost_fn(routing)
     shifts, slot = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
-        from .bellman_ford import BIG, primal_dest_dist
+        from .bellman_ford import BIG, primal_dest_dist, primal_next_roads
 
         i_n = network.num_intersections
 
         def refresh(_):
             cost = road_cost_fn(state.road, network, physics)
-            prev_dist = state.next_hop[: i_n * d_n].reshape(i_n, d_n)
-            prev_cost = state.next_hop[i_n * d_n:]
+            prev_dist, prev_cost, _ = _primal_unpack(
+                state.next_hop, i_n, d_n, network.num_roads
+            )
             ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
             dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
             dist = primal_dest_dist(
@@ -396,16 +441,20 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
                 network.road_to, dest_list, max_iters=routing.max_bf_iters,
                 dist0=dist0, delta_shifts=shifts, delta_slot=slot,
             )
-            return jnp.concatenate([dist.ravel(), cost])
+            road = primal_next_roads(
+                dist, cost, network.inter_out_road, network.inter_out_ok,
+                network.road_to,
+            )
+            return _primal_pack(dist, cost, road)
 
         do_refresh = state.choice_count % routing.refresh_rate == 0
         buf = jax.lax.cond(
             do_refresh, refresh, lambda _: state.next_hop, operand=None
         )
-        dist, cost = unpack(buf, network)
+        _, _, road_tab = _primal_unpack(buf, i_n, d_n, network.num_roads)
         head_ids = state.road.head_ids()
         dcol = col_of(network)[_dest_inter(network, state.agents.dest[head_ids])]
-        sel_roads = _argmin_road(dist, cost, network, network.road_to, dcol)
+        sel_roads = _road_lookup(road_tab, network.road_to, dcol)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         return state._replace(
             selected_road=sel, next_hop=buf,
@@ -421,9 +470,11 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             (origin - network.num_roads) // 2, 0,
             network.num_intersections - 1,
         )
-        dist, cost = unpack(state.next_hop, network)
+        _, _, road_tab = _primal_unpack(
+            state.next_hop, network.num_intersections, d_n, network.num_roads
+        )
         dcol = col_of(network)[_dest_inter(network, dest)]
-        return _argmin_road(dist, cost, network, from_i, dcol)
+        return _road_lookup(road_tab, from_i, dcol)
 
     return choice, entry_lookup, table_init
 
