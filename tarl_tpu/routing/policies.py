@@ -36,6 +36,10 @@ from ..state import SimState
 # choice(state, network) -> (state, entry_road | None)
 ChoiceFn = Callable[[SimState, Network], tuple[SimState, Optional[jnp.ndarray]]]
 
+# refresh_rate at or above this is treated as "never refresh" at TRACE time
+# (free-flow-table-only episodes skip the per-tick cond on the big buffer).
+_NEVER_REFRESH = 10 ** 9
+
 
 def random_choice(state: SimState, network: Network):
     """Sample a uniform outgoing road for every road and SRC node
@@ -132,9 +136,11 @@ def make_shortest_path_choice(
             do_refresh, refresh, lambda _: state.next_hop, operand=None
         )
 
-        # Roads route their head agent toward its destination.
-        head_ids = state.road.head_ids()
-        dests = state.agents.dest[head_ids]
+        # Roads route their head agent toward its destination — read from
+        # the denormalized ring (fifo_dest masked row-reduce; bitwise equal
+        # to agents.dest[head_ids] since the dummy agent's dest is 0) so the
+        # per-tick path needs no unsorted [R] gather.
+        dests = state.road.head_dests()
         road_ids = jnp.arange(network.num_roads, dtype=jnp.int32)
         sel_roads = next_hop[road_ids, dests]
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
@@ -178,23 +184,6 @@ def _maybe_delta_buckets(network: Optional[Network]):
         network.inter_out_road, network.inter_out_ok, network.road_to
     )
     return (None, None) if b is None else b
-
-
-def _argmin_road(dist, cost, network, from_inter, dest_col):
-    """Best outgoing road at each ``from_inter`` toward table column
-    ``dest_col`` of ``dist`` ([I, D]; D == I for the all-pairs form).
-    Returns int32 roads, -1 when nothing is reachable.  Slot order matches
-    the dual table's tie-breaks."""
-    out_r = network.inter_out_road[from_inter]        # [..., K]
-    ok = network.inter_out_ok[from_inter]
-    cand = jnp.where(
-        ok, cost[out_r] + dist[network.road_to[out_r], dest_col[..., None]],
-        jnp.float32(1e18),
-    )
-    k = jnp.argmin(cand, axis=-1)
-    best = jnp.take_along_axis(out_r, k[..., None], axis=-1)[..., 0]
-    reachable = jnp.take_along_axis(cand, k[..., None], axis=-1)[..., 0] < 1e18
-    return jnp.where(reachable, best, -1).astype(jnp.int32)
 
 
 def _primal_pack(dist, cost, road) -> jnp.ndarray:
@@ -358,14 +347,21 @@ def make_shortest_path_choice_primal(
             )
             return _primal_pack(dist, cost, road)
 
-        do_refresh = state.choice_count % routing.refresh_rate == 0
-        buf = jax.lax.cond(
-            do_refresh, refresh, lambda _: state.next_hop, operand=None
-        )
+        if routing.refresh_rate >= _NEVER_REFRESH:
+            # Static no-refresh episode (free-flow table only): skip the
+            # cond entirely — a lax.cond carrying the multi-hundred-MB
+            # packed buffer costs a buffer copy per tick on TPU.
+            buf = state.next_hop
+        else:
+            do_refresh = state.choice_count % routing.refresh_rate == 0
+            buf = jax.lax.cond(
+                do_refresh, refresh, lambda _: state.next_hop, operand=None
+            )
 
         _, _, road_tab = _primal_unpack(buf, i_n, i_n, network.num_roads)
-        head_ids = state.road.head_ids()
-        dest_i = _dest_inter(network, state.agents.dest[head_ids])
+        # Ring-denormalized head destinations (no [R] gather; see the dual
+        # backend's note — bitwise equal, dummy dest is 0).
+        dest_i = _dest_inter(network, state.road.head_dests())
         sel_roads = _road_lookup(road_tab, network.road_to, dest_i)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         new_state = state._replace(
@@ -447,13 +443,15 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             )
             return _primal_pack(dist, cost, road)
 
-        do_refresh = state.choice_count % routing.refresh_rate == 0
-        buf = jax.lax.cond(
-            do_refresh, refresh, lambda _: state.next_hop, operand=None
-        )
+        if routing.refresh_rate >= _NEVER_REFRESH:
+            buf = state.next_hop  # static no-refresh (see all-pairs variant)
+        else:
+            do_refresh = state.choice_count % routing.refresh_rate == 0
+            buf = jax.lax.cond(
+                do_refresh, refresh, lambda _: state.next_hop, operand=None
+            )
         _, _, road_tab = _primal_unpack(buf, i_n, d_n, network.num_roads)
-        head_ids = state.road.head_ids()
-        dcol = col_of(network)[_dest_inter(network, state.agents.dest[head_ids])]
+        dcol = col_of(network)[_dest_inter(network, state.road.head_dests())]
         sel_roads = _road_lookup(road_tab, network.road_to, dcol)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         return state._replace(
