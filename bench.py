@@ -152,10 +152,18 @@ def _sp_bench(cache: str) -> dict:
     agents, _ = load_population(
         os.path.join(base, "population"), os.path.join(base, "network")
     )
+    from tarl_tpu.state import sort_agents_by_departure
+
+    agents = sort_agents_by_departure(agents)
     routing = RoutingConfig(refresh_rate=10, max_bf_iters=8, backend="primal")
+    # W=1024 / depth=2 measured ARRIVAL-IDENTICAL to W=4096 / depth=8 on
+    # this workload (scripts/ablate_routing.py); sorted population is the
+    # unsorted run up to the agent-id relabeling (state.
+    # sort_agents_by_departure) — same physics, fast insert path.
     sim = SimConfig(timestep=1, start_time=6 * 3600,
                     record_road_optimality=False,
-                    insert_window=4096, withdraw_depth=8)
+                    insert_window=1024, withdraw_depth=2,
+                    sorted_population=True)
     policy = make_policy("dijkstra", routing, network=net)
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     jax.block_until_ready(state.next_hop)

@@ -75,7 +75,7 @@ def main() -> None:
                       rows=GRID, cols=GRID, num_agents=100)
     net = load_network(os.path.join(base, "network"))
     i_n = net.num_intersections
-    deltas, slot = bf.primal_delta_buckets(
+    deltas, slot, _perm, _inv = bf.primal_delta_buckets(
         net.inter_out_road, net.inter_out_ok, net.road_to)
     b_n = len(deltas)
     print("deltas:", b_n)

@@ -59,11 +59,12 @@ def main() -> None:
     cost_c = cost * (1.0 + 0.3 * jnp.sin(jnp.arange(cost.shape[0]) * 0.37) ** 2)
     dist0 = jnp.minimum(dist * 1.3, bf.BIG)
 
-    shifts, slot = bf.primal_delta_buckets(
-        net.inter_out_road, net.inter_out_ok, net.road_to
-    ) or (None, None)
-    print(f"delta buckets: {None if shifts is None else len(shifts)}",
-          flush=True)
+    shifts, slot, perm, inv = bf.primal_delta_buckets(
+        net.inter_out_road, net.inter_out_ok, net.road_to,
+        coords=(net.inter_x, net.inter_y),
+    ) or (None, None, None, None)
+    print(f"delta buckets: {None if shifts is None else len(shifts)} "
+          f"(row-permuted: {perm is not None})", flush=True)
 
     relax_g = jax.jit(lambda c, d0: bf.primal_all_pairs_dist(
         c, net.inter_out_road, net.inter_out_ok, net.road_to,
@@ -73,7 +74,8 @@ def main() -> None:
     if shifts is not None and bf._multisweep_ok(i_n, len(shifts), 8):
         relax_m = jax.jit(lambda c, d0: bf.primal_all_pairs_dist(
             c, net.inter_out_road, net.inter_out_ok, net.road_to,
-            max_iters=8, dist0=d0, delta_shifts=shifts, delta_slot=slot))
+            max_iters=8, dist0=d0, delta_shifts=shifts, delta_slot=slot,
+            delta_perm=perm, delta_inv=inv))
         ms = timeit(relax_m, cost_c, dist0)
         eq = bool(jnp.array_equal(relax_g(cost_c, dist0),
                                   relax_m(cost_c, dist0)))
@@ -92,7 +94,8 @@ def main() -> None:
         d0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), bf.BIG)
         d = bf.primal_all_pairs_dist(
             tick_cost, net.inter_out_road, net.inter_out_ok, net.road_to,
-            max_iters=8, dist0=d0, delta_shifts=shifts, delta_slot=slot)
+            max_iters=8, dist0=d0, delta_shifts=shifts, delta_slot=slot,
+            delta_perm=perm, delta_inv=inv)
         road = bf.primal_next_roads(
             d, tick_cost, net.inter_out_road, net.inter_out_ok, net.road_to)
         return jnp.concatenate([d.ravel(), tick_cost, road.ravel()])

@@ -35,7 +35,7 @@ def main() -> None:
     b = bf.primal_delta_buckets(net.inter_out_road, net.inter_out_ok,
                                 net.road_to)
     assert b is not None, "grid should bucket"
-    shifts, slot = b
+    shifts, slot, perm, inv = b
     print("deltas:", len(shifts))
 
     # Congested-ish costs + a warm-start upper bound (free-flow * 1.3).
@@ -54,6 +54,8 @@ def main() -> None:
             max_iters=8, dist0=d0,
             delta_shifts=shifts if use_kernel else None,
             delta_slot=slot if use_kernel else None,
+            delta_perm=perm if use_kernel else None,
+            delta_inv=inv if use_kernel else None,
         ))
         out = jax.block_until_ready(fn(cost, dist0))
         t0 = time.time()

@@ -168,6 +168,11 @@ def load_network(file_path: str, physics: PhysicsConfig = DEFAULT_PHYSICS) -> Ne
     """MATSim network file -> :class:`Network` (config_network equivalent)."""
     parsed = parse_network_xml(file_path)
     physics = dataclasses.replace(physics, effective_cell_size=parsed.effective_cell_size)
+    pos = parsed.node_positions
+    coords = np.asarray(
+        [pos.get(name, (0.0, 0.0)) for name in parsed.sorted_intersections],
+        dtype=np.float64,
+    ).reshape(-1, 2)
     return build_network(
         length=parsed.length,
         max_flow=parsed.max_flow,
@@ -177,6 +182,8 @@ def load_network(file_path: str, physics: PhysicsConfig = DEFAULT_PHYSICS) -> Ne
         to_inter=parsed.to_inter,
         num_intersections=parsed.num_intersections,
         physics=physics,
+        inter_x=coords[:, 0],
+        inter_y=coords[:, 1],
     )
 
 

@@ -98,6 +98,14 @@ class Network:
     choice_ok: jnp.ndarray            # bool[KC, N]
     choice_dst_tab: jnp.ndarray       # int32[KC, N] — k-th choice edge's road
 
+    # --- intersection coordinates (MATSim node x/y; zeros when the source
+    # had none).  Used host-side only: routing.bellman_ford.
+    # primal_delta_buckets derives a locality-preserving row order from them
+    # so the roll-based sweep needs few distinct index offsets (the
+    # reference's sorted-id-string ordinals scramble grid rows). ---
+    inter_x: jnp.ndarray = None       # float32[I]
+    inter_y: jnp.ndarray = None       # float32[I]
+
     @property
     def num_nodes(self) -> int:
         return self.num_roads + 2 * self.num_intersections
@@ -142,6 +150,8 @@ def build_network(
     to_inter: np.ndarray,     # int[R] — intersection ordinal of the link's head
     num_intersections: int,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    inter_x: np.ndarray | None = None,  # float[I] node coordinates (optional)
+    inter_y: np.ndarray | None = None,
 ) -> Network:
     """Construct a :class:`Network` from raw per-link attributes.
 
@@ -307,6 +317,14 @@ def build_network(
         out_dst_tab=jnp.asarray(out_dst),
         choice_ok=jnp.asarray(ch_tab_ok),
         choice_dst_tab=jnp.asarray(ch_dst),
+        inter_x=jnp.asarray(
+            np.zeros(num_intersections) if inter_x is None else inter_x,
+            dtype=jnp.float32,
+        ),
+        inter_y=jnp.asarray(
+            np.zeros(num_intersections) if inter_y is None else inter_y,
+            dtype=jnp.float32,
+        ),
     )
 
 

@@ -115,8 +115,18 @@ def run_episode_shard_map(
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
-    assert R % S == 0, f"num_roads {R} % shards {S} != 0"
-    rl = R // S
+    # Real networks rarely have device-divisible road counts: pad the road
+    # axis to the shard multiple with INERT rows — zero capacity (nothing
+    # can insert or transfer in: space_ok and v_slot_ok are both false),
+    # no in-edges (ok False), sentinel road_dest (-1 never matches a ring
+    # destination, so nothing withdraws), empty rings.  Padded rows are
+    # therefore never read or written by the physics, and the returned
+    # state/logs are sliced back to the real R — bitwise-equal to the
+    # unsharded run (the per-tick Gumbel matrices stay [_, R] and are
+    # zero-padded, so the draws are unchanged).
+    Rp = ((R + S - 1) // S) * S
+    pad = Rp - R
+    rl = Rp // S
     nmax = state.road.nmax
     KIN = network.in_src_tab.shape[0]
 
@@ -124,10 +134,34 @@ def run_episode_shard_map(
     ff = network.free_flow
     cc = network.congestion_constant
 
+    def _pad1(x, value):
+        return x if pad == 0 else jnp.concatenate(
+            [x, jnp.full((pad,), value, x.dtype)]
+        )
+
+    def _padcols(x, value):
+        return x if pad == 0 or x.size == 0 else jnp.concatenate(
+            [x, jnp.full((x.shape[0], pad), value, x.dtype)], axis=1
+        )
+
+    def _padrows(x, value):
+        return x if pad == 0 else jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)]
+        )
+
+    capp = _pad1(cap, 0.0)
+    ffp = _pad1(ff, 1.0)
+    ccp = _pad1(cc, 1.0)
+    road_dest_p = _pad1(network.road_dest, -1)
+    road_to_p = _pad1(network.road_to, 0)
+    in_src_p = _padcols(network.in_src_tab, 0)
+    in_ok_p = _padcols(network.in_edge_ok, False)
+    in_logit_p = _padcols(network.in_logit_tab, 0.0)
+
     if primal:
         from ..routing.policies import _maybe_delta_buckets
 
-        _pb_shifts, _pb_slot = _maybe_delta_buckets(network)
+        _pb_shifts, _pb_slot, _pb_perm, _pb_inv = _maybe_delta_buckets(network)
 
     if learned is not None:
         # Slot-major out-edge tables for the edge-sharded policy forward
@@ -139,6 +173,10 @@ def run_episode_shard_map(
         lp_ok, lp_dst, lp_attr = full_out_tables(network)
         KF = int(lp_ok.shape[0])
         N = network.num_nodes
+        # Padded ROAD-column views for block slicing (the virtual columns
+        # R..N are always handled replicated from the original tables).
+        lp_ok_p = _padcols(lp_ok[:, :R], False)
+        lp_dst_p = _padcols(lp_dst[:, :R], 0)
 
     road_spec = SimState(
         road=jax.tree.map(lambda _: P(AXIS), state.road),
@@ -164,8 +202,8 @@ def run_episode_shard_map(
         """Per-road refresh costs from halo counts, honoring
         routing.cost_mode exactly like bellman_ford.road_costs /
         marginal_road_costs (so an --algo so policy stays bitwise-equal
-        under shard_map)."""
-        count_f = count_g.astype(jnp.float32)
+        under shard_map).  Returns real-[R] costs (padded rows sliced)."""
+        count_f = count_g[:R].astype(jnp.float32)
         denom = cap + physics.congestion_softening - count_f
         tc = cc / denom
         cost = jnp.maximum(ff, tc)
@@ -282,7 +320,7 @@ def run_episode_shard_map(
 
         K = nmax if sim.withdraw_depth is None else min(sim.withdraw_depth, nmax)
         road_dest_local = jax.lax.dynamic_slice_in_dim(
-            network.road_dest, block0, rl
+            road_dest_p, block0, rl
         )
         if K <= _SLOT_UNROLL_MAX:
             colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
@@ -349,7 +387,7 @@ def run_episode_shard_map(
 
             x_ctx = rollout_context(
                 st, network, learned.pending_entrants,
-                count=count_g, head_ids=head_id_g,
+                count=count_g[:R], head_ids=head_id_g[:R],
                 extra_obs=learned.extra_obs,
             )
             key, sub = jax.random.split(st.key)
@@ -357,21 +395,25 @@ def run_episode_shard_map(
                 g_full = jnp.zeros((KF, N), jnp.float32)
             else:
                 g_full = jax.random.gumbel(sub, (KF, N), jnp.float32)
+            g_road_p = _padcols(g_full[:, :R], 0.0)
 
-            # Local road block columns.
+            # Local road block columns.  Padded columns (>= R) are fully
+            # masked (ok False); their logit input ids are clamped to a real
+            # column so the row gathers stay in range — the values never
+            # contribute.
             cols_blk = block0 + rows_local
             logit_blk = slot_logits(
-                learned, x_ctx, network, lp_dst, lp_attr, cols_blk
+                learned, x_ctx, network, lp_dst, lp_attr,
+                jnp.minimum(cols_blk, R - 1),
             )
-            g_blk = jax.lax.dynamic_slice(g_full, (0, block0), (KF, rl))
-            ok_blk = jax.lax.dynamic_slice(lp_ok, (0, block0), (KF, rl))
-            dst_blk = jax.lax.dynamic_slice(lp_dst, (0, block0), (KF, rl))
+            g_blk = jax.lax.dynamic_slice(g_road_p, (0, block0), (KF, rl))
+            ok_blk = jax.lax.dynamic_slice(lp_ok_p, (0, block0), (KF, rl))
+            dst_blk = jax.lax.dynamic_slice(lp_dst_p, (0, block0), (KF, rl))
             score_blk = jnp.where(ok_blk, logit_blk + g_blk, -jnp.inf)
-            prev_blk = jax.lax.dynamic_slice_in_dim(
-                st.selected_road, block0, rl
-            )
+            prev_p = _pad1(st.selected_road[:R], 0)
+            prev_blk = jax.lax.dynamic_slice_in_dim(prev_p, block0, rl)
             sel_blk = _slot_argmax(score_blk, dst_blk, prev_blk)
-            sel_roads = jax.lax.all_gather(sel_blk, AXIS, tiled=True)  # [R]
+            sel_roads = jax.lax.all_gather(sel_blk, AXIS, tiled=True)  # [Rp]
 
             # Virtual (SRC/DEST) columns, replicated on every shard.
             cols_virt = jnp.arange(R, N, dtype=jnp.int32)
@@ -413,7 +455,8 @@ def run_episode_shard_map(
                 dist = primal_all_pairs_dist(
                     cost, network.inter_out_road, network.inter_out_ok,
                     network.road_to, max_iters=routing.max_bf_iters,
-                    dist0=dist0,
+                    dist0=dist0, delta_shifts=_pb_shifts, delta_slot=_pb_slot,
+                    delta_perm=_pb_perm, delta_inv=_pb_inv,
                 )
                 road = primal_next_roads(
                     dist, cost, network.inter_out_road,
@@ -425,7 +468,7 @@ def run_episode_shard_map(
             buf = jax.lax.cond(
                 do_refresh, refresh_p, lambda _: st.next_hop, operand=None
             )
-            dest_i = _dest_inter(network, agents.dest[head_id_g])
+            dest_i = _dest_inter(network, agents.dest[head_id_g[:R]])
             sel_roads = _primal_argmin_road(
                 buf, network, network.road_to, dest_i
             )
@@ -453,7 +496,7 @@ def run_episode_shard_map(
             next_hop = jax.lax.cond(
                 do_refresh, refresh, lambda _: st.next_hop, operand=None
             )
-            dests = agents.dest[head_id_g]
+            dests = agents.dest[head_id_g[:R]]
             sel = st.selected_road.at[:R].set(
                 next_hop[jnp.arange(R, dtype=jnp.int32), dests]
             )
@@ -475,9 +518,9 @@ def run_episode_shard_map(
         # ascending-slot strict-> tie-break — bitwise-equal winners.
         key, k_dir = jax.random.split(key)
         count_v_f = road.count.astype(jnp.float32)  # local [rl]
-        cap_l = jax.lax.dynamic_slice_in_dim(cap, block0, rl)
-        ff_l = jax.lax.dynamic_slice_in_dim(ff, block0, rl)
-        cc_l = jax.lax.dynamic_slice_in_dim(cc, block0, rl)
+        cap_l = jax.lax.dynamic_slice_in_dim(capp, block0, rl)
+        ff_l = jax.lax.dynamic_slice_in_dim(ffp, block0, rl)
+        cc_l = jax.lax.dynamic_slice_in_dim(ccp, block0, rl)
         space_ok = count_v_f < cap_l - physics.congestion_buffer
         v_free = cap_l - count_v_f
         v_slot_ok = count_v_f < cap_l
@@ -489,14 +532,16 @@ def run_episode_shard_map(
 
         shift_free, shift_sel, free_mask = upstream_pack_layout(R, nmax)
         sel_r = sel[:R]
-        sel_enc = jnp.where(
+        sel_enc = _pad1(jnp.where(
             (sel_r >= 0) & (sel_r < R), sel_r, R
-        ).astype(jnp.int32)
+        ).astype(jnp.int32), R)
         pack = pack_upstream(
-            head_dep_g, count_g, cap, sel_enc, t, physics, R, nmax
+            head_dep_g, count_g, capp, sel_enc, t, physics, R, nmax
         )
 
-        gumbel_full = jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32)
+        gumbel_full = _padcols(
+            jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32), 0.0
+        )
         gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
         best = jnp.full((rl,), -jnp.inf, jnp.float32)
         win_slot = jnp.zeros((rl,), jnp.int32)
@@ -504,14 +549,14 @@ def run_episode_shard_map(
         u_slices = []
         for k in range(KIN):
             u_k = jax.lax.dynamic_slice_in_dim(
-                network.in_src_tab[k], block0, rl
+                in_src_p[k], block0, rl
             )
             u_slices.append(u_k)
             ok_k = jax.lax.dynamic_slice_in_dim(
-                network.in_edge_ok[k], block0, rl
+                in_ok_p[k], block0, rl
             )
             logit_k = jax.lax.dynamic_slice_in_dim(
-                network.in_logit_tab[k], block0, rl
+                in_logit_p[k], block0, rl
             )
             p_k = pack[u_k]
             dep_ok = (p_k & 1) > 0
@@ -535,12 +580,12 @@ def run_episode_shard_map(
         win_u = jnp.zeros((rl,), jnp.int32)
         for k in range(KIN):
             win_u = jnp.where(win_slot == k, u_slices[k], win_u)
-        win_u = jnp.where(accept, win_u, R)
+        win_u = jnp.where(accept, win_u, Rp)
         chosen = jnp.where(
-            accept, head_id_g[jnp.minimum(win_u, R - 1)], 0
+            accept, head_id_g[jnp.minimum(win_u, Rp - 1)], 0
         )
         accept = chosen != 0  # sentinel guard (direction_mpnn.py:194)
-        win_u = jnp.where(accept, win_u, R)
+        win_u = jnp.where(accept, win_u, Rp)
 
         slot2 = (road.head + road.count) % nmax
         rows2 = jnp.where(accept, rows_local, rl)
@@ -554,16 +599,16 @@ def run_episode_shard_map(
             t + tt2, mode="drop"
         )
         fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(
-            jnp.where(accept, head_dest_g[jnp.minimum(win_u, R - 1)], 0),
+            jnp.where(accept, head_dest_g[jnp.minimum(win_u, Rp - 1)], 0),
             mode="drop",
         )
         new_count = road.count + accept.astype(jnp.int32)
 
         # response: tell the winning upstream's shard to pop (all_gather)
         winners_g = jax.lax.all_gather(
-            jnp.where(accept, win_u, R), AXIS, tiled=True
-        )  # [R]
-        pops_full = jnp.zeros((R + 1,), bool).at[winners_g].set(True)
+            jnp.where(accept, win_u, Rp), AXIS, tiled=True
+        )  # [Rp]
+        pops_full = jnp.zeros((Rp + 1,), bool).at[winners_g].set(True)
         popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
         road = road._replace(
             fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
@@ -577,9 +622,11 @@ def run_episode_shard_map(
         # is delta * out-degree, exactly as core.direction) ----------------
         want_delta = sim.record_road_optimality or sim.record_road_optimality_hourly
         if want_delta:
-            outdeg = network.out_edge_ok.sum(axis=0).astype(jnp.float32)
+            outdeg = _pad1(
+                network.out_edge_ok.sum(axis=0).astype(jnp.float32), 0.0
+            )
             delta_full = (
-                jnp.maximum((head_dep_g - head_arr_g) - ff, 0.0) * outdeg
+                jnp.maximum((head_dep_g - head_arr_g) - ffp, 0.0) * outdeg
             )
             delta_local = jax.lax.dynamic_slice_in_dim(delta_full, block0, rl)
         else:
@@ -622,7 +669,7 @@ def run_episode_shard_map(
             arrivals=done_total - m.done_before,
             on_way=on_way_total,
             time=new_time,
-            road_delta_tt=(delta_full if sim.record_road_optimality
+            road_delta_tt=(delta_full[:R] if sim.record_road_optimality
                            else jnp.zeros((0,), jnp.float32)),
             # shard_map insert is whole-population: never window-bounded.
             window_saturated=jnp.zeros((), jnp.float32),
@@ -641,5 +688,42 @@ def run_episode_shard_map(
 
         return jax.lax.scan(body, st, length=num_steps)
 
+    if pad:
+        # Pad the road axis of the carried state with inert rows (see the
+        # padding note above); sliced back off below.
+        rd = state.road
+        state = state._replace(
+            road=rd._replace(
+                fifo_ids=_padrows(rd.fifo_ids, 0),
+                fifo_arrival=_padrows(rd.fifo_arrival, 0.0),
+                fifo_departure=_padrows(rd.fifo_departure, 0.0),
+                fifo_dest=_padrows(rd.fifo_dest, 0),
+                head=_pad1(rd.head, 0),
+                count=_pad1(rd.count, 0),
+            ),
+            metrics=state.metrics._replace(
+                hourly_counts=_padcols(state.metrics.hourly_counts, 0),
+                delta_tt_hourly=_padcols(state.metrics.delta_tt_hourly, 0.0),
+            ),
+        )
+
     with mesh:
-        return jax.jit(episode)(state)
+        final, log = jax.jit(episode)(state)
+
+    if pad:
+        rd = final.road
+        final = final._replace(
+            road=rd._replace(
+                fifo_ids=rd.fifo_ids[:R],
+                fifo_arrival=rd.fifo_arrival[:R],
+                fifo_departure=rd.fifo_departure[:R],
+                fifo_dest=rd.fifo_dest[:R],
+                head=rd.head[:R],
+                count=rd.count[:R],
+            ),
+            metrics=final.metrics._replace(
+                hourly_counts=final.metrics.hourly_counts[:, :R],
+                delta_tt_hourly=final.metrics.delta_tt_hourly[:, :R],
+            ),
+        )
+    return final, log

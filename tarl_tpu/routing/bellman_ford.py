@@ -243,6 +243,8 @@ def primal_all_pairs_dist(
     dist0: jnp.ndarray | None = None,  # float32[I, I] upper bound warm start
     delta_shifts: tuple | None = None,   # static offsets (primal_delta_buckets)
     delta_slot: jnp.ndarray | None = None,  # int32[R] weight-table slots
+    delta_perm: jnp.ndarray | None = None,   # int32[I] row order (or None)
+    delta_inv: jnp.ndarray | None = None,    # int32[I] inverse row order
 ) -> jnp.ndarray:
     """All-pairs distances over the PRIMAL (intersection) graph: float32[I, I].
 
@@ -269,7 +271,7 @@ def primal_all_pairs_dist(
         # fires after a few sweeps instead of a diameter's worth.
         dist0 = jnp.where(eye, 0.0, dist0)
     buckets = (None if delta_shifts is None
-               else (delta_shifts, delta_slot))
+               else (delta_shifts, delta_slot, delta_perm, delta_inv))
     return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
                          road_to, iters, buckets=buckets)
 
@@ -285,6 +287,8 @@ def primal_dest_dist(
     dist0: jnp.ndarray | None = None,  # float32[I, D] warm start
     delta_shifts: tuple | None = None,   # static offsets (primal_delta_buckets)
     delta_slot: jnp.ndarray | None = None,  # int32[R] weight-table slots
+    delta_perm: jnp.ndarray | None = None,   # int32[I] row order (or None)
+    delta_inv: jnp.ndarray | None = None,    # int32[I] inverse row order
 ) -> jnp.ndarray:
     """Destination-restricted primal distances: float32[I, D].
 
@@ -302,33 +306,48 @@ def primal_dest_dist(
     else:
         dist0 = jnp.where(anchor, 0.0, dist0)
     buckets = (None if delta_shifts is None
-               else (delta_shifts, delta_slot))
+               else (delta_shifts, delta_slot, delta_perm, delta_inv))
     return _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
                          road_to, iters, buckets=buckets)
 
 
 def primal_delta_buckets(
-    inter_out_road, inter_out_ok, road_to, max_deltas: int = 32
+    inter_out_road, inter_out_ok, road_to, max_deltas: int = 32,
+    coords=None,
 ):
     """Host-side sweep analysis: bucket primal edges by INDEX OFFSET.
 
     The gather sweep of :func:`_primal_relax` reads ``dist[succ[:, k]]`` —
     row gathers that hit XLA:TPU's serial emitter and run ~25x off HBM
     bandwidth (docs/BENCH.md).  But road networks have very few distinct
-    values of ``(head - tail) mod I`` under any locality-ish node ordering
-    (a 64x64 grid with the reference's lexicographic intersection order has
-    20), and a fixed-offset neighbor read is ``jnp.roll`` — a full-bandwidth
-    contiguous copy.  This helper groups every primal edge by its offset
-    ``d = (road_to[r] - tail(r)) mod I``:
+    values of ``(head - tail) mod I`` under a locality-preserving node
+    ordering, and a fixed-offset neighbor read is a roll — a full-bandwidth
+    contiguous copy.  The VPU work of the multisweep kernel scales with the
+    number of distinct offsets, so the ordering matters: the reference's
+    sorted-id-STRING ordinals (ts.py:142 ``sorted()``) scramble a 64x64
+    grid from 4 offsets to 18 ("n0_10" < "n0_2").  When ``coords`` —
+    ``(x[I], y[I])`` numpy arrays — are given, this helper also evaluates
+    the row-major coordinate orders lexsort(y,x) / lexsort(x,y) and keeps
+    whichever of the three candidate orders yields the fewest distinct
+    offsets.  The permutation is applied to the SOURCE (row) axis of the
+    distance table only, entirely inside :func:`_primal_relax` (permute
+    rows in, sweep, permute rows back — two contiguous row copies), so
+    nothing outside the sweep sees it.
 
-    Returns ``(deltas, slot_of_road)`` — a tuple of python-int offsets and
-    an ``int32[R]`` map of each road to its slot ``b * I + tail`` in the
-    flattened ``[B, I]`` sweep weight table — or ``None`` when the network
-    has more than ``max_deltas`` distinct offsets (irregular orderings fall
-    back to the gather sweep; a locality-preserving relabeling would
-    recover the fast path).  Parallel roads sharing (tail, head) collide on
-    one slot; the weight table is built with a ``min`` scatter, which is
-    exactly the min-plus relaxation's treatment of parallel edges.
+    Returns ``(deltas, slot_of_road, perm, inv_perm)``:
+
+    * ``deltas`` — python-int offsets in permuted row space;
+    * ``slot_of_road`` — ``int32[R]`` map of each road to its slot
+      ``b * I + pos(tail)`` in the flattened ``[B, I]`` sweep weight table;
+    * ``perm`` / ``inv_perm`` — ``int32[I]`` row orders
+      (``dist_p = dist[perm]``, ``dist = dist_p[inv_perm]``) or ``None``
+      for the identity order;
+
+    or ``None`` when even the best order has more than ``max_deltas``
+    distinct offsets (irregular networks fall back to the gather sweep).
+    Parallel roads sharing (tail, head) collide on one slot; the weight
+    table is built with a ``min`` scatter, which is exactly the min-plus
+    relaxation's treatment of parallel edges.
     """
     import numpy as np
 
@@ -339,16 +358,43 @@ def primal_delta_buckets(
     src = np.repeat(np.arange(i_n, dtype=np.int64), k_n)[ok.ravel()]
     roads = out.ravel()[ok.ravel()]
     dst = rt[roads]
-    d_mod = (dst - src) % i_n
-    deltas = np.unique(d_mod)
+
+    def offsets_under(pos):
+        d_mod = (pos[dst] - pos[src]) % i_n
+        return d_mod, np.unique(d_mod)
+
+    candidates = [(None, np.arange(i_n, dtype=np.int64))]
+    if coords is not None:
+        x = np.asarray(coords[0], dtype=np.float64)
+        y = np.asarray(coords[1], dtype=np.float64)
+        if x.shape == (i_n,) and (np.any(x != x[0]) or np.any(y != y[0])):
+            candidates.append(("yx", np.lexsort((x, y))))
+            candidates.append(("xy", np.lexsort((y, x))))
+
+    best = None
+    for name, order in candidates:
+        pos = np.empty(i_n, dtype=np.int64)
+        pos[order] = np.arange(i_n, dtype=np.int64)
+        d_mod, deltas = offsets_under(pos)
+        if best is None or deltas.shape[0] < best[3].shape[0]:
+            best = (name, order, d_mod, deltas)
+    name, order, d_mod, deltas = best
     if deltas.shape[0] > max_deltas:
         return None
+    pos = np.empty(i_n, dtype=np.int64)
+    pos[order] = np.arange(i_n, dtype=np.int64)
     b_of = {int(d): b for b, d in enumerate(deltas)}
     num_roads = rt.shape[0]
     slot = np.full(num_roads, deltas.shape[0] * i_n, np.int64)  # pad: dropped
     for s, r, d in zip(src, roads, d_mod):
-        slot[r] = b_of[int(d)] * i_n + s
-    return tuple(int(d) for d in deltas), jnp.asarray(slot, jnp.int32)
+        slot[r] = b_of[int(d)] * i_n + pos[s]
+    if name is None:
+        perm = inv = None
+    else:
+        perm = jnp.asarray(order, jnp.int32)
+        inv = jnp.asarray(pos, jnp.int32)
+    return (tuple(int(d) for d in deltas), jnp.asarray(slot, jnp.int32),
+            perm, inv)
 
 
 def _sweep_kernel_body(delta_ref, w_ref, dist_ref, out_ref, *, num_deltas):
@@ -547,12 +593,28 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
                   iters, buckets=None):
     i_n = inter_out_road.shape[0]
 
+    # Row permutation (primal_delta_buckets coordinate order): the bucketed
+    # sweeps run in permuted row space — permute in, sweep, permute back.
+    # Two contiguous row copies bracketing the refresh, in exchange for a
+    # several-fold smaller distinct-offset count (the multisweep kernel's
+    # VPU work is linear in it).  Results are bitwise-identical: every
+    # min-plus term pairs the same floats whatever the row labels.
+    perm = inv = None
+    if buckets is not None:
+        if len(buckets) == 4:
+            shifts_b, slot_b, perm, inv = buckets
+        else:  # legacy (deltas, slot) pairs
+            shifts_b, slot_b = buckets
+        buckets = (shifts_b, slot_b)
+
     if buckets is not None and _multisweep_ok(i_n, len(buckets[0]), iters):
         # Static-shift multi-sweep kernel: the whole capped refresh is ONE
         # kernel launch reading and writing the table once (see
         # _multisweep_kernel_body).  Outcome-identical to the early-exiting
         # gather while_loop (idempotent relaxation, same cap).
         deltas, slot_of_road = buckets
+        if perm is not None:
+            dist0 = dist0[perm]
         b_n = len(deltas)
         b_pad = _round_up_lane(b_n)
         w_flat = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
@@ -569,12 +631,15 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
         dist_p = _multisweep_pallas(dist_p, w_cols, shifts, iters,
                                     _SWEEP_TILE_D)
-        return dist_p[:, :d]
+        out = dist_p[:, :d]
+        return out if inv is None else out[inv]
 
     if buckets is not None and _pallas_sweep_ok(i_n, len(buckets[0])):
         # Pallas tiled sweep: pad destination columns to the lane tile; the
         # BIG-padded columns relax independently and are sliced off.
         deltas, slot_of_road = buckets
+        if perm is not None:
+            dist0 = dist0[perm]
         b_n = len(deltas)
         b_pad = _round_up_lane(b_n)
         w_flat = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
@@ -608,7 +673,8 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         _, dist_p, _ = jax.lax.while_loop(
             cond, body, (0, dist_p, jnp.bool_(True))
         )
-        return dist_p[:, :d]
+        out = dist_p[:, :d]
+        return out if inv is None else out[inv]
 
     if buckets is not None and jax.default_backend() == "tpu" and \
             not _pallas_sweep_ok(i_n, len(buckets[0])):
@@ -625,6 +691,8 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         # min is exact, the per-edge sums w + dist pair identically, and
         # ties resolve to the same value whatever the reduction order.
         deltas, slot_of_road = buckets
+        if perm is not None:
+            dist0 = dist0[perm]
         b_n = len(deltas)
         w_tab = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
             road_cost
@@ -660,7 +728,7 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         return i + 1, new, jnp.any(new < dist)
 
     _, dist, _ = jax.lax.while_loop(cond, body, (0, dist0, jnp.bool_(True)))
-    return dist
+    return dist if (buckets is None or inv is None) else dist[inv]
 
 
 @jax.jit

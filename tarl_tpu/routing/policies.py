@@ -173,17 +173,24 @@ def _road_cost_fn(routing: RoutingConfig):
 
 
 def _maybe_delta_buckets(network: Optional[Network]):
-    """(delta_shifts, delta_slot) for the fast roll-based primal sweep, or
-    (None, None) when no concrete network is at hand (fallback: the gather
-    sweep — bitwise-identical results, see bellman_ford._primal_relax)."""
+    """(delta_shifts, delta_slot, delta_perm, delta_inv) for the fast
+    roll-based primal sweep — offsets under the best locality row order
+    (node coordinates, bellman_ford.primal_delta_buckets) — or four Nones
+    when no concrete network is at hand or the network doesn't bucket
+    (fallback: the gather sweep — bitwise-identical results, see
+    bellman_ford._primal_relax)."""
     if network is None:
-        return None, None
+        return None, None, None, None
     from .bellman_ford import primal_delta_buckets
 
+    coords = None
+    if getattr(network, "inter_x", None) is not None:
+        coords = (network.inter_x, network.inter_y)
     b = primal_delta_buckets(
-        network.inter_out_road, network.inter_out_ok, network.road_to
+        network.inter_out_road, network.inter_out_ok, network.road_to,
+        coords=coords,
     )
-    return (None, None) if b is None else b
+    return (None, None, None, None) if b is None else b
 
 
 def _primal_pack(dist, cost, road) -> jnp.ndarray:
@@ -314,7 +321,7 @@ def make_shortest_path_choice_primal(
     """
 
     road_cost_fn = _road_cost_fn(routing)
-    shifts, slot = _maybe_delta_buckets(network)
+    shifts, slot, perm, inv = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
         from .bellman_ford import (
@@ -340,6 +347,7 @@ def make_shortest_path_choice_primal(
                 cost, network.inter_out_road, network.inter_out_ok,
                 network.road_to, max_iters=routing.max_bf_iters,
                 dist0=dist0, delta_shifts=shifts, delta_slot=slot,
+                delta_perm=perm, delta_inv=inv,
             )
             road = primal_next_roads(
                 dist, cost, network.inter_out_road, network.inter_out_ok,
@@ -405,11 +413,11 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         # refresh); only refreshes honor routing.max_bf_iters.
         from .bellman_ford import primal_dest_dist, primal_next_roads
 
-        sh, sl = _maybe_delta_buckets(network)
+        sh, sl, pm, iv = _maybe_delta_buckets(network)
         dist = primal_dest_dist(
             network.free_flow, network.inter_out_road, network.inter_out_ok,
             network.road_to, dest_list, max_iters=None,
-            delta_shifts=sh, delta_slot=sl,
+            delta_shifts=sh, delta_slot=sl, delta_perm=pm, delta_inv=iv,
         )
         road = primal_next_roads(
             dist, network.free_flow, network.inter_out_road,
@@ -418,7 +426,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         return _primal_pack(dist, network.free_flow, road)
 
     road_cost_fn = _road_cost_fn(routing)
-    shifts, slot = _maybe_delta_buckets(network)
+    shifts, slot, perm, inv = _maybe_delta_buckets(network)
 
     def choice(state: SimState, network: Network):
         from .bellman_ford import BIG, primal_dest_dist, primal_next_roads
@@ -436,6 +444,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
                 cost, network.inter_out_road, network.inter_out_ok,
                 network.road_to, dest_list, max_iters=routing.max_bf_iters,
                 dist0=dist0, delta_shifts=shifts, delta_slot=slot,
+                delta_perm=perm, delta_inv=inv,
             )
             road = primal_next_roads(
                 dist, cost, network.inter_out_road, network.inter_out_ok,

@@ -371,7 +371,8 @@ class TestPrimalRouting:
             net.inter_out_road, net.inter_out_ok, net.road_to
         )
         assert b is not None, "grid networks must bucket into few deltas"
-        shifts, slot = b
+        shifts, slot, perm, inv = b
+        assert perm is None, "no coords given -> identity row order"
         d_gather = primal_all_pairs_dist(
             road_cost, net.inter_out_road, net.inter_out_ok, net.road_to
         )
@@ -393,6 +394,57 @@ class TestPrimalRouting:
         np.testing.assert_array_equal(
             np.asarray(dd_gather), np.asarray(dd_delta)
         )
+
+        # Coordinate row order: on grids wide enough for double-digit node
+        # ids the sorted-id-STRING ordinals scramble rows ("n0_10" < "n0_2"
+        # — many distinct offsets); lexsort(y, x) must recover the 4-offset
+        # row-major form, and the row-permuted sweep must stay bitwise-equal
+        # to the gather sweep (same float pairings, rows merely relabeled
+        # inside the refresh).
+        import os
+        import tempfile
+
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import grid_scenario
+
+        root = tempfile.mkdtemp()
+        base12 = grid_scenario(root, "PermGrid12", rows=12, cols=12,
+                               num_agents=10)
+        net12 = load_network(os.path.join(base12, "network"))
+        rc12 = jnp.asarray(
+            rng.uniform(1.0, 50.0, net12.num_roads), dtype=jnp.float32
+        )
+        b_id = primal_delta_buckets(
+            net12.inter_out_road, net12.inter_out_ok, net12.road_to
+        )
+        bp = primal_delta_buckets(
+            net12.inter_out_road, net12.inter_out_ok, net12.road_to,
+            coords=(net12.inter_x, net12.inter_y),
+        )
+        p_shifts, p_slot, p_perm, p_inv = bp
+        assert p_perm is not None, "grid coords must beat identity order"
+        assert len(p_shifts) < len(b_id[0])
+        assert len(p_shifts) <= 4
+        d12_gather = primal_all_pairs_dist(
+            rc12, net12.inter_out_road, net12.inter_out_ok, net12.road_to
+        )
+        dp = primal_all_pairs_dist(
+            rc12, net12.inter_out_road, net12.inter_out_ok, net12.road_to,
+            delta_shifts=p_shifts, delta_slot=p_slot,
+            delta_perm=p_perm, delta_inv=p_inv,
+        )
+        np.testing.assert_array_equal(np.asarray(d12_gather), np.asarray(dp))
+        dests12 = jnp.asarray([0, 7, net12.num_intersections - 1], jnp.int32)
+        ddp_gather = primal_dest_dist(
+            rc12, net12.inter_out_road, net12.inter_out_ok, net12.road_to,
+            dests12,
+        )
+        ddp = primal_dest_dist(
+            rc12, net12.inter_out_road, net12.inter_out_ok, net12.road_to,
+            dests12, delta_shifts=p_shifts, delta_slot=p_slot,
+            delta_perm=p_perm, delta_inv=p_inv,
+        )
+        np.testing.assert_array_equal(np.asarray(ddp_gather), np.asarray(ddp))
 
     def test_primal_dist_matches_dual(self):
         from tarl_tpu.routing.bellman_ford import (

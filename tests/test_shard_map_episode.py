@@ -390,3 +390,54 @@ def test_shard_map_padded_network(tmp_path):
     assert np.asarray(sm_final.road.count)[pad].sum() == 0
     assert np.asarray(sm_final.metrics.hourly_counts)[:, pad].sum() == 0
     assert int(np.asarray(sm_final.agents.done)[1:].sum()) > 0
+
+
+def test_shard_map_inline_padding_matches_unsharded(tmp_path):
+    """A raw network with R % shards != 0 runs under shard_map DIRECTLY:
+    run_episode_shard_map pads the road axis internally with inert rows
+    (zero capacity, no in-edges, sentinel dest) and slices them back off —
+    bitwise-equal to the unsharded run on the SAME network, random and
+    shortest-path policies (no XML rewrite, no Gumbel-stream change)."""
+    from tarl_tpu.config import RoutingConfig
+    from tarl_tpu.io.scenarios import grid_scenario
+    from tarl_tpu.simulator import make_policy
+
+    base = grid_scenario(str(tmp_path), "Grid3x5i", rows=3, cols=5,
+                         num_agents=120)
+    net = load_network(os.path.join(base, "network"))
+    assert net.num_roads % 8 != 0, "fixture must need padding"
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    agents = pad_agents(agents, 8)
+    mesh = make_road_mesh(8)
+
+    for algo in ("random", "dijkstra"):
+        routing = RoutingConfig(refresh_rate=10)
+        if algo == "random":
+            policy = Policy(choice=random_choice)
+        else:
+            policy = make_policy(algo, routing=routing, network=net)
+        sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 400)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        ref_final, ref_logs = run_episode(state, net, policy, 400, sim=sim)
+        sm_final, sm_logs = run_episode_shard_map(
+            state, net, policy, 400, mesh, sim=sim, routing=routing
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.arrival),
+            np.asarray(sm_final.agents.arrival), err_msg=algo,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.road.count),
+            np.asarray(sm_final.road.count), err_msg=algo,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.metrics.hourly_counts),
+            np.asarray(sm_final.metrics.hourly_counts), err_msg=algo,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals),
+            err_msg=algo,
+        )
+        assert int(np.asarray(sm_final.agents.done)[1:].sum()) > 0
