@@ -1,0 +1,125 @@
+"""Million-agent datapoint (VERDICT r2 next-step #9): Grid128x128, 1M
+agents, zoned destination-restricted congested shortest-path routing.
+
+Times, on the real chip, with the native C++ MATSim parser:
+
+* ingest        — network + population XML parse (io.native fast path);
+* table init    — free-flow dist[I, D] (host scipy) + upload;
+* episode       — ticks/s over TICKS ticks after warmup, shortest-path
+                  (primal dest-restricted backend, refresh 10 / cap 8) AND
+                  the random-policy base;
+* conservation  — sum(road.count) == #on-way, done+on-way+waiting == A-1.
+
+Writes one JSON line, and a copy to runs/million/report.json.
+
+Run from /root/repo in the default (axon) environment, one TPU process at
+a time, nothing CPU-heavy concurrent (single-core host starves the tunnel).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+GRID = int(os.environ.get("TARL_M_GRID", "128"))
+NUM_AGENTS = int(os.environ.get("TARL_M_AGENTS", "1000000"))
+ZONES = int(os.environ.get("TARL_M_ZONES", "256"))
+TICKS = int(os.environ.get("TARL_M_TICKS", "1024"))
+
+
+def main() -> None:
+    import numpy as np
+
+    from tarl_tpu.config import RoutingConfig, SimConfig
+    from tarl_tpu.core.step import init_sim_state, run_episode
+    from tarl_tpu.io.matsim import load_network, load_population
+    from tarl_tpu.io.scenarios import grid_scenario
+    from tarl_tpu.routing.policies import _dest_inter
+    from tarl_tpu.simulator import make_policy
+    from tarl_tpu.state import sort_agents_by_departure
+
+    cache = os.environ.get("TARL_BENCH_DIR") or "/tmp/tarl_bench_scen"
+    name = f"MillionGrid{GRID}_{NUM_AGENTS}_z{ZONES}"
+    base = os.path.join(cache, name)
+    if not os.path.exists(os.path.join(base, "network.xml")):
+        t0 = time.time()
+        grid_scenario(cache, name, rows=GRID, cols=GRID,
+                      num_agents=NUM_AGENTS,
+                      peak_start=6 * 3600, peak_spread=3 * 3600,
+                      num_dest_zones=ZONES)
+        print(f"scenario generated in {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    net = load_network(os.path.join(base, "network"))
+    t_net = time.time() - t0
+    t0 = time.time()
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    t_pop = time.time() - t0
+    agents = sort_agents_by_departure(agents)
+    print(f"ingest: network {t_net:.1f}s, population {t_pop:.1f}s "
+          f"(R={net.num_roads}, I={net.num_intersections}, "
+          f"A={agents.num_agents})", flush=True)
+
+    routing = RoutingConfig(refresh_rate=10, max_bf_iters=8, backend="primal")
+    sim = SimConfig(timestep=1, start_time=6 * 3600,
+                    record_road_optimality=False,
+                    insert_window=4096, withdraw_depth=2,
+                    sorted_population=True)
+    dest_inters = np.unique(np.asarray(_dest_inter(net, agents.dest)))
+
+    report = {
+        "metric": "million_agent_datapoint",
+        "grid": GRID, "agents": agents.num_agents, "zones": ZONES,
+        "roads": net.num_roads, "ticks": TICKS,
+        "ingest_network_s": round(t_net, 1),
+        "ingest_population_s": round(t_pop, 1),
+    }
+    for label, algo in (("sp", "dijkstra"), ("random", "random")):
+        if algo == "dijkstra":
+            policy = make_policy(algo, routing, network=net,
+                                 dest_inters=dest_inters)
+        else:
+            policy = make_policy(algo, network=net)
+        t0 = time.time()
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        jax.block_until_ready(state.next_hop)
+        init_s = time.time() - t0
+        state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+        jax.block_until_ready(state.road.count)
+        t0 = time.time()
+        state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+        jax.block_until_ready(state.road.count)
+        wall = time.time() - t0
+
+        a = state.agents
+        done = int(jax.device_get(a.done[1:].sum()))
+        on_way = int(jax.device_get(a.on_way[1:].sum()))
+        queued = int(jax.device_get(state.road.count.sum()))
+        waiting = (agents.num_agents - 1) - done - on_way
+        assert queued == on_way, f"conservation: queues {queued} != on_way {on_way}"
+        assert waiting >= 0
+        report.update({
+            f"{label}_steps_per_sec": round(agents.num_agents * TICKS / wall, 1),
+            f"{label}_per_tick_ms": round(wall / TICKS * 1e3, 3),
+            f"{label}_init_s": round(init_s, 1),
+            f"{label}_done": done, f"{label}_on_way": on_way,
+        })
+        print(f"{label}: {report[f'{label}_per_tick_ms']} ms/tick, "
+              f"{report[f'{label}_steps_per_sec'] / 1e6:.1f}M agent-steps/s, "
+              f"done {done}, on_way {on_way} (== queued {queued})", flush=True)
+
+    os.makedirs("runs/million", exist_ok=True)
+    with open("runs/million/report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
