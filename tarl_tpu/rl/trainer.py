@@ -85,11 +85,22 @@ def ppo_train(
     stochastic_eval: bool = False,
     resume: bool = False,
     verbose: bool = True,
+    track_best: Optional[str] = None,
 ) -> TrainState:
     """Train for ``num_iterations`` PPO iterations.
 
     Mirrors the reference trainer's surface (collect/update/log/eval/save,
     rl/ppo_trainer.py:129-160) with real mid-training resume.
+
+    ``track_best`` names a deterministic-eval scalar to MINIMIZE (e.g.
+    ``"eval/avg_travel_time"``); whenever an eval improves it, the params
+    are checkpointed to ``<checkpoint_dir>/best`` (with a ``best.json``
+    sidecar recording the metric and iteration).  PPO policies churn after
+    converging — the last iterate is routinely worse than the best one
+    (measured on Bottleneck: best greedy 66.2 s at iteration 900 vs 77.6 s
+    at 1500) — so selection must happen during training, not after.  Evals
+    draw from their own key stream (``PRNGKey(it)``), so enabling them at
+    any cadence leaves the training trajectory bit-identical.
     """
     if key is None:
         key = jax.random.PRNGKey(rl.episode_start)
@@ -118,6 +129,7 @@ def ppo_train(
 
     logger = MetricLogger(log_dir)
     eval_steps = eval_steps or rl.rollout_steps
+    best_metric = None
 
     t0 = _time.time()
     for it in range(start_iter, num_iterations):
@@ -207,6 +219,24 @@ def ppo_train(
                 except Exception:
                     pass
                 logger.scalars(step, eval_scalars)
+                if (track_best and det and track_best in eval_scalars
+                        and checkpoint_dir):
+                    v = float(eval_scalars[track_best])
+                    if best_metric is None or v < best_metric:
+                        best_metric = v
+                        save_checkpoint(
+                            os.path.join(checkpoint_dir, "best"),
+                            ts.params, ts.opt_state, it + 1,
+                        )
+                        with open(os.path.join(checkpoint_dir,
+                                               "best.json"), "w") as f:
+                            import json as _json
+
+                            _json.dump({"metric": track_best, "value": v,
+                                        "iteration": it + 1}, f)
+                        if verbose:
+                            print(f"⭐ | new best {track_best}={v:.2f} "
+                                  f"at iteration {it + 1}")
                 # Eval figures into TensorBoard (ppo_trainer.py:104-116).
                 try:
                     from ..metrics.reporting import plot_leg_histogram

@@ -475,6 +475,220 @@ def _multisweep_kernel_body(w_ref, dist_ref, out_ref, *, shifts, num_sweeps):
     out_ref[...] = final
 
 
+def _multisweep_nr_kernel_body(w_ref, road_ref, slot_ref, dist_ref,
+                               out_dist_ref, out_road_ref, *,
+                               shifts, num_sweeps):
+    """:func:`_multisweep_kernel_body` + a NEXT-ROAD epilogue on the still-
+    resident final tile.
+
+    ``primal_next_roads`` re-reads the finished table K times through row
+    gathers (~2-4 ms of the 8 ms Grid64 refresh); here the same argmin runs
+    as B extra rotates while the tile is in VMEM.  Tie-break equivalence
+    with the ascending-slot strict-< loop: each bucket carries the
+    representative (min-(cost, slot)) road of its parallel group
+    (``road_ref`` / ``slot_ref``, built per refresh in
+    :func:`_epilogue_rep_tables`), and the epilogue compares candidates
+    lexicographically on (value, slot rank) — the same winner as iterating
+    slots in ascending order with strict <, whatever the bucket order.
+    Unreachable destinations filter to -1 through the same
+    ``best < BIG`` guard as the gather form.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_all = w_ref[...]      # [I, B_pad] min cost per (row, bucket)
+    road_all = road_ref[...]  # [I, B_pad] representative road id (f32)
+    slot_all = slot_ref[...]  # [I, B_pad] representative slot rank (f32)
+
+    def sweep(tile):
+        new = tile
+        for b, sh in enumerate(shifts):
+            new = jnp.minimum(new, w_all[:, b:b + 1] + pltpu.roll(tile, sh, 0))
+        return new
+
+    def cond(c):
+        i, tile, changed = c
+        return changed & (i < num_sweeps)
+
+    def body(c):
+        i, tile, _ = c
+        new = sweep(tile)
+        return i + 1, new, jnp.any(new < tile)
+
+    _, final, _ = jax.lax.while_loop(
+        cond, body, (0, dist_ref[...], jnp.bool_(True))
+    )
+    out_dist_ref[...] = final
+
+    big = float(BIG)  # python literal: Mosaic kernels can't capture consts
+    best = jnp.full(final.shape, big, jnp.float32)
+    road = jnp.full(final.shape, -1.0, jnp.float32)
+    bslot = jnp.full(final.shape, 1e9, jnp.float32)
+    for b, sh in enumerate(shifts):
+        cand = w_all[:, b:b + 1] + pltpu.roll(final, sh, 0)
+        sl = jnp.broadcast_to(slot_all[:, b:b + 1], final.shape)
+        take = (cand < best) | ((cand == best) & (sl < bslot))
+        best = jnp.where(take, cand, best)
+        road = jnp.where(take, jnp.broadcast_to(road_all[:, b:b + 1],
+                                                final.shape), road)
+        bslot = jnp.where(take, sl, bslot)
+    out_road_ref[...] = jnp.where(best < big, road, -1.0)
+
+
+def _multisweep_nr_pallas(dist, w_cols, road_cols, slot_cols, shifts: tuple,
+                          num_sweeps: int, tile_d: int):
+    """dist [I, Dp] -> (relaxed dist, next-road table), ONE kernel launch
+    (see _multisweep_nr_kernel_body)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i_n, d_p = dist.shape
+    b_pad = w_cols.shape[1]
+    small = pl.BlockSpec((i_n, b_pad), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((i_n, tile_d), lambda j: (0, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_multisweep_nr_kernel_body, shifts=shifts,
+                num_sweeps=num_sweeps),
+        grid=(d_p // tile_d,),
+        in_specs=[small, small, small, tile],
+        out_specs=(tile, tile),
+        out_shape=(jax.ShapeDtypeStruct((i_n, d_p), jnp.float32),
+                   jax.ShapeDtypeStruct((i_n, d_p), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_MULTISWEEP_VMEM_BYTES
+        ),
+    )(w_cols, road_cols, slot_cols, dist)
+
+
+def epilogue_slot_tables(inter_out_road, inter_out_ok, road_to, buckets):
+    """Host-side static tables for the in-kernel next-road epilogue:
+    ``(out_r_p[I, K] int32, ok_p[I, K] bool, b_slot_p[I, K] int32)`` — the
+    out-slot table re-ordered to the bucket row permutation, plus each
+    slot's delta-bucket index (invalid slots map to the B_pad-1 scratch
+    lane, whose weight stays BIG)."""
+    import numpy as np
+
+    deltas, _, perm, _ = buckets
+    out = np.asarray(inter_out_road)
+    ok = np.asarray(inter_out_ok)
+    rt = np.asarray(road_to)
+    i_n, k_n = out.shape
+    order = (np.arange(i_n, dtype=np.int64) if perm is None
+             else np.asarray(perm, dtype=np.int64))
+    pos = np.empty(i_n, dtype=np.int64)
+    pos[order] = np.arange(i_n, dtype=np.int64)
+    b_of = {int(d): b for b, d in enumerate(deltas)}
+    out_p = out[order]
+    ok_p = ok[order]
+    head_pos = pos[rt[out_p]]                       # [I, K]
+    d_mod = (head_pos - np.arange(i_n)[:, None]) % i_n
+    b_pad = _round_up_lane(len(deltas))
+    d_to_b = np.full(i_n, b_pad - 1, np.int64)
+    for d, b in b_of.items():
+        d_to_b[d] = b
+    b_slot = np.where(ok_p, d_to_b[d_mod], b_pad - 1)
+    return (jnp.asarray(out_p, jnp.int32), jnp.asarray(ok_p),
+            jnp.asarray(b_slot, jnp.int32))
+
+
+def _epilogue_rep_tables(road_cost, out_r_p, ok_p, b_slot_p, b_pad: int):
+    """Per-refresh representative tables for the epilogue, [I, B_pad] each:
+    min cost per (row, bucket) (== the sweep's w_cols), the road achieving
+    it, and that road's slot rank — ties broken toward the LOWER slot by a
+    strict-< K-pass, mirroring ``primal_next_roads``'s ascending-slot loop
+    over parallel roads.  Pure elementwise/one-hot build: no gathers or
+    scatters beyond the K small ``cost[out_r]`` row reads."""
+    i_n, k_n = out_r_p.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (i_n, b_pad), 1)
+    w = jnp.full((i_n, b_pad), BIG, jnp.float32)
+    road = jnp.full((i_n, b_pad), -1.0, jnp.float32)
+    slot = jnp.full((i_n, b_pad), 1e9, jnp.float32)
+    for k in range(k_n):
+        cost_k = jnp.where(ok_p[:, k], road_cost[out_r_p[:, k]], BIG)
+        hit = lane == b_slot_p[:, k][:, None]
+        take = hit & (cost_k[:, None] < w)
+        w = jnp.where(take, cost_k[:, None], w)
+        road = jnp.where(
+            take, out_r_p[:, k].astype(jnp.float32)[:, None], road
+        )
+        slot = jnp.where(take, jnp.float32(k), slot)
+    return w, road, slot
+
+
+def _multisweep_nr_ok(i_n: int, num_deltas: int, iters: int) -> bool:
+    """TPU gate for the fused relax+next-road kernel (TARL_MULTISWEEP_NR=0
+    opts out).  Same preconditions as :func:`_multisweep_ok` with headroom
+    for the epilogue's three extra column tiles and two rep tables."""
+    import os
+
+    if os.environ.get("TARL_MULTISWEEP_NR", "1") != "1":
+        return False
+    if not _multisweep_ok(i_n, num_deltas, iters):
+        return False
+    need = (num_deltas + 8) * 4 * i_n * _SWEEP_TILE_D \
+        + 3 * 4 * i_n * _round_up_lane(num_deltas)
+    return need <= _MULTISWEEP_VMEM_BYTES
+
+
+def primal_relax_next_roads(
+    road_cost: jnp.ndarray,       # float32[R]
+    inter_out_road: jnp.ndarray,  # int32[I, K]
+    inter_out_ok: jnp.ndarray,    # bool[I, K]
+    road_to: jnp.ndarray,         # int32[R]
+    dist0: jnp.ndarray,           # float32[I, D] — ALREADY ANCHORED
+    max_iters: int,
+    buckets=None,                 # primal_delta_buckets 4-tuple (or None)
+    epi_tables=None,              # epilogue_slot_tables triple (or None)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(relaxed dist[I, D], next_road[I, D])`` in one pass.
+
+    On TPU with delta buckets this is ONE kernel launch — the capped
+    relaxation plus the next-road argmin on the still-resident tile
+    (:func:`_multisweep_nr_kernel_body`); ``primal_next_roads``'s K row
+    gathers over the finished 67 MB table (~2-4 ms of the Grid64 refresh)
+    disappear.  Falls back to the two-step gather path (bitwise-identical
+    results) everywhere else.  ``dist0`` must already carry its anchor
+    rows (the caller's eye/dest-list zeros), unlike
+    :func:`primal_all_pairs_dist` which anchors internally.
+    """
+    i_n = inter_out_road.shape[0]
+    if max_iters is None:
+        max_iters = i_n - 1
+    if (buckets is not None and epi_tables is not None
+            and _multisweep_nr_ok(i_n, len(buckets[0]), max_iters)):
+        deltas, _, perm, inv = buckets
+        out_r_p, ok_p, b_slot_p = epi_tables
+        b_n = len(deltas)
+        b_pad = _round_up_lane(b_n)
+        w_cols, road_cols, slot_cols = _epilogue_rep_tables(
+            road_cost, out_r_p, ok_p, b_slot_p, b_pad
+        )
+        d = dist0.shape[1]
+        d_p = _round_up_lane(d)
+        dist_p = dist0 if perm is None else dist0[perm]
+        if d_p != d:
+            dist_p = jnp.pad(dist_p, ((0, 0), (0, d_p - d)),
+                             constant_values=BIG)
+        shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
+        dist_o, road_o = _multisweep_nr_pallas(
+            dist_p, w_cols, road_cols, slot_cols, shifts, max_iters,
+            _SWEEP_TILE_D
+        )
+        dist_o = dist_o[:, :d]
+        road_o = road_o[:, :d]
+        if inv is not None:
+            dist_o = dist_o[inv]
+            road_o = road_o[inv]
+        return dist_o, road_o
+
+    dist = _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok,
+                         road_to, max_iters, buckets=buckets)
+    road = primal_next_roads(dist, road_cost, inter_out_road, inter_out_ok,
+                             road_to)
+    return dist, road
+
+
 def _multisweep_pallas(dist, w_cols, shifts: tuple, num_sweeps: int,
                        tile_d: int):
     """dist [I, Dp] -> ``num_sweeps`` relaxation sweeps in ONE kernel launch

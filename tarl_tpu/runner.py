@@ -23,6 +23,7 @@ from .algorithms.episode import run_episode
 from .algorithms.msa import run_msa
 from .config import RLConfig, SimConfig
 from .core.step import Policy
+from .io.cache import load_or_build_network
 from .metrics.equilibrium import equilibrium_report
 from .models.mpnn import MPNNPolicyNet, MPNNValueNetSimple
 from .rl.ppo import PPO
@@ -75,15 +76,25 @@ class Runner:
     # ------------------------------------------------------------------
     def setup(self) -> None:
         a = self.args
-        # Per-tick [T, R] road-optimality series are only affordable on small
-        # runs; longer runs keep the O(H*R) hourly accumulator (always on),
-        # so the artifact degrades to hour resolution instead of vanishing.
+        # Per-tick [T, R] road-optimality series: the DEVICE side is never
+        # the bound (algorithms.episode runs fused scans in 4096-tick
+        # chunks, so the on-device log is [chunk, R]); the limit is the
+        # accumulated HOST series, T*R floats.  Gate on that product — the
+        # default 2e8-element budget (~800 MB float32, TARL_PER_TICK_BUDGET
+        # overrides) keeps FULL per-tick resolution for the reference's
+        # default 86,400-tick Easy workload (86,400 x 24 roads = 2M) and
+        # degrades to the O(H*R) hourly accumulator only on big networks,
+        # where the reference's unbounded host lists + per-tick .cpu()
+        # sync would not survive either (response_mpnn.py:125).
         n_ticks = (a.start_end_time[1] - a.start_end_time[0]) // a.timestep_size
-        per_tick_delta = n_ticks <= 20000
+        probe_net = load_or_build_network(a.scenario, a.data_root, a.save_root)
+        budget = int(os.environ.get("TARL_PER_TICK_BUDGET", 2 * 10 ** 8))
+        per_tick_delta = n_ticks * probe_net.num_roads <= budget
         if not per_tick_delta:
             print(
-                f"ℹ️  | {n_ticks} ticks > 20000: road-optimality recorded at "
-                "hourly resolution (per-tick series disabled)"
+                f"ℹ️  | {n_ticks} ticks x {probe_net.num_roads} roads exceeds "
+                f"the {budget:.0e}-element per-tick budget: road-optimality "
+                "recorded at hourly resolution (TARL_PER_TICK_BUDGET raises)"
             )
         self.sim = TransportationSimulator(
             sim=SimConfig(
