@@ -141,7 +141,9 @@ def _sp_bench(cache: str) -> dict:
 
     grid = int(os.environ.get("TARL_BENCH_SP_GRID", "64"))
     n_agents = int(os.environ.get("TARL_BENCH_SP_AGENTS", "200000"))
-    ticks = int(os.environ.get("TARL_BENCH_SP_TICKS", "1024"))
+    # Refresh-aligned tick count (multiple of refresh_rate=10) so the whole
+    # run uses the hoisted periodic driver (core.step.run_episode_periodic).
+    ticks = int(os.environ.get("TARL_BENCH_SP_TICKS", "1020"))
     name = f"RouteGrid{grid}_{n_agents}"
     base = os.path.join(cache, name)
     if not os.path.exists(os.path.join(base, "network.xml")):
@@ -165,12 +167,17 @@ def _sp_bench(cache: str) -> dict:
                     insert_window=1024, withdraw_depth=2,
                     sorted_population=True)
     policy = make_policy("dijkstra", routing, network=net)
+    from tarl_tpu.core.step import run_episode_periodic
+
+    runner = run_episode_periodic if (
+        policy.periodic_rate and ticks % policy.periodic_rate == 0
+    ) else run_episode
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     jax.block_until_ready(state.next_hop)
-    state, _ = run_episode(state, net, policy, ticks, sim=sim)
+    state, _ = runner(state, net, policy, ticks, sim=sim)
     jax.block_until_ready(state.road.count)
     t0 = time.time()
-    state, _ = run_episode(state, net, policy, ticks, sim=sim)
+    state, _ = runner(state, net, policy, ticks, sim=sim)
     jax.block_until_ready(state.road.count)
     wall = time.time() - t0
     return {

@@ -47,6 +47,12 @@ def run_episode(
         if mode == "fused":
             import time as _t
 
+            # Keep chunks refresh-aligned so run_fast can use the hoisted
+            # periodic driver (core.step.run_episode_periodic) for every
+            # chunk but the final remainder.
+            rate = simulator.policy.periodic_rate
+            if rate and chunk % rate:
+                chunk = max(chunk - chunk % rate, rate)
             done = 0
             t0 = _t.time()
             while done < steps:

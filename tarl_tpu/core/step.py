@@ -50,6 +50,15 @@ class Policy(NamedTuple):
     LearnedSpec` of a trained neural policy so parallel episode drivers can
     re-derive the forward pass shard-locally (the spec hashes by identity,
     keeping Policy usable as a static jit argument).
+
+    ``refresh``/``lookup``/``periodic_rate`` (optional) split a periodic-
+    refresh choice into its two phases so :func:`run_episode_periodic` can
+    hoist the table rebuild out of the tick scan: ``refresh(state, network)
+    -> buf`` unconditionally rebuilds the routing scratch from the current
+    road state, ``lookup(state, network, buf) -> state`` performs the
+    per-tick SELECTED_ROAD write (incrementing ``choice_count`` but NOT
+    touching ``state.next_hop``), and ``choice`` must equal
+    lookup∘(cond refresh) so the two drivers are bitwise-interchangeable.
     """
 
     choice: object                # ChoiceFn
@@ -58,6 +67,9 @@ class Policy(NamedTuple):
     needs_next_hop: bool = False
     table_init: Optional[object] = None
     learned: Optional[object] = None
+    refresh: Optional[object] = None
+    lookup: Optional[object] = None
+    periodic_rate: Optional[int] = None
 
 
 def init_sim_state(
@@ -122,10 +134,15 @@ def tick(
     policy: Policy,
     sim: SimConfig = DEFAULT_SIM,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
+    choice_fn=None,
 ) -> tuple[SimState, TickLog]:
     """One simulation tick in the classical order insert -> withdraw ->
     choice -> core (transportation_simulator.py:294-324), followed by the
-    clock advance and metric updates (ts.py:342-351)."""
+    clock advance and metric updates (ts.py:342-351).
+
+    ``choice_fn`` overrides ``policy.choice`` (same signature); used by
+    :func:`run_episode_periodic` to swap in the refresh/lookup phase
+    variants without rebuilding the Policy (which is a static jit arg)."""
     t = state.time
 
     # --- insert (agents/base.py:244-331) ---
@@ -164,7 +181,7 @@ def tick(
     state = state._replace(road=road, agents=agents)
 
     # --- choice (agents/base.py:446-494 / 519-584) ---
-    state, _ = policy.choice(state, network)
+    state, _ = (choice_fn or policy.choice)(state, network)
 
     # --- core: direction + response (simulation_core_model.py:41-83) ---
     key, k_dir = jax.random.split(state.key)
@@ -288,6 +305,112 @@ def run_episode(
 
     carry, logs = jax.lax.scan(body, disassemble(state), length=num_steps)
     return assemble(carry), logs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("policy", "sim", "physics", "num_steps")
+)
+def run_episode_periodic(
+    state: SimState,
+    network: Network,
+    policy: Policy,
+    num_steps: int,
+    sim: SimConfig = DEFAULT_SIM,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+) -> tuple[SimState, TickLog]:
+    """:func:`run_episode` with the routing refresh HOISTED out of the tick
+    scan — bitwise-identical results, one less per-tick cost.
+
+    The plain driver evaluates ``lax.cond(count % rate == 0, refresh, id)``
+    on the routing scratch every tick; on TPU the identity arm of a cond
+    whose operand is the multi-hundred-MB packed primal buffer costs a
+    buffer copy per tick (~0.2-0.4 ms at Grid64x64, docs/BENCH.md).  Here
+    the episode runs as ``num_steps // rate`` periods: the period's first
+    tick refreshes unconditionally (``policy.refresh``), and the remaining
+    ``rate - 1`` ticks run in an inner ``lax.scan`` whose body CLOSES OVER
+    the fresh table — a loop-invariant input, not a carry — executing only
+    ``policy.lookup``.  The big buffer rides the outer carry (once per
+    period, needed for the warm start), never the inner one.
+
+    Preconditions (checked statically where possible):
+
+    * ``policy.refresh``/``policy.lookup``/``policy.periodic_rate`` are set
+      (routing.policies attaches them to every shortest-path choice);
+    * ``num_steps % periodic_rate == 0``;
+    * ``state.choice_count % periodic_rate == 0`` on entry — holds
+      inductively when every chunk of an episode satisfies the previous
+      condition (asserted by the caller contract, not traceable here).
+
+    Equality with :func:`run_episode` is pinned by
+    tests/test_routing.py::TestPeriodicEpisode on both primal backends and
+    the dual backend.
+    """
+    rate = policy.periodic_rate
+    if not rate or policy.refresh is None or policy.lookup is None:
+        raise ValueError("policy carries no periodic refresh/lookup split")
+    if num_steps % rate != 0:
+        raise ValueError(
+            f"num_steps={num_steps} not a multiple of periodic_rate={rate}"
+        )
+    n_periods = num_steps // rate
+    ag = state.agents
+    order_const = state.insert_order
+
+    def assemble(carry, next_hop) -> SimState:
+        (road, arrival, inserted, selected_road, time, key, metrics,
+         choice_count, insert_ptr) = carry
+        return SimState(
+            road=road,
+            agents=ag._replace(arrival=arrival, inserted=inserted),
+            selected_road=selected_road,
+            time=time,
+            key=key,
+            metrics=metrics,
+            next_hop=next_hop,
+            choice_count=choice_count,
+            insert_order=order_const,
+            insert_ptr=insert_ptr,
+        )
+
+    def disassemble(s: SimState):
+        return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
+                s.time, s.key, s.metrics, s.choice_count, s.insert_ptr)
+
+    def refresh_choice(s: SimState, net: Network):
+        buf = policy.refresh(s, net)
+        return policy.lookup(s, net, buf)._replace(next_hop=buf), None
+
+    def outer(carry, _):
+        nh, rest = carry
+        s = assemble(rest, nh)
+        # Period tick 0: the refresh fires at the CHOICE phase (after this
+        # tick's insert/withdraw), exactly where the plain driver's cond
+        # fires — insert still routes entrants through the previous table.
+        s1, log0 = tick(s, network, policy, sim, physics,
+                        choice_fn=refresh_choice)
+        buf = s1.next_hop
+
+        def lookup_choice(s2, net):
+            return policy.lookup(s2, net, buf), None
+
+        def inner(c, _):
+            s2, lg = tick(assemble(c, buf), network, policy, sim, physics,
+                          choice_fn=lookup_choice)
+            return disassemble(s2), lg
+
+        c2, logs = jax.lax.scan(inner, disassemble(s1), length=rate - 1)
+        period_logs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), log0, logs
+        )
+        return (buf, c2), period_logs
+
+    (nh_f, rest_f), logs = jax.lax.scan(
+        outer, (state.next_hop, disassemble(state)), length=n_periods
+    )
+    logs = jax.tree.map(
+        lambda x: x.reshape((num_steps,) + x.shape[2:]), logs
+    )
+    return assemble(rest_f, nh_f), logs
 
 
 def average_travel_time(agents: AgentState) -> jnp.ndarray:

@@ -120,22 +120,15 @@ def make_shortest_path_choice(
 
     node_cost_fn = _node_cost_fn(routing)
 
-    def choice(state: SimState, network: Network):
-        n = network.num_nodes
-
-        def refresh(_):
-            cost = node_cost_fn(state.road, network, physics)
-            _, nh = all_pairs_next_hop_nbr(
-                network.nbr, network.nbr_ok, cost,
-                max_iters=routing.max_bf_iters,
-            )
-            return nh
-
-        do_refresh = state.choice_count % routing.refresh_rate == 0
-        next_hop = jax.lax.cond(
-            do_refresh, refresh, lambda _: state.next_hop, operand=None
+    def refresh_fn(state: SimState, network: Network):
+        cost = node_cost_fn(state.road, network, physics)
+        _, nh = all_pairs_next_hop_nbr(
+            network.nbr, network.nbr_ok, cost,
+            max_iters=routing.max_bf_iters,
         )
+        return nh
 
+    def lookup_fn(state: SimState, network: Network, next_hop):
         # Roads route their head agent toward its destination — read from
         # the denormalized ring (fifo_dest masked row-reduce; bitwise equal
         # to agents.dest[head_ids] since the dummy agent's dest is 0) so the
@@ -148,13 +141,24 @@ def make_shortest_path_choice(
         # Entrants route from their origin SRC node toward their own
         # destination via Policy.entry / Policy.entry_lookup
         # (shortest_path_entry below) — not recomputed here.
-        new_state = state._replace(
+        return state._replace(
             selected_road=sel,
-            next_hop=next_hop,
             choice_count=state.choice_count + 1,
+        )
+
+    def choice(state: SimState, network: Network):
+        do_refresh = state.choice_count % routing.refresh_rate == 0
+        next_hop = jax.lax.cond(
+            do_refresh, lambda _: refresh_fn(state, network),
+            lambda _: state.next_hop, operand=None
+        )
+        new_state = lookup_fn(state, network, next_hop)._replace(
+            next_hop=next_hop
         )
         return new_state, None
 
+    choice.refresh_fn = refresh_fn
+    choice.lookup_fn = lookup_fn
     return choice
 
 
@@ -191,6 +195,19 @@ def _maybe_delta_buckets(network: Optional[Network]):
         coords=coords,
     )
     return (None, None, None, None) if b is None else b
+
+
+def _maybe_epilogue_tables(network: Optional[Network], buckets):
+    """Static slot tables for the in-kernel next-road epilogue
+    (bellman_ford.epilogue_slot_tables), or None when buckets are off."""
+    if network is None or buckets[0] is None:
+        return None
+    from .bellman_ford import epilogue_slot_tables
+
+    return epilogue_slot_tables(
+        network.inter_out_road, network.inter_out_ok, network.road_to,
+        buckets,
+    )
 
 
 def _primal_pack(dist, cost, road) -> jnp.ndarray:
@@ -321,40 +338,46 @@ def make_shortest_path_choice_primal(
     """
 
     road_cost_fn = _road_cost_fn(routing)
-    shifts, slot, perm, inv = _maybe_delta_buckets(network)
+    buckets = _maybe_delta_buckets(network)
+    shifts, slot, perm, inv = buckets
+    epi = _maybe_epilogue_tables(network, buckets)
 
-    def choice(state: SimState, network: Network):
-        from .bellman_ford import (
-            BIG,
-            primal_all_pairs_dist,
-            primal_next_roads,
-        )
+    def refresh_fn(state: SimState, network: Network):
+        from .bellman_ford import BIG, primal_relax_next_roads
 
         i_n = network.num_intersections
+        cost = road_cost_fn(state.road, network, physics)
+        # Warm start from the previous table inflated by the worst
+        # per-road cost ratio — a valid upper bound on every new
+        # distance, so relaxation converges down to the exact table
+        # (and the early exit fires fast when congestion barely moved).
+        prev_dist, prev_cost, _ = _primal_unpack(
+            state.next_hop, i_n, i_n, network.num_roads
+        )
+        ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+        dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
+        eye = jnp.eye(i_n, dtype=bool)
+        dist, road = primal_relax_next_roads(
+            cost, network.inter_out_road, network.inter_out_ok,
+            network.road_to, jnp.where(eye, 0.0, dist0),
+            routing.max_bf_iters, buckets=buckets, epi_tables=epi,
+        )
+        return _primal_pack(dist, cost, road)
 
-        def refresh(_):
-            cost = road_cost_fn(state.road, network, physics)
-            # Warm start from the previous table inflated by the worst
-            # per-road cost ratio — a valid upper bound on every new
-            # distance, so relaxation converges down to the exact table
-            # (and the early exit fires fast when congestion barely moved).
-            prev_dist, prev_cost, _ = _primal_unpack(
-                state.next_hop, i_n, i_n, network.num_roads
-            )
-            ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
-            dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
-            dist = primal_all_pairs_dist(
-                cost, network.inter_out_road, network.inter_out_ok,
-                network.road_to, max_iters=routing.max_bf_iters,
-                dist0=dist0, delta_shifts=shifts, delta_slot=slot,
-                delta_perm=perm, delta_inv=inv,
-            )
-            road = primal_next_roads(
-                dist, cost, network.inter_out_road, network.inter_out_ok,
-                network.road_to,
-            )
-            return _primal_pack(dist, cost, road)
+    def lookup_fn(state: SimState, network: Network, buf):
+        i_n = network.num_intersections
+        _, _, road_tab = _primal_unpack(buf, i_n, i_n, network.num_roads)
+        # Ring-denormalized head destinations (no [R] gather; see the dual
+        # backend's note — bitwise equal, dummy dest is 0).
+        dest_i = _dest_inter(network, state.road.head_dests())
+        sel_roads = _road_lookup(road_tab, network.road_to, dest_i)
+        sel = state.selected_road.at[: network.num_roads].set(sel_roads)
+        return state._replace(
+            selected_road=sel,
+            choice_count=state.choice_count + 1,
+        )
 
+    def choice(state: SimState, network: Network):
         if routing.refresh_rate >= _NEVER_REFRESH:
             # Static no-refresh episode (free-flow table only): skip the
             # cond entirely — a lax.cond carrying the multi-hundred-MB
@@ -363,22 +386,16 @@ def make_shortest_path_choice_primal(
         else:
             do_refresh = state.choice_count % routing.refresh_rate == 0
             buf = jax.lax.cond(
-                do_refresh, refresh, lambda _: state.next_hop, operand=None
+                do_refresh, lambda _: refresh_fn(state, network),
+                lambda _: state.next_hop, operand=None
             )
-
-        _, _, road_tab = _primal_unpack(buf, i_n, i_n, network.num_roads)
-        # Ring-denormalized head destinations (no [R] gather; see the dual
-        # backend's note — bitwise equal, dummy dest is 0).
-        dest_i = _dest_inter(network, state.road.head_dests())
-        sel_roads = _road_lookup(road_tab, network.road_to, dest_i)
-        sel = state.selected_road.at[: network.num_roads].set(sel_roads)
-        new_state = state._replace(
-            selected_road=sel,
-            next_hop=buf,
-            choice_count=state.choice_count + 1,
-        )
+        new_state = lookup_fn(state, network, buf)._replace(next_hop=buf)
         return new_state, None
 
+    # Periodic-episode pieces (core.step.run_episode_periodic hoists the
+    # refresh out of the tick scan; see Policy.refresh/lookup).
+    choice.refresh_fn = refresh_fn
+    choice.lookup_fn = lookup_fn
     return choice
 
 
@@ -426,47 +443,52 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         return _primal_pack(dist, network.free_flow, road)
 
     road_cost_fn = _road_cost_fn(routing)
-    shifts, slot, perm, inv = _maybe_delta_buckets(network)
+    buckets = _maybe_delta_buckets(network)
+    shifts, slot, perm, inv = buckets
+    epi = _maybe_epilogue_tables(network, buckets)
 
-    def choice(state: SimState, network: Network):
-        from .bellman_ford import BIG, primal_dest_dist, primal_next_roads
+    def refresh_fn(state: SimState, network: Network):
+        from .bellman_ford import BIG, primal_relax_next_roads
 
         i_n = network.num_intersections
+        cost = road_cost_fn(state.road, network, physics)
+        prev_dist, prev_cost, _ = _primal_unpack(
+            state.next_hop, i_n, d_n, network.num_roads
+        )
+        ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+        dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
+        anchor = (jnp.arange(i_n, dtype=jnp.int32)[:, None]
+                  == dest_list[None, :])
+        dist, road = primal_relax_next_roads(
+            cost, network.inter_out_road, network.inter_out_ok,
+            network.road_to, jnp.where(anchor, 0.0, dist0),
+            routing.max_bf_iters, buckets=buckets, epi_tables=epi,
+        )
+        return _primal_pack(dist, cost, road)
 
-        def refresh(_):
-            cost = road_cost_fn(state.road, network, physics)
-            prev_dist, prev_cost, _ = _primal_unpack(
-                state.next_hop, i_n, d_n, network.num_roads
-            )
-            ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
-            dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
-            dist = primal_dest_dist(
-                cost, network.inter_out_road, network.inter_out_ok,
-                network.road_to, dest_list, max_iters=routing.max_bf_iters,
-                dist0=dist0, delta_shifts=shifts, delta_slot=slot,
-                delta_perm=perm, delta_inv=inv,
-            )
-            road = primal_next_roads(
-                dist, cost, network.inter_out_road, network.inter_out_ok,
-                network.road_to,
-            )
-            return _primal_pack(dist, cost, road)
-
-        if routing.refresh_rate >= _NEVER_REFRESH:
-            buf = state.next_hop  # static no-refresh (see all-pairs variant)
-        else:
-            do_refresh = state.choice_count % routing.refresh_rate == 0
-            buf = jax.lax.cond(
-                do_refresh, refresh, lambda _: state.next_hop, operand=None
-            )
+    def lookup_fn(state: SimState, network: Network, buf):
+        i_n = network.num_intersections
         _, _, road_tab = _primal_unpack(buf, i_n, d_n, network.num_roads)
         dcol = col_of(network)[_dest_inter(network, state.road.head_dests())]
         sel_roads = _road_lookup(road_tab, network.road_to, dcol)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         return state._replace(
-            selected_road=sel, next_hop=buf,
-            choice_count=state.choice_count + 1,
-        ), None
+            selected_road=sel, choice_count=state.choice_count + 1,
+        )
+
+    def choice(state: SimState, network: Network):
+        if routing.refresh_rate >= _NEVER_REFRESH:
+            buf = state.next_hop  # static no-refresh (see all-pairs variant)
+        else:
+            do_refresh = state.choice_count % routing.refresh_rate == 0
+            buf = jax.lax.cond(
+                do_refresh, lambda _: refresh_fn(state, network),
+                lambda _: state.next_hop, operand=None
+            )
+        return lookup_fn(state, network, buf)._replace(next_hop=buf), None
+
+    choice.refresh_fn = refresh_fn
+    choice.lookup_fn = lookup_fn
 
     def entry_lookup(state, network, agent_ids=None):
         origin = (state.agents.origin if agent_ids is None

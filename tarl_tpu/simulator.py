@@ -121,6 +121,7 @@ def make_policy(
                     entry=lambda s, n: entry_lookup(s, n),
                     entry_lookup=entry_lookup,
                     table_init=table_init,
+                    **_periodic_fields(choice, routing),
                 )
             from .routing.policies import (
                 make_shortest_path_choice_primal,
@@ -129,16 +130,18 @@ def make_policy(
             )
             import functools
 
+            sp_choice = make_shortest_path_choice_primal(
+                routing, physics, network=network
+            )
             return Policy(
-                choice=make_shortest_path_choice_primal(
-                    routing, physics, network=network
-                ),
+                choice=sp_choice,
                 entry=lambda s, n: primal_entry_lookup(s, n),
                 entry_lookup=primal_entry_lookup,
                 # Init must be exact; only refreshes honor max_bf_iters.
                 table_init=functools.partial(
                     primal_table_init, max_iters=None
                 ),
+                **_periodic_fields(sp_choice, routing),
             )
         choice = make_shortest_path_choice(routing, physics)
         if routing.strict_compat:
@@ -152,8 +155,30 @@ def make_policy(
             entry=lambda s, n: shortest_path_entry(s, n),
             entry_lookup=shortest_path_entry,
             needs_next_hop=True,
+            **_periodic_fields(choice, routing),
         )
     raise ValueError(f"Unknown classical algorithm {algo!r}")
+
+
+def _periodic_fields(choice, routing: RoutingConfig) -> dict:
+    """Policy kwargs for the refresh-hoisted episode driver
+    (core.step.run_episode_periodic): the refresh/lookup split the choice
+    factory attached, and the static refresh cadence.  Empty for policies
+    without a periodic split or with refreshes disabled (the static-table
+    fast path already skips the per-tick cond)."""
+    from .routing.policies import _NEVER_REFRESH
+
+    refresh = getattr(choice, "refresh_fn", None)
+    lookup = getattr(choice, "lookup_fn", None)
+    if refresh is None or lookup is None:
+        return {}
+    if routing.refresh_rate >= _NEVER_REFRESH:
+        return {}
+    return {
+        "refresh": refresh,
+        "lookup": lookup,
+        "periodic_rate": int(routing.refresh_rate),
+    }
 
 
 class TransportationSimulator:
@@ -362,8 +387,18 @@ class TransportationSimulator:
 
     def run_fast(self, num_steps: int) -> TickLog:
         """``num_steps`` ticks as one fused on-device scan; appends the
-        resulting logs to the host-side records and returns them."""
-        self.state, logs = run_episode(
+        resulting logs to the host-side records and returns them.
+
+        When the policy carries the periodic refresh/lookup split and this
+        chunk is refresh-aligned, the refresh-hoisted nested-scan driver
+        runs instead — bitwise-identical (core.step.run_episode_periodic),
+        minus the per-tick cond copy of the routing scratch."""
+        rate = self.policy.periodic_rate
+        runner = run_episode
+        if (rate and num_steps % rate == 0
+                and int(self.state.choice_count) % rate == 0):
+            from .core.step import run_episode_periodic as runner
+        self.state, logs = runner(
             self.state, self.network, self.policy, num_steps,
             sim=self.sim, physics=self.physics,
         )

@@ -642,3 +642,195 @@ class TestPingPongConfirm:
         assert bool(popped[0]) and not bool(popped[1])
         assert int(jnp.sum(fixed.count)) == 1
         assert int(fixed.head_ids()[1]) == 7
+
+
+class TestPeriodicEpisode:
+    """run_episode_periodic (refresh hoisted into a nested scan) must be
+    bitwise-identical to run_episode's per-tick lax.cond form — final state
+    AND per-tick logs — for every backend carrying the refresh/lookup
+    split."""
+
+    @pytest.mark.parametrize("backend,dest_restricted", [
+        ("primal", False),
+        ("primal", True),
+        ("dual", False),
+    ])
+    def test_periodic_matches_plain(self, backend, dest_restricted):
+        import os
+        import tempfile
+
+        from tarl_tpu.config import RoutingConfig, SimConfig
+        from tarl_tpu.core.step import (
+            init_sim_state,
+            run_episode,
+            run_episode_periodic,
+        )
+        from tarl_tpu.io.matsim import load_network, load_population
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.simulator import make_policy
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        net = load_network(os.path.join(base, "network"))
+        agents, _ = load_population(
+            os.path.join(base, "population"), os.path.join(base, "network")
+        )
+        kwargs = {}
+        if dest_restricted:
+            kwargs["dest_inters"] = np.unique(
+                (np.asarray(agents.dest[1:]) - net.num_roads - 1) // 2
+            )
+        pol = make_policy(
+            "dijkstra",
+            RoutingConfig(backend=backend, refresh_rate=5, max_bf_iters=8),
+            network=net, **kwargs,
+        )
+        assert pol.periodic_rate == 5
+        sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+        s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+        # Two chunks, each a multiple of the rate (the caller contract).
+        fa, la = run_episode(s0, net, pol, 40, sim=sim)
+        fa, la2 = run_episode(fa, net, pol, 25, sim=sim)
+        fb, lb = run_episode_periodic(s0, net, pol, 40, sim=sim)
+        fb, lb2 = run_episode_periodic(fb, net, pol, 25, sim=sim)
+        for a, b in zip(jax.tree_util.tree_leaves(fa),
+                        jax.tree_util.tree_leaves(fb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves((la, la2)),
+                        jax.tree_util.tree_leaves((lb, lb2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_periodic_rejects_misaligned_steps(self):
+        import os
+        import tempfile
+
+        from tarl_tpu.config import RoutingConfig, SimConfig
+        from tarl_tpu.core.step import init_sim_state, run_episode_periodic
+        from tarl_tpu.io.matsim import load_network, load_population
+        from tarl_tpu.io.scenarios import ensure_scenario
+        from tarl_tpu.simulator import make_policy
+
+        root = tempfile.mkdtemp()
+        base = ensure_scenario(root, "Grid4x4")
+        net = load_network(os.path.join(base, "network"))
+        agents, _ = load_population(
+            os.path.join(base, "population"), os.path.join(base, "network")
+        )
+        pol = make_policy(
+            "dijkstra", RoutingConfig(backend="primal", refresh_rate=7),
+            network=net,
+        )
+        sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+        s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+        with pytest.raises(ValueError, match="not a multiple"):
+            run_episode_periodic(s0, net, pol, 40, sim=sim)
+
+
+class TestNextRoadEpilogue:
+    """The in-kernel next-road epilogue (bellman_ford.primal_relax_next_roads)
+    must reproduce primal_next_roads' ascending-slot strict-< tie-break via
+    its lexicographic (value, slot-rank) compare — including under heavy
+    ties (uniform costs) and a row permutation."""
+
+    def _emulate_epilogue(self, bf, dist, cost, buckets, epi, i_n):
+        import jax.numpy as jnp
+
+        deltas, _, perm, inv = buckets
+        out_r_p, ok_p, b_slot_p = epi
+        b_pad = bf._round_up_lane(len(deltas))
+        w, road, slot = bf._epilogue_rep_tables(
+            cost, out_r_p, ok_p, b_slot_p, b_pad
+        )
+        final = dist if perm is None else dist[perm]
+        best = jnp.full(final.shape, bf.BIG, jnp.float32)
+        rd = jnp.full(final.shape, -1.0, jnp.float32)
+        bslot = jnp.full(final.shape, 1e9, jnp.float32)
+        for b, d in enumerate(deltas):
+            cand = w[:, b:b + 1] + jnp.roll(final, -int(d), axis=0)
+            sl = jnp.broadcast_to(slot[:, b:b + 1], final.shape)
+            take = (cand < best) | ((cand == best) & (sl < bslot))
+            best = jnp.where(take, cand, best)
+            rd = jnp.where(take, jnp.broadcast_to(road[:, b:b + 1],
+                                                  final.shape), rd)
+            bslot = jnp.where(take, sl, bslot)
+        out = jnp.where(best < bf.BIG, rd, -1.0)
+        return out if inv is None else out[inv]
+
+    @pytest.mark.parametrize("tie_heavy", [False, True])
+    def test_epilogue_matches_gather_next_roads(self, tmp_path, tie_heavy):
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import grid_scenario
+        from tarl_tpu.routing import bellman_ford as bf
+
+        import os
+
+        base = grid_scenario(str(tmp_path), "EpiGrid12", rows=12, cols=12,
+                             num_agents=10)
+        net = load_network(os.path.join(base, "network"))
+        i_n = net.num_intersections
+        if tie_heavy:
+            cost = jnp.full((net.num_roads,), 14.39, jnp.float32)
+        else:
+            rng = np.random.default_rng(7)
+            cost = jnp.asarray(
+                rng.uniform(1.0, 50.0, net.num_roads), jnp.float32
+            )
+        buckets = bf.primal_delta_buckets(
+            net.inter_out_road, net.inter_out_ok, net.road_to,
+            coords=(net.inter_x, net.inter_y),
+        )
+        assert buckets[2] is not None  # permuted order in play
+        epi = bf.epilogue_slot_tables(
+            net.inter_out_road, net.inter_out_ok, net.road_to, buckets
+        )
+        dist = bf.primal_all_pairs_dist(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        want = bf.primal_next_roads(
+            dist, cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        got = self._emulate_epilogue(bf, dist, cost, buckets, epi, i_n)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    def test_fused_fallback_matches_two_step(self, tmp_path):
+        """primal_relax_next_roads' fallback path (gate off on CPU) must
+        equal primal_all_pairs_dist + primal_next_roads bitwise."""
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import grid_scenario
+        from tarl_tpu.routing import bellman_ford as bf
+
+        import os
+
+        base = grid_scenario(str(tmp_path), "EpiGrid8", rows=8, cols=8,
+                             num_agents=10)
+        net = load_network(os.path.join(base, "network"))
+        i_n = net.num_intersections
+        rng = np.random.default_rng(11)
+        cost = jnp.asarray(rng.uniform(1.0, 50.0, net.num_roads), jnp.float32)
+        buckets = bf.primal_delta_buckets(
+            net.inter_out_road, net.inter_out_ok, net.road_to,
+            coords=(net.inter_x, net.inter_y),
+        )
+        epi = bf.epilogue_slot_tables(
+            net.inter_out_road, net.inter_out_ok, net.road_to, buckets
+        )
+        eye = jnp.eye(i_n, dtype=bool)
+        ff = bf.primal_all_pairs_dist(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        dist0 = jnp.where(eye, 0.0, jnp.minimum(ff * 1.5, bf.BIG))
+        d_fused, r_fused = bf.primal_relax_next_roads(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            dist0, 8, buckets=buckets, epi_tables=epi,
+        )
+        d_want = bf.primal_all_pairs_dist(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            max_iters=8, dist0=jnp.minimum(ff * 1.5, bf.BIG),
+            delta_shifts=buckets[0], delta_slot=buckets[1],
+            delta_perm=buckets[2], delta_inv=buckets[3],
+        )
+        r_want = bf.primal_next_roads(
+            d_want, cost, net.inter_out_road, net.inter_out_ok, net.road_to
+        )
+        np.testing.assert_array_equal(np.asarray(d_want), np.asarray(d_fused))
+        np.testing.assert_array_equal(np.asarray(r_want), np.asarray(r_fused))
