@@ -29,7 +29,9 @@ import jax
 GRID = int(os.environ.get("TARL_M_GRID", "128"))
 NUM_AGENTS = int(os.environ.get("TARL_M_AGENTS", "1000000"))
 ZONES = int(os.environ.get("TARL_M_ZONES", "256"))
-TICKS = int(os.environ.get("TARL_M_TICKS", "1024"))
+# Refresh-aligned (multiple of refresh_rate=10) so the shortest-path pass
+# uses the hoisted periodic driver (core.step.run_episode_periodic).
+TICKS = int(os.environ.get("TARL_M_TICKS", "1020"))
 
 
 def main() -> None:
@@ -87,14 +89,19 @@ def main() -> None:
                                  dest_inters=dest_inters)
         else:
             policy = make_policy(algo, network=net)
+        from tarl_tpu.core.step import run_episode_periodic
+
+        runner = run_episode_periodic if (
+            policy.periodic_rate and TICKS % policy.periodic_rate == 0
+        ) else run_episode
         t0 = time.time()
         state = init_sim_state(net, agents, sim=sim, policy=policy)
         jax.block_until_ready(state.next_hop)
         init_s = time.time() - t0
-        state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+        state, _ = runner(state, net, policy, TICKS, sim=sim)
         jax.block_until_ready(state.road.count)
         t0 = time.time()
-        state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+        state, _ = runner(state, net, policy, TICKS, sim=sim)
         jax.block_until_ready(state.road.count)
         wall = time.time() - t0
 
