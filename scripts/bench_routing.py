@@ -24,7 +24,8 @@ import jax
 
 GRID = int(os.environ.get("TARL_ROUTE_GRID", "64"))
 NUM_AGENTS = int(os.environ.get("TARL_ROUTE_AGENTS", "200000"))
-TICKS = int(os.environ.get("TARL_ROUTE_TICKS", "1024"))
+# Refresh-aligned default (multiple of refresh_rate=10) -> periodic driver.
+TICKS = int(os.environ.get("TARL_ROUTE_TICKS", "1020"))
 ZONES = int(os.environ.get("TARL_ROUTE_ZONES", "0"))  # 0 = all-pairs
 
 
@@ -66,15 +67,20 @@ def main() -> None:
                              dest_inters=dest_inters)
     else:
         policy = make_policy("dijkstra", routing, network=net)
+    from tarl_tpu.core.step import run_episode_periodic
+
+    runner = run_episode_periodic if (
+        policy.periodic_rate and TICKS % policy.periodic_rate == 0
+    ) else run_episode
     t_init = time.time()
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     jax.block_until_ready(state.next_hop)
     init_s = time.time() - t_init
 
-    state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+    state, _ = runner(state, net, policy, TICKS, sim=sim)
     jax.block_until_ready(state.road.count)
     t0 = time.time()
-    state, _ = run_episode(state, net, policy, TICKS, sim=sim)
+    state, _ = runner(state, net, policy, TICKS, sim=sim)
     jax.block_until_ready(state.road.count)
     wall = time.time() - t0
 

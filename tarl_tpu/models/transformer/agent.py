@@ -43,6 +43,12 @@ class TransformerRoutePolicy(nn.Module):
     """Per-edge logits from a GraphTransformerNet (MLAgents.forward,
     transformer_agent.py:58-127)."""
 
+    # GTConv attention aggregates over the WHOLE edge list — logits are not
+    # per-edge-row independent, so the slot-major padded-table fast paths
+    # (rl.learned_policy.make_learned_choice, the shard_map episode) must
+    # reject this net (they mask invalid rows only after the forward).
+    edge_row_independent = False
+
     pe: np.ndarray          # [N, pe_dim] static positional encodings
     hidden_dim: int = 16
     num_layers: int = 2

@@ -167,8 +167,25 @@ def make_learned_choice(
     ``deterministic``) -> SELECTED_ROAD[src] = chosen edge target, exactly
     the multi-hot write of ``ExternalChoice`` (reinforcement_learning.py:
     224-231) for the one-sample-per-source-group action.
+
+    Requires an EDGE-ROW-INDEPENDENT policy net (per-edge MLP / embedding
+    gather, like MPNNPolicyNet): the forward runs on the slot-major padded
+    edge table, whose invalid rows are masked AFTER the fact.  An
+    attention-based net (TransformerRoutePolicy) aggregates over its whole
+    edge list — padded rows would contaminate real nodes' softmax sums and
+    silently corrupt every logit.  Such nets declare
+    ``edge_row_independent = False`` and are rejected here; drive them
+    through the rl.env rollout path (real edge list) instead.
     """
     from ..core.step import Policy
+
+    if not getattr(policy_net, "edge_row_independent", True):
+        raise ValueError(
+            f"{type(policy_net).__name__} is not edge-row-independent: its "
+            "forward aggregates over the edge list, so the slot-major "
+            "padded table used here (and by the shard_map episode) would "
+            "silently corrupt its logits.  Use the rl.env rollout path."
+        )
 
     spec = LearnedSpec(
         policy_net, params, deterministic=deterministic,

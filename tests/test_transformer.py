@@ -121,3 +121,17 @@ class TestTransformerAgent:
         final, logs = run_episode(state, net, policy, 30)
         sel = np.asarray(final.selected_road[: net.num_roads])
         assert np.all(sel >= 0)  # every road got a sampled direction
+
+    def test_slot_major_adapter_rejects_attention_nets(self, setup):
+        """make_learned_choice runs the forward on the slot-major PADDED
+        edge table; GTConv attention would aggregate the padding into real
+        nodes' softmax sums, so it must be rejected loudly
+        (TransformerRoutePolicy.edge_row_independent = False)."""
+        from tarl_tpu.rl.learned_policy import make_learned_choice
+
+        net, agents, state = setup
+        pe = network_positional_encoding(net, 16)
+        pol_net = TransformerRoutePolicy(pe=pe, hidden_dim=16, num_layers=1,
+                                         num_heads=2)
+        with pytest.raises(ValueError, match="edge-row-independent"):
+            make_learned_choice(pol_net, {}, net)
