@@ -254,6 +254,92 @@ def grid_scenario(
     return base
 
 
+def radial_scenario(
+    root: str,
+    name: Optional[str] = None,
+    *,
+    rings: int = 8,
+    spokes: int = 12,
+    num_agents: int = 5000,
+    ring_spacing: float = 400.0,
+    capacity: float = 600.0,
+    radial_capacity: float = 1200.0,
+    freespeed: float = 13.9,
+    peak_start: int = 6 * 3600,
+    peak_spread: int = 3600,
+    cbd_fraction: float = 0.7,
+    seed: int = 0,
+) -> str:
+    """A ring-and-spoke metro: ``rings`` concentric rings of ``spokes``
+    intersections around a centre, ring roads between angular neighbours and
+    higher-capacity radial roads along each spoke (plus centre spurs).
+
+    The NON-GRID counterpart of :func:`grid_scenario`: ring-link lengths grow
+    with radius, the turn-graph delta structure is irregular (ring wrap +
+    centre spurs), and commuting is CBD-concentrated — ``cbd_fraction`` of
+    trips end in the central zone (centre + innermost ring), the natural
+    workload for destination-restricted routing tables.  No reference
+    equivalent (its scenarios are hand-authored XML); exists to measure the
+    routing/physics stack off the Manhattan-grid structure the delta-bucket
+    sweeps exploit.
+    """
+    import math
+
+    name = name or f"Radial{rings}x{spokes}"
+    nodes = [("c", 0.0, 0.0)]
+    for k in range(1, rings + 1):
+        r = k * ring_spacing
+        for s in range(spokes):
+            a = 2.0 * math.pi * s / spokes
+            nodes.append((f"r{k}_{s}", r * math.cos(a), r * math.sin(a)))
+
+    links = []
+
+    def add(u, v, length, cap):
+        links.append(
+            dict(id=f"l{len(links)}", from_=u, to=v, length=round(length, 1),
+                 capacity=cap, freespeed=freespeed, permlanes=1)
+        )
+        links.append(
+            dict(id=f"l{len(links)}", from_=v, to=u, length=round(length, 1),
+                 capacity=cap, freespeed=freespeed, permlanes=1)
+        )
+
+    for k in range(1, rings + 1):
+        ring_len = 2.0 * math.pi * k * ring_spacing / spokes
+        for s in range(spokes):
+            add(f"r{k}_{s}", f"r{k}_{(s + 1) % spokes}", ring_len, capacity)
+    for s in range(spokes):
+        add("c", f"r1_{s}", ring_spacing, radial_capacity)
+        for k in range(1, rings):
+            add(f"r{k}_{s}", f"r{k + 1}_{s}", ring_spacing, radial_capacity)
+
+    rng = np.random.default_rng(seed)
+    all_ids = [n[0] for n in nodes]
+    cbd_ids = ["c"] + [f"r1_{s}" for s in range(spokes)]
+    trips = []
+    for i in range(num_agents):
+        o = all_ids[int(rng.integers(1, len(all_ids)))]  # homes off-centre
+        if rng.random() < cbd_fraction:
+            d = cbd_ids[int(rng.integers(0, len(cbd_ids)))]
+        else:
+            d = all_ids[int(rng.integers(0, len(all_ids)))]
+        while d == o:
+            d = all_ids[int(rng.integers(0, len(all_ids)))]
+        dep = peak_start + int(rng.integers(0, peak_spread))
+        hh, mm, ss = dep // 3600, (dep % 3600) // 60, dep % 60
+        trips.append(
+            dict(person=f"p{i}", origin=o, dest=d,
+                 end_time=f"{hh:02d}:{mm:02d}:{ss:02d}",
+                 age=int(rng.integers(18, 80)),
+                 sex="f" if rng.random() < 0.5 else "m")
+        )
+    base = os.path.join(root, name)
+    _write_xml(os.path.join(base, "network.xml"), network_xml(nodes, links))
+    _write_xml(os.path.join(base, "population.xml"), population_xml(trips))
+    return base
+
+
 BUILTIN_GENERATORS = {
     "TwoLink": two_link_scenario,
     "Braess": braess_network,
@@ -265,6 +351,7 @@ BUILTIN_GENERATORS = {
     "Grid8x8": lambda root, name="Grid8x8": grid_scenario(
         root, name, rows=8, cols=8, num_agents=5000
     ),
+    "Radial": radial_scenario,
 }
 
 

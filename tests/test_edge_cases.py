@@ -137,3 +137,54 @@ def test_star_junction_high_degree():
         (~final.agents.inserted[1:]).sum()
     ) == n_agents, "agents must be conserved"
     assert done > n_agents // 2, f"random walk should deliver most: {done}"
+
+
+def test_radial_metro_scenario_shortest_path():
+    """The ring-and-spoke radial generator (io.scenarios.radial_scenario) —
+    a NON-grid network with irregular turn-graph deltas (ring wrap + centre
+    spurs) and CBD-concentrated demand — completes a congested shortest-path
+    episode with conservation, on both the all-pairs and dest-restricted
+    primal backends (which must agree on arrivals)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from tarl_tpu.config import RoutingConfig, SimConfig
+    from tarl_tpu.core.step import init_sim_state, run_episode
+    from tarl_tpu.io.matsim import load_network, load_population
+    from tarl_tpu.io.scenarios import radial_scenario
+    from tarl_tpu.routing.policies import _dest_inter
+    from tarl_tpu.simulator import make_policy
+
+    root = tempfile.mkdtemp()
+    base = radial_scenario(root, rings=3, spokes=6, num_agents=200,
+                           peak_spread=600)
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    assert net.num_intersections == 3 * 6 + 1
+    sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+    routing = RoutingConfig(backend="primal", refresh_rate=10)
+    finals = {}
+    for tag, kwargs in (
+        ("full", {}),
+        ("restricted", {"dest_inters": np.unique(
+            np.asarray(_dest_inter(net, agents.dest)))}),
+    ):
+        pol = make_policy("dijkstra", routing, network=net, **kwargs)
+        s0 = init_sim_state(net, agents, policy=pol, sim=sim)
+        final, _ = run_episode(s0, net, pol, 4000, sim=sim)
+        finals[tag] = final
+    f = finals["full"]
+    done = int(f.agents.done[1:].sum())
+    on_way = int(f.road.count.sum())
+    waiting = int((~f.agents.inserted[1:]).sum())
+    real = agents.num_agents - 1  # row 0 is the dummy agent
+    assert done + on_way + waiting == real
+    assert done == real, (done, on_way, waiting)
+    np.testing.assert_array_equal(
+        np.asarray(f.agents.arrival),
+        np.asarray(finals["restricted"].agents.arrival),
+    )
