@@ -123,7 +123,12 @@ def main() -> None:
               f"done {done}, on_way {on_way} (== queued {queued})", flush=True)
 
     os.makedirs("runs/million", exist_ok=True)
-    with open("runs/million/report.json", "w") as f:
+    # Per-shape report file so re-runs at other scales don't clobber the
+    # recorded Grid128/1M datapoint (runs/million/report.json).
+    out = ("runs/million/report.json" if (GRID, NUM_AGENTS) == (128, 1000000)
+           else f"runs/million/report_grid{GRID}_{NUM_AGENTS // 10**6}m.json")
+    os.makedirs("runs/million", exist_ok=True)
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report))
 

@@ -268,11 +268,19 @@ def radial_scenario(
     peak_start: int = 6 * 3600,
     peak_spread: int = 3600,
     cbd_fraction: float = 0.7,
+    center_spurs: Optional[int] = None,
     seed: int = 0,
 ) -> str:
     """A ring-and-spoke metro: ``rings`` concentric rings of ``spokes``
     intersections around a centre, ring roads between angular neighbours and
     higher-capacity radial roads along each spoke (plus centre spurs).
+
+    ``center_spurs`` (default ``min(spokes, 8)``) caps how many evenly-
+    spaced spokes connect to the centre node: the slot-major core and the
+    primal routing tables are sized by the MAXIMUM node degree, so a
+    degree-``spokes`` hub would inflate every [K, ·] table network-wide —
+    and real arterial systems feed a CBD through a handful of radials, not
+    one junction of 128 legs.
 
     The NON-GRID counterpart of :func:`grid_scenario`: ring-link lengths grow
     with radius, the turn-graph delta structure is irregular (ring wrap +
@@ -309,8 +317,10 @@ def radial_scenario(
         ring_len = 2.0 * math.pi * k * ring_spacing / spokes
         for s in range(spokes):
             add(f"r{k}_{s}", f"r{k}_{(s + 1) % spokes}", ring_len, capacity)
+    spurs = min(spokes, 8) if center_spurs is None else center_spurs
     for s in range(spokes):
-        add("c", f"r1_{s}", ring_spacing, radial_capacity)
+        if spurs and s % max(spokes // spurs, 1) == 0:
+            add("c", f"r1_{s}", ring_spacing, radial_capacity)
         for k in range(1, rings):
             add(f"r{k}_{s}", f"r{k + 1}_{s}", ring_spacing, radial_capacity)
 

@@ -655,7 +655,8 @@ def primal_relax_next_roads(
     i_n = inter_out_road.shape[0]
     if max_iters is None:
         max_iters = i_n - 1
-    if (buckets is not None and epi_tables is not None
+    if (buckets is not None and buckets[0] is not None
+            and epi_tables is not None
             and _multisweep_nr_ok(i_n, len(buckets[0]), max_iters)):
         deltas, _, perm, inv = buckets
         out_r_p, ok_p, b_slot_p = epi_tables
@@ -819,7 +820,9 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
             shifts_b, slot_b, perm, inv = buckets
         else:  # legacy (deltas, slot) pairs
             shifts_b, slot_b = buckets
-        buckets = (shifts_b, slot_b)
+        # An all-None tuple (primal_delta_buckets declined: too many
+        # distinct offsets, e.g. the radial metro) means NO bucketing.
+        buckets = None if shifts_b is None else (shifts_b, slot_b)
 
     if buckets is not None and _multisweep_ok(i_n, len(buckets[0]), iters):
         # Static-shift multi-sweep kernel: the whole capped refresh is ONE

@@ -792,6 +792,36 @@ class TestNextRoadEpilogue:
         got = self._emulate_epilogue(bf, dist, cost, buckets, epi, i_n)
         np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
 
+    def test_fused_handles_disabled_buckets(self, tmp_path):
+        """primal_delta_buckets DECLINES on irregular nets (too many
+        distinct offsets) by returning an all-None 4-tuple; the fused entry
+        point and _primal_relax must treat that as no-bucketing instead of
+        len(None)-crashing (regression: radial metro at 64x128)."""
+        from tarl_tpu.io.matsim import load_network
+        from tarl_tpu.io.scenarios import grid_scenario
+        from tarl_tpu.routing import bellman_ford as bf
+
+        import os
+
+        base = grid_scenario(str(tmp_path), "EpiGrid6", rows=6, cols=6,
+                             num_agents=10)
+        net = load_network(os.path.join(base, "network"))
+        i_n = net.num_intersections
+        rng = np.random.default_rng(3)
+        cost = jnp.asarray(rng.uniform(1.0, 50.0, net.num_roads), jnp.float32)
+        eye = jnp.eye(i_n, dtype=bool)
+        dist0 = jnp.where(eye, 0.0, jnp.full((i_n, i_n), bf.BIG))
+        d_a, r_a = bf.primal_relax_next_roads(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            dist0, None, buckets=(None, None, None, None), epi_tables=None,
+        )
+        d_b, r_b = bf.primal_relax_next_roads(
+            cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+            dist0, None, buckets=None, epi_tables=None,
+        )
+        np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+        np.testing.assert_array_equal(np.asarray(r_a), np.asarray(r_b))
+
     def test_fused_fallback_matches_two_step(self, tmp_path):
         """primal_relax_next_roads' fallback path (gate off on CPU) must
         equal primal_all_pairs_dist + primal_next_roads bitwise."""
