@@ -151,10 +151,28 @@ def direction_step(
     best = jnp.full((R,), NEG_INF, jnp.float32)
     win_slot = jnp.zeros((R,), jnp.int32)
     accept = jnp.zeros((R,), bool)
-    # ONE [KIN*R] gather instead of KIN separate [R] gathers: the per-slot
-    # kernels are launch-bound at bench sizes, and the flattened index set
-    # is the same data either way.
-    pack_slots = pack[network.in_src_tab.reshape(-1)].reshape(KIN, R)
+    # The in-slot gather is the step's only index-dependent op.  At metro
+    # scale it is evaluated as per-offset ROLLS (core.roll_gather: the serial
+    # gather emitter costs ~7 ns/index, a roll is a full-bandwidth
+    # dynamic-slice), stacking head id / head dest into the same plan so the
+    # winner gathers below are covered too.  Small nets keep ONE flattened
+    # [KIN*R] gather (launch-bound regime; fewer ops wins there).
+    use_roll = (
+        network.in_roll_shift is not None
+        and network.in_roll_shift.shape[1] > 0
+    )
+    if use_roll:
+        from .roll_gather import roll_gather
+
+        mat = jnp.stack([pack, head_id, road.head_dests()])
+        slots = roll_gather(
+            mat, network.in_roll_shift, network.in_roll_sel,
+            network.in_roll_exc_src, network.in_roll_exc_k,
+            network.in_roll_exc_v,
+        )  # [KIN, 3, R]
+        pack_slots = slots[:, 0]
+    else:
+        pack_slots = pack[network.in_src_tab.reshape(-1)].reshape(KIN, R)
     for k in range(KIN):
         p_k = pack_slots[k]
         dep_ok = (p_k & 1) > 0
@@ -185,10 +203,24 @@ def direction_step(
     for k in range(KIN):
         src_road = jnp.where(win_slot == k, network.in_src_tab[k], src_road)
     src_road = jnp.where(accept, src_road, R).astype(jnp.int32)
-    src_c = jnp.minimum(src_road, R - 1)
-    chosen_agent = jnp.where(accept, head_id[src_c], 0)
-    accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
-    chosen_dest = jnp.where(accept, road.head_dests()[src_c], 0)
+    if use_roll:
+        # Winner head id / dest selected from the pre-rolled slot rows —
+        # no [R]-index gather.  Garbage rows (invalid slots) are never
+        # selected: accept implies win_slot points at a valid edge.
+        cand_id = slots[0, 1]
+        cand_dest = slots[0, 2]
+        for k in range(1, KIN):
+            pick = win_slot == k
+            cand_id = jnp.where(pick, slots[k, 1], cand_id)
+            cand_dest = jnp.where(pick, slots[k, 2], cand_dest)
+        chosen_agent = jnp.where(accept, cand_id, 0)
+        accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
+        chosen_dest = jnp.where(accept, cand_dest, 0)
+    else:
+        src_c = jnp.minimum(src_road, R - 1)
+        chosen_agent = jnp.where(accept, head_id[src_c], 0)
+        accept = chosen_agent != 0  # sentinel guard (direction_mpnn.py:194)
+        chosen_dest = jnp.where(accept, road.head_dests()[src_c], 0)
 
     # --- update: push at tail, stamp times (direction_mpnn.py:171-195) ---
     slot = (road.head + road.count) % Nmax

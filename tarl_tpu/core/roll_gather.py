@@ -1,0 +1,131 @@
+"""Structured slot-table gathers as rolls: the direction step's last gather.
+
+The slot-major core (core.direction, docstring there) reduced every per-edge
+quantity to [R]-rows, leaving ONE runtime gather: ``pack[in_src_tab]`` — a
+[KIN*R]-element read with road-id indices.  XLA:TPU lowers arbitrary-index
+gathers to a serial emitter at ~7 ns/element (docs/BENCH.md), so at metro
+scale this single op costs more than all the elementwise work of the tick
+(Grid64x64: 64.5k indices ~ 450 us).
+
+But the indices are STRUCTURED: ``in_src_tab[k, v] - v`` takes very few
+distinct values on road networks (a 64x64 grid: ~5 offsets cover >98 % of
+each slot row — same observation as routing.bellman_ford.primal_delta_buckets
+for the primal sweep).  A fixed-offset read is a roll: with the source
+doubled once (``concat(mat, mat)``), ``val[v] = mat[(v + o) % R]`` is ONE
+``dynamic_slice`` — an index-free, full-bandwidth copy.  This module
+
+* analyses a slot table host-side into a ROLL PLAN — per slot, the dominant
+  mod-R offsets plus an exception list for the tail (build_roll_plan);
+* evaluates the gather as B dynamic-slices + selects per slot and one tiny
+  exception gather/scatter (roll_gather), bitwise-identical to the direct
+  gather.
+
+The plan is stored on :class:`~tarl_tpu.network.Network` as plain array
+fields (``in_roll_*``) so it rides through jit/cache like every other slot
+table; a ``[K, 0]``-shaped shift array means "declined" (irregular topology
+or small R) and callers fall back to the direct gather.
+
+Reference parity: this changes no semantics — it is an evaluation strategy
+for the same ``message`` gather of direction_mpnn.py:44-100.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# Networks below this road count keep the direct gather: the roll path costs
+# ~K*B extra ops, which beats the serial gather emitter only once the gather
+# is tens of thousands of indices (measured: Grid16x16/R=960 gathers ~45 us
+# total — smaller than the op-launch overhead of ~20 rolls).
+MIN_ROADS = 8192
+
+
+def build_roll_plan(
+    tab: np.ndarray,
+    ok: np.ndarray,
+    *,
+    max_buckets: int = 8,
+    max_exc_frac: float = 0.02,
+    min_roads: int = MIN_ROADS,
+):
+    """Host-side analysis of a ``[K, R]`` slot table of road indices.
+
+    Returns ``(shift[K, B] int32, sel[K, R] int32, exc_src[E] int32,
+    exc_k[E] int32, exc_v[E] int32)`` where ``tab[k, v] == (v + shift[k,
+    sel[k, v]]) % R`` whenever ``sel[k, v] < B``, and the ``E`` exceptions
+    (``sel == B``) enumerate the remaining valid entries.  Declines — returns
+    a ``B == 0`` plan — when ``R < min_roads`` or the exception tail exceeds
+    ``max_exc_frac`` of the table (irregular topologies, where the roll
+    formulation would degenerate to per-entry fixups).
+    """
+    tab = np.asarray(tab)
+    ok = np.asarray(ok).astype(bool)
+    K, R = tab.shape
+
+    def _decline():
+        return (
+            np.zeros((K, 0), np.int32),
+            np.zeros((K, R), np.int32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+            np.zeros((0,), np.int32),
+        )
+
+    if R < min_roads:
+        return _decline()
+
+    iota = np.arange(R, dtype=np.int64)
+    off = (tab.astype(np.int64) - iota[None, :]) % R  # mod-R: wraps covered
+
+    per_slot: list[list[int]] = []
+    for k in range(K):
+        offs, cnts = np.unique(off[k][ok[k]], return_counts=True)
+        order = np.argsort(-cnts, kind="stable")
+        per_slot.append([int(offs[i]) for i in order[:max_buckets]])
+    B = max((len(c) for c in per_slot), default=0)
+    if B == 0:
+        return _decline()
+
+    shift = np.zeros((K, B), np.int32)
+    sel = np.full((K, R), B, np.int32)
+    exc_k, exc_v = [], []
+    for k in range(K):
+        for j, o in enumerate(per_slot[k]):
+            shift[k, j] = o
+            sel[k][ok[k] & (off[k] == o)] = j
+        sel[k][~ok[k]] = 0  # padding slots: value unused, avoid exceptions
+        vs = np.nonzero(ok[k] & (sel[k] == B))[0]
+        exc_k.extend([k] * len(vs))
+        exc_v.extend(int(v) for v in vs)
+    if len(exc_v) > max_exc_frac * K * R:
+        return _decline()
+
+    exc_k_np = np.asarray(exc_k, np.int32).reshape(-1)
+    exc_v_np = np.asarray(exc_v, np.int32).reshape(-1)
+    exc_src = tab[exc_k_np, exc_v_np].astype(np.int32).reshape(-1)
+    return shift, sel, exc_src, exc_k_np, exc_v_np
+
+
+def roll_gather(mat, shift, sel, exc_src, exc_k, exc_v):
+    """Evaluate ``mat[:, tab[k]]`` for every slot k via the roll plan.
+
+    ``mat`` is ``[C, R]`` (C stacked per-road arrays sharing the same index
+    structure — direction stacks pack/head-id/head-dest so one plan pays for
+    all three gathers).  Returns ``[K, C, R]``, bitwise-equal to
+    ``mat[:, tab]`` transposed to slot-major.
+    """
+    C, R = mat.shape
+    K, B = shift.shape
+    out = jnp.zeros((K, C, R), mat.dtype)
+    if exc_src.shape[0]:
+        out = out.at[exc_k, :, exc_v].set(mat[:, exc_src].T)
+    mat2 = jnp.concatenate([mat, mat], axis=1)  # doubled once, shared by rolls
+    rows = []
+    for k in range(K):
+        acc = out[k]
+        for j in range(B):
+            rolled = lax.dynamic_slice_in_dim(mat2, shift[k, j], R, axis=1)
+            acc = jnp.where((sel[k] == j)[None, :], rolled, acc)
+        rows.append(acc)
+    return jnp.stack(rows)

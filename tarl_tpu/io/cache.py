@@ -22,7 +22,7 @@ _NET_STATIC = ("num_roads", "num_intersections", "nmax")
 # Bump when the Network/AgentState array schema changes; mismatched caches
 # are rebuilt from XML (the reference's torch.load would deserialize stale
 # objects silently).
-CACHE_VERSION = 6
+CACHE_VERSION = 7
 
 
 def save_network(network: Network, path: str) -> None:

@@ -106,6 +106,19 @@ class Network:
     inter_x: jnp.ndarray = None       # float32[I]
     inter_y: jnp.ndarray = None       # float32[I]
 
+    # --- roll plan for the in-slot gather (core.roll_gather): at metro scale
+    # the direction step's one remaining gather (``pack[in_src_tab]``) hits
+    # XLA's serial emitter; road networks have few distinct ``src - dst``
+    # offsets, so the gather is evaluated as per-offset rolls instead.
+    # ``in_roll_shift.shape[1] == 0`` means declined (small R / irregular
+    # topology) and the direct gather is used.  Derived from in_src_tab at
+    # build time; no independent semantics. ---
+    in_roll_shift: jnp.ndarray = None    # int32[KIN, B] — mod-R offsets
+    in_roll_sel: jnp.ndarray = None      # int32[KIN, R] — bucket id (B = exception)
+    in_roll_exc_src: jnp.ndarray = None  # int32[E] — exception source roads
+    in_roll_exc_k: jnp.ndarray = None    # int32[E]
+    in_roll_exc_v: jnp.ndarray = None    # int32[E]
+
     @property
     def num_nodes(self) -> int:
         return self.num_roads + 2 * self.num_intersections
@@ -286,6 +299,10 @@ def build_network(
         ch_tab_ok, f_dst_np[choice_mask][ch_tab], 0
     ).astype(np.int32)
 
+    from .core.roll_gather import build_roll_plan
+
+    in_roll = build_roll_plan(in_src, in_tab_ok)
+
     return Network(
         num_roads=num_roads,
         num_intersections=num_intersections,
@@ -325,6 +342,11 @@ def build_network(
             np.zeros(num_intersections) if inter_y is None else inter_y,
             dtype=jnp.float32,
         ),
+        in_roll_shift=jnp.asarray(in_roll[0]),
+        in_roll_sel=jnp.asarray(in_roll[1]),
+        in_roll_exc_src=jnp.asarray(in_roll[2]),
+        in_roll_exc_k=jnp.asarray(in_roll[3]),
+        in_roll_exc_v=jnp.asarray(in_roll[4]),
     )
 
 

@@ -1,0 +1,133 @@
+"""Roll-plan gather equivalence (core.roll_gather).
+
+The direction step's in-slot gather evaluated as per-offset rolls must be
+bitwise-identical to the direct gather — same selected winners, same Gumbel
+stream, same trajectories — and the plan builder must decline on small /
+irregular inputs instead of producing a degenerate plan.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tarl_tpu.config import SimConfig
+from tarl_tpu.core.roll_gather import build_roll_plan, roll_gather
+from tarl_tpu.core.step import Policy, init_sim_state, run_episode
+from tarl_tpu.io.matsim import load_network, load_population
+from tarl_tpu.io.scenarios import grid_scenario
+from tarl_tpu.routing.policies import random_choice
+
+
+@pytest.fixture(scope="module")
+def grid(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("roll_scen"))
+    base = grid_scenario(root, "RollGrid8", rows=8, cols=8, num_agents=400,
+                         peak_start=6 * 3600, peak_spread=600)
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    return net, agents
+
+
+def _force_plan(net, **kw):
+    kw.setdefault("max_exc_frac", 1.0)  # tiny grid: boundary tail is large
+    plan = build_roll_plan(
+        np.asarray(net.in_src_tab), np.asarray(net.in_edge_ok),
+        min_roads=0, **kw,
+    )
+    assert plan[0].shape[1] > 0, "grid plan unexpectedly declined"
+    return net.replace(
+        in_roll_shift=jnp.asarray(plan[0]),
+        in_roll_sel=jnp.asarray(plan[1]),
+        in_roll_exc_src=jnp.asarray(plan[2]),
+        in_roll_exc_k=jnp.asarray(plan[3]),
+        in_roll_exc_v=jnp.asarray(plan[4]),
+    )
+
+
+def test_roll_gather_matches_direct(grid):
+    net, _ = grid
+    tab = np.asarray(net.in_src_tab)
+    ok = np.asarray(net.in_edge_ok)
+    K, R = tab.shape
+    rng = np.random.default_rng(0)
+    mat = jnp.asarray(rng.integers(-(2**30), 2**30, size=(3, R)), jnp.int32)
+    for max_buckets in (2, 8):  # small cap forces a real exception tail
+        plan = build_roll_plan(tab, ok, min_roads=0, max_buckets=max_buckets,
+                               max_exc_frac=1.0)
+        got = roll_gather(mat, *(jnp.asarray(p) for p in plan))
+        want = np.asarray(mat)[:, tab].transpose(1, 0, 2)  # [K, 3, R]
+        # compare only valid slots (invalid-slot values are don't-care)
+        for k in range(K):
+            np.testing.assert_array_equal(
+                np.asarray(got)[k][:, ok[k]], want[k][:, ok[k]]
+            )
+
+
+def test_plan_declines_below_min_roads(grid):
+    net, _ = grid
+    plan = build_roll_plan(np.asarray(net.in_src_tab),
+                           np.asarray(net.in_edge_ok))  # default min_roads
+    assert plan[0].shape[1] == 0  # R=224 << MIN_ROADS: direct gather wins
+
+
+def test_plan_declines_on_scrambled_indices():
+    rng = np.random.default_rng(1)
+    R = 4096
+    tab = rng.integers(0, R, size=(3, R)).astype(np.int32)
+    ok = np.ones((3, R), bool)
+    plan = build_roll_plan(tab, ok, min_roads=0)
+    assert plan[0].shape[1] == 0  # exception tail over budget
+
+
+def test_direction_roll_path_bitwise(grid):
+    """Full random-policy episodes with and without the roll plan must agree
+    bitwise — the roll path is an evaluation strategy, not a semantics
+    change."""
+    net, agents = grid
+    net_roll = _force_plan(net)
+    steps = 900
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
+                    insert_window=64, record_road_optimality=False)
+    policy = Policy(choice=random_choice)
+
+    def run(n):
+        state = init_sim_state(n, agents, sim=sim, policy=policy)
+        final, log = run_episode(state, n, policy, steps, sim=sim)
+        return final, log
+
+    f_a, l_a = run(net)
+    f_b, l_b = run(net_roll)
+    for name in ("fifo_ids", "fifo_arrival", "fifo_departure", "fifo_dest",
+                 "head", "count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(f_a.road, name)),
+            np.asarray(getattr(f_b.road, name)), err_msg=name,
+        )
+    np.testing.assert_array_equal(np.asarray(f_a.agents.arrival),
+                                  np.asarray(f_b.agents.arrival))
+    np.testing.assert_array_equal(np.asarray(l_a.arrivals),
+                                  np.asarray(l_b.arrivals))
+    assert int(f_b.agents.done[1:].sum()) > 0  # episode did real work
+
+
+def test_exception_tail_exercised(grid):
+    """With max_buckets=1 most slots fall to the exception gather/scatter;
+    the episode must still match bitwise (covers the exception path)."""
+    net, agents = grid
+    net_exc = _force_plan(net, max_buckets=1, max_exc_frac=1.0)
+    steps = 400
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
+                    insert_window=64, record_road_optimality=False)
+    policy = Policy(choice=random_choice)
+    sa = init_sim_state(net, agents, sim=sim, policy=policy)
+    sb = init_sim_state(net_exc, agents, sim=sim, policy=policy)
+    fa, _ = run_episode(sa, net, policy, steps, sim=sim)
+    fb, _ = run_episode(sb, net_exc, policy, steps, sim=sim)
+    np.testing.assert_array_equal(np.asarray(fa.road.fifo_ids),
+                                  np.asarray(fb.road.fifo_ids))
+    np.testing.assert_array_equal(np.asarray(fa.agents.arrival),
+                                  np.asarray(fb.agents.arrival))
