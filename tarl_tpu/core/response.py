@@ -37,15 +37,38 @@ def confirm_step(
     selected downstream), so the pop mask is one [R]-index scatter — measured
     cheaper than the gather-based alternative (checking each road's
     downstream neighbors' winners costs 2*KOUT unsorted [R] gathers at
-    ~7 ns/element each, ~8x the single scatter).  ``network`` is accepted
-    for signature stability but unused.
+    ~7 ns/element each, ~8x the single scatter).  At metro scale, when the
+    network carries an out-table roll plan (core.roll_gather), the winner
+    check is instead evaluated GATHER-FREE: roll ``win_src`` to each
+    out-slot row and compare against the road's own index — the scatter's
+    ~7 ns/index serial emitter is replaced by a few full-bandwidth
+    dynamic-slices.  Bitwise-identical pop mask either way.
     Returns ``(road_state, popped_mask)`` like :func:`response_step`.
     """
-    del network
     R = road.num_roads
     pop_src = jnp.where(accept, win_src, R)
-    # int32 staging: TPU bool scatters run ~7x slower (measured).
-    popped = jnp.zeros((R,), jnp.int32).at[pop_src].set(1, mode="drop") > 0
+    use_roll = (
+        network is not None
+        and getattr(network, "out_roll_shift", None) is not None
+        and network.out_roll_shift.shape[1] > 0
+    )
+    if use_roll:
+        from .roll_gather import roll_gather
+
+        win_rows = roll_gather(
+            pop_src[None, :].astype(jnp.int32), network.out_roll_shift,
+            network.out_roll_sel, network.out_roll_exc_src,
+            network.out_roll_exc_k, network.out_roll_exc_v,
+        )[:, 0]  # [KOUT, R] — win_src at each road's k-th downstream
+        iota = jnp.arange(R, dtype=jnp.int32)
+        popped = jnp.zeros((R,), bool)
+        for k in range(win_rows.shape[0]):
+            popped = popped | (
+                network.out_edge_ok[k] & (win_rows[k] == iota)
+            )
+    else:
+        # int32 staging: TPU bool scatters run ~7x slower (measured).
+        popped = jnp.zeros((R,), jnp.int32).at[pop_src].set(1, mode="drop") > 0
     new_head = (road.head + popped.astype(jnp.int32)) % road.nmax
     new_count = road.count - popped.astype(jnp.int32)
     return road._replace(head=new_head, count=new_count), popped

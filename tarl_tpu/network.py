@@ -118,6 +118,13 @@ class Network:
     in_roll_exc_src: jnp.ndarray = None  # int32[E] — exception source roads
     in_roll_exc_k: jnp.ndarray = None    # int32[E]
     in_roll_exc_v: jnp.ndarray = None    # int32[E]
+    # Same plan over out_dst_tab: core.response.confirm_step replaces its
+    # [R]-index pop scatter with rolled out-slot compares at metro scale.
+    out_roll_shift: jnp.ndarray = None   # int32[KOUT, B]
+    out_roll_sel: jnp.ndarray = None     # int32[KOUT, R]
+    out_roll_exc_src: jnp.ndarray = None # int32[E]
+    out_roll_exc_k: jnp.ndarray = None   # int32[E]
+    out_roll_exc_v: jnp.ndarray = None   # int32[E]
 
     @property
     def num_nodes(self) -> int:
@@ -302,6 +309,7 @@ def build_network(
     from .core.roll_gather import build_roll_plan
 
     in_roll = build_roll_plan(in_src, in_tab_ok)
+    out_roll = build_roll_plan(out_dst, out_tab_ok)
 
     return Network(
         num_roads=num_roads,
@@ -347,6 +355,11 @@ def build_network(
         in_roll_exc_src=jnp.asarray(in_roll[2]),
         in_roll_exc_k=jnp.asarray(in_roll[3]),
         in_roll_exc_v=jnp.asarray(in_roll[4]),
+        out_roll_shift=jnp.asarray(out_roll[0]),
+        out_roll_sel=jnp.asarray(out_roll[1]),
+        out_roll_exc_src=jnp.asarray(out_roll[2]),
+        out_roll_exc_k=jnp.asarray(out_roll[3]),
+        out_roll_exc_v=jnp.asarray(out_roll[4]),
     )
 
 

@@ -39,12 +39,22 @@ def _force_plan(net, **kw):
         min_roads=0, **kw,
     )
     assert plan[0].shape[1] > 0, "grid plan unexpectedly declined"
+    out_plan = build_roll_plan(
+        np.asarray(net.out_dst_tab), np.asarray(net.out_edge_ok),
+        min_roads=0, **kw,
+    )
+    assert out_plan[0].shape[1] > 0
     return net.replace(
         in_roll_shift=jnp.asarray(plan[0]),
         in_roll_sel=jnp.asarray(plan[1]),
         in_roll_exc_src=jnp.asarray(plan[2]),
         in_roll_exc_k=jnp.asarray(plan[3]),
         in_roll_exc_v=jnp.asarray(plan[4]),
+        out_roll_shift=jnp.asarray(out_plan[0]),
+        out_roll_sel=jnp.asarray(out_plan[1]),
+        out_roll_exc_src=jnp.asarray(out_plan[2]),
+        out_roll_exc_k=jnp.asarray(out_plan[3]),
+        out_roll_exc_v=jnp.asarray(out_plan[4]),
     )
 
 
@@ -112,6 +122,39 @@ def test_direction_roll_path_bitwise(grid):
     np.testing.assert_array_equal(np.asarray(l_a.arrivals),
                                   np.asarray(l_b.arrivals))
     assert int(f_b.agents.done[1:].sum()) > 0  # episode did real work
+
+
+def test_confirm_roll_matches_scatter(grid):
+    """confirm_step's gather-free pop mask must equal the scatter form for
+    arbitrary (accept, win_src) records."""
+    from tarl_tpu.core.response import confirm_step
+    from tarl_tpu.state import init_road_state
+
+    net, _ = grid
+    net_roll = _force_plan(net)
+    R = net.num_roads
+    rng = np.random.default_rng(5)
+    road = init_road_state(R, net.nmax)
+    in_src = np.asarray(net.in_src_tab)
+    in_ok = np.asarray(net.in_edge_ok)
+    for trial in range(5):
+        # accept a random subset of roads; winner = a random VALID in-slot
+        accept = jnp.asarray(rng.random(R) < 0.4)
+        slot = rng.integers(0, in_ok.shape[0], size=R)
+        slot = np.where(in_ok[slot, np.arange(R)], slot, 0)
+        win = jnp.asarray(in_src[slot, np.arange(R)], jnp.int32)
+        # each upstream must win at most once (direction guarantees it):
+        # deduplicate by keeping the first occurrence
+        w = np.asarray(jnp.where(accept, win, R))
+        seen, keep = set(), np.zeros(R, bool)
+        for v in range(R):
+            if w[v] < R and w[v] not in seen:
+                seen.add(w[v]); keep[v] = True
+        accept = jnp.asarray(keep)
+        _, popped_a = confirm_step(road, accept, win, net)
+        _, popped_b = confirm_step(road, accept, win, net_roll)
+        np.testing.assert_array_equal(np.asarray(popped_a),
+                                      np.asarray(popped_b))
 
 
 def test_exception_tail_exercised(grid):
