@@ -91,11 +91,20 @@ def main(argv=None):
                     help="Train with the congestion-aware context columns "
                          "(RLConfig.extra_obs); artifacts go to "
                          "<out>/<scenario>_xobs")
+    ap.add_argument("--entropy-coef", type=float, default=None,
+                    help="Override the scenario's entropy coefficient")
+    ap.add_argument("--track-stochastic", action="store_true",
+                    help="Select the best snapshot on the STOCHASTIC eval "
+                         "(the deployment mode of a mixing policy) instead "
+                         "of the greedy one")
+    ap.add_argument("--suffix", default="",
+                    help="Extra artifact-directory suffix")
     args = ap.parse_args(argv)
     scen = args.scenario
     iters = args.iterations or ITERATIONS[scen]
     out = os.path.join(
-        args.out, scen.lower() + ("_xobs" if args.extra_obs else "")
+        args.out,
+        scen.lower() + ("_xobs" if args.extra_obs else "") + args.suffix,
     )
     os.makedirs(out, exist_ok=True)
     eval_steps = EVAL_STEPS[scen]
@@ -121,8 +130,10 @@ def main(argv=None):
         print(f"{algo:18}: {table[f'classical_{algo}']}", flush=True)
 
     # --- mpnn+ppo ---------------------------------------------------------
-    rl = RLConfig(**{**RL, **RL_OVERRIDES.get(scen, {})},
-                  extra_obs=args.extra_obs)
+    hp = {**RL, **RL_OVERRIDES.get(scen, {})}
+    if args.entropy_coef is not None:
+        hp["entropy_coef"] = args.entropy_coef
+    rl = RLConfig(**hp, extra_obs=args.extra_obs)
     pnet = MPNNPolicyNet(
         num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
         use_distance_prior=True, prior_scale=PRIOR_SCALE,
@@ -147,7 +158,9 @@ def main(argv=None):
         eval_steps=TRAIN_EVAL_STEPS.get(scen),
         checkpoint_dir=ckpt_dir,
         checkpoint_interval=max(iters // 2, 1), verbose=False,
-        track_best="eval/avg_travel_time",
+        stochastic_eval=args.track_stochastic,
+        track_best=("eval_stochastic/avg_travel_time"
+                    if args.track_stochastic else "eval/avg_travel_time"),
     )
     train_s = time.time() - t0
     print(f"trained {iters} iterations in {train_s:.0f}s", flush=True)
@@ -184,9 +197,9 @@ def main(argv=None):
         "scenario": scen,
         "iterations": iters,
         "train_seconds": round(train_s, 1),
-        "hyperparameters": {**RL, **RL_OVERRIDES.get(scen, {}),
-                            "prior_scale": PRIOR_SCALE,
-                            "extra_obs": args.extra_obs},
+        "hyperparameters": {**hp, "prior_scale": PRIOR_SCALE,
+                            "extra_obs": args.extra_obs,
+                            "track_stochastic": args.track_stochastic},
         "eval_steps": eval_steps,
         "table": table,
     }

@@ -92,10 +92,11 @@ def ppo_train(
     Mirrors the reference trainer's surface (collect/update/log/eval/save,
     rl/ppo_trainer.py:129-160) with real mid-training resume.
 
-    ``track_best`` names a deterministic-eval scalar to MINIMIZE (e.g.
-    ``"eval/avg_travel_time"``); whenever an eval improves it, the params
-    are checkpointed to ``<checkpoint_dir>/best`` (with a ``best.json``
-    sidecar recording the metric and iteration).  PPO policies churn after
+    ``track_best`` names an eval scalar to MINIMIZE — deterministic
+    (``"eval/avg_travel_time"``) or, with ``stochastic_eval=True``,
+    stochastic (``"eval_stochastic/avg_travel_time"``); whenever an eval
+    improves it, the params are checkpointed to ``<checkpoint_dir>/best``
+    (with a ``best.json`` sidecar recording the metric and iteration).  PPO policies churn after
     converging — the last iterate is routinely worse than the best one
     (measured on Bottleneck: best greedy 66.2 s at iteration 900 vs 77.6 s
     at 1500) — so selection must happen during training, not after.  Evals
@@ -219,7 +220,12 @@ def ppo_train(
                 except Exception:
                     pass
                 logger.scalars(step, eval_scalars)
-                if (track_best and det and track_best in eval_scalars
+                # tag-prefixed scalars make the match mode-specific: an
+                # "eval/..." name fires on the deterministic pass, an
+                # "eval_stochastic/..." name on the stochastic one (the
+                # Bottleneck mixing demo selects its snapshot on the
+                # stochastic eval — the mode it is deployed in).
+                if (track_best and track_best in eval_scalars
                         and checkpoint_dir):
                     v = float(eval_scalars[track_best])
                     if best_metric is None or v < best_metric:
