@@ -258,3 +258,31 @@ class TestTrainerShell:
         vals = [float(r["eval/relative_nash_gap"]) for r in rows
                 if r.get("eval/relative_nash_gap") not in (None, "")]
         assert vals and all(np.isfinite(v) for v in vals)
+
+    def test_track_best_stochastic_scalar(self, setup, tmp_path):
+        """track_best matches tag-prefixed scalars: an eval_stochastic/...
+        target selects on the stochastic pass (the Bottleneck mixing demo
+        deploys stochastically) and records it in best.json."""
+        import json
+
+        from tarl_tpu.rl.trainer import ppo_train
+
+        net, agents, state = setup
+        rl = RLConfig(rollout_steps=8, minibatch_size=8, num_epochs=1)
+        ppo = PPO(
+            net,
+            MPNNPolicyNet(num_nodes=net.num_nodes,
+                          num_node_embeddings=net.num_roads + 1),
+            MPNNValueNetSimple(),
+            rl=rl,
+        )
+        ckpt = str(tmp_path / "ckpt")
+        ppo_train(ppo, state, num_iterations=2, rl=rl,
+                  log_dir=str(tmp_path / "logs2"), eval_interval=1,
+                  verbose=False, stochastic_eval=True, checkpoint_dir=ckpt,
+                  track_best="eval_stochastic/avg_travel_time")
+        with open(os.path.join(ckpt, "best.json")) as f:
+            info = json.load(f)
+        assert info["metric"] == "eval_stochastic/avg_travel_time"
+        assert np.isfinite(info["value"])
+        assert os.path.exists(os.path.join(ckpt, "best"))
