@@ -157,6 +157,46 @@ def test_confirm_roll_matches_scatter(grid):
                                       np.asarray(popped_b))
 
 
+def test_shortest_path_periodic_roll_bitwise(tmp_path):
+    """The metro configuration — shortest-path policy under the periodic
+    refresh-hoisted driver — must be bitwise-identical with and without the
+    roll plans (direction + confirm both active)."""
+    from tarl_tpu.config import RoutingConfig
+    from tarl_tpu.core.step import run_episode_periodic
+    from tarl_tpu.io.scenarios import ensure_scenario
+    from tarl_tpu.simulator import make_policy
+
+    root = str(tmp_path)
+    base = ensure_scenario(root, "Grid4x4")
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    net_roll = _force_plan(net)
+    sim = SimConfig(start_time=6 * 3600 - 60, timestep=1)
+
+    def run(n):
+        pol = make_policy(
+            "dijkstra", RoutingConfig(refresh_rate=5, max_bf_iters=8),
+            network=n,
+        )
+        s0 = init_sim_state(n, agents, policy=pol, sim=sim)
+        return run_episode_periodic(s0, n, pol, 60, sim=sim)
+
+    fa, la = run(net)
+    fb, lb = run(net_roll)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(fa.road),
+                    jax.tree_util.tree_leaves(fb.road)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(fa.agents.arrival),
+                                  np.asarray(fb.agents.arrival))
+    for a, b in zip(jax.tree_util.tree_leaves(la),
+                    jax.tree_util.tree_leaves(lb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_exception_tail_exercised(grid):
     """With max_buckets=1 most slots fall to the exception gather/scatter;
     the episode must still match bitwise (covers the exception path)."""
