@@ -157,10 +157,9 @@ def direction_step(
     # dynamic-slice), stacking head id / head dest into the same plan so the
     # winner gathers below are covered too.  Small nets keep ONE flattened
     # [KIN*R] gather (launch-bound regime; fewer ops wins there).
-    use_roll = (
-        network.in_roll_shift is not None
-        and network.in_roll_shift.shape[1] > 0
-    )
+    from .roll_gather import roll_enabled
+
+    use_roll = roll_enabled(network.in_roll_shift)
     if use_roll:
         from .roll_gather import roll_gather
 

@@ -47,10 +47,10 @@ def confirm_step(
     """
     R = road.num_roads
     pop_src = jnp.where(accept, win_src, R)
-    use_roll = (
-        network is not None
-        and getattr(network, "out_roll_shift", None) is not None
-        and network.out_roll_shift.shape[1] > 0
+    from .roll_gather import roll_enabled
+
+    use_roll = network is not None and roll_enabled(
+        getattr(network, "out_roll_shift", None)
     )
     if use_roll:
         from .roll_gather import roll_gather

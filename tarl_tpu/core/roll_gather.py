@@ -30,9 +30,22 @@ for the same ``message`` gather of direction_mpnn.py:44-100.
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+
+def roll_enabled(shift) -> bool:
+    """Trace-time gate: a built plan (``B > 0``) that is not disabled by the
+    ``TARL_NO_ROLL=1`` env override (A/B measurement switch — the fallback
+    is the direct gather/scatter, bitwise-identical)."""
+    return (
+        shift is not None
+        and shift.shape[1] > 0
+        and os.environ.get("TARL_NO_ROLL", "0") == "0"
+    )
 
 # Networks below this road count keep the direct gather: the roll path costs
 # ~K*B extra ops, which beats the serial gather emitter only once the gather
