@@ -190,9 +190,16 @@ def _maybe_delta_buckets(network: Optional[Network]):
     coords = None
     if getattr(network, "inter_x", None) is not None:
         coords = (network.inter_x, network.inter_y)
+    # Offset-count cap: grids bucket at <=18 offsets, the radial metro's
+    # identity order needs 42 (measured) — the multisweep kernel's VPU work
+    # scales with the count, so the default stays conservative and the env
+    # var is the measurement knob for irregular networks.
+    import os
+
     b = primal_delta_buckets(
         network.inter_out_road, network.inter_out_ok, network.road_to,
         coords=coords,
+        max_deltas=int(os.environ.get("TARL_MAX_DELTAS", "32")),
     )
     return (None, None, None, None) if b is None else b
 

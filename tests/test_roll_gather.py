@@ -197,6 +197,37 @@ def test_shortest_path_periodic_roll_bitwise(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_radial_buckets_under_raised_cap(tmp_path):
+    """The radial metro's identity node order buckets at ~42 offsets — over
+    the conservative default cap but valid: with a raised cap the bucketed
+    multisweep must stay bitwise-equal to the gather sweep (min-plus is
+    exact), enabling TARL_MAX_DELTAS experiments on irregular networks."""
+    from tarl_tpu.io.scenarios import radial_scenario
+    from tarl_tpu.routing import bellman_ford as bf
+
+    base = radial_scenario(str(tmp_path), "RadialSmall", rings=6, spokes=12,
+                           num_agents=10)
+    net = load_network(os.path.join(base, "network"))
+    buckets = bf.primal_delta_buckets(
+        net.inter_out_road, net.inter_out_ok, net.road_to,
+        coords=(net.inter_x, net.inter_y), max_deltas=256,
+    )
+    assert buckets is not None
+    shifts, slot, perm, inv = buckets
+    assert len(shifts) > 4  # genuinely irregular, not a grid in disguise
+    rng = np.random.default_rng(2)
+    cost = jnp.asarray(rng.uniform(1.0, 50.0, net.num_roads), jnp.float32)
+    d_gather = bf.primal_all_pairs_dist(
+        cost, net.inter_out_road, net.inter_out_ok, net.road_to
+    )
+    d_roll = bf.primal_all_pairs_dist(
+        cost, net.inter_out_road, net.inter_out_ok, net.road_to,
+        delta_shifts=shifts, delta_slot=slot, delta_perm=perm,
+        delta_inv=inv,
+    )
+    np.testing.assert_array_equal(np.asarray(d_gather), np.asarray(d_roll))
+
+
 def test_exception_tail_exercised(grid):
     """With max_buckets=1 most slots fall to the exception gather/scatter;
     the episode must still match bitwise (covers the exception path)."""
