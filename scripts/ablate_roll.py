@@ -93,8 +93,8 @@ def main():
     agents, _ = load_population(
         os.path.join(base, "population"), os.path.join(base, "network")
     )
-    print(f"R={net.num_roads} in_roll B={net.in_roll_shift.shape[1]} "
-          f"out_roll B={net.out_roll_shift.shape[1]}", flush=True)
+    print(f"R={net.num_roads} in_roll B={net.in_roll_shift.shape[0]} "
+          f"out_roll B={net.out_roll_shift.shape[0]}", flush=True)
     sim = SimConfig(timestep=1, start_time=6 * 3600,
                     record_road_optimality=False, insert_window=1024,
                     withdraw_depth=2)
@@ -120,10 +120,9 @@ def main():
     for d in (8, 2, 1):
         timed(f"withdraw depth={d}", withdraw_scan(net, d), state)
 
-    # FULL tick both modes (fresh jit per mode: run_episode itself is
-    # @jit-wrapped, so bust its cache by copying the state pytree — same
-    # shapes hit the cache; instead re-enter via a lambda wrapper that
-    # changes the traced callable).
+    # FULL tick both modes: a fresh jax.jit(lambda ...) per mode over the
+    # UNDECORATED episode body, so each mode traces its own program (any
+    # cached-jit re-entry would silently reuse the first mode's trace).
     os.environ["TARL_NO_ROLL"] = "1"
     f1 = jax.jit(lambda s: full(s)[0])
     timed("FULL tick (gather)", f1, state)

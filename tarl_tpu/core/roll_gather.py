@@ -43,7 +43,7 @@ def roll_enabled(shift) -> bool:
     is the direct gather/scatter, bitwise-identical)."""
     return (
         shift is not None
-        and shift.shape[1] > 0
+        and shift.shape[-1] > 0
         and os.environ.get("TARL_NO_ROLL", "0") == "0"
     )
 
@@ -58,19 +58,24 @@ def build_roll_plan(
     tab: np.ndarray,
     ok: np.ndarray,
     *,
-    max_buckets: int = 8,
+    max_buckets: int = 24,
     max_exc_frac: float = 0.02,
     min_roads: int = MIN_ROADS,
+    min_count: int | None = None,
 ):
     """Host-side analysis of a ``[K, R]`` slot table of road indices.
 
-    Returns ``(shift[K, B] int32, sel[K, R] int32, exc_src[E] int32,
-    exc_k[E] int32, exc_v[E] int32)`` where ``tab[k, v] == (v + shift[k,
-    sel[k, v]]) % R`` whenever ``sel[k, v] < B``, and the ``E`` exceptions
-    (``sel == B``) enumerate the remaining valid entries.  Declines — returns
-    a ``B == 0`` plan — when ``R < min_roads`` or the exception tail exceeds
-    ``max_exc_frac`` of the table (irregular topologies, where the roll
-    formulation would degenerate to per-entry fixups).
+    Buckets are GLOBAL (shared across slots): slots of a road network reuse
+    the same handful of offsets (a 64x64 grid: 17 distinct across 4 slots),
+    so one roll serves every slot that needs that offset and no (slot,
+    bucket) pair is dead.  Returns ``(shift[B] int32, sel[K, R] int32,
+    exc_src[E] int32, exc_k[E] int32, exc_v[E] int32)`` where ``tab[k, v]
+    == (v + shift[sel[k, v]]) % R`` whenever ``sel[k, v] < B``, and the
+    ``E`` exceptions (``sel == B``) enumerate the remaining valid entries.
+    Declines — returns a ``B == 0`` plan — when ``R < min_roads`` or the
+    exception tail exceeds ``max_exc_frac`` of the table (irregular
+    topologies, where the roll formulation would degenerate to per-entry
+    fixups).
     """
     tab = np.asarray(tab)
     ok = np.asarray(ok).astype(bool)
@@ -78,7 +83,7 @@ def build_roll_plan(
 
     def _decline():
         return (
-            np.zeros((K, 0), np.int32),
+            np.zeros((0,), np.int32),
             np.zeros((K, R), np.int32),
             np.zeros((0,), np.int32),
             np.zeros((0,), np.int32),
@@ -91,31 +96,30 @@ def build_roll_plan(
     iota = np.arange(R, dtype=np.int64)
     off = (tab.astype(np.int64) - iota[None, :]) % R  # mod-R: wraps covered
 
-    per_slot: list[list[int]] = []
-    for k in range(K):
-        offs, cnts = np.unique(off[k][ok[k]], return_counts=True)
-        order = np.argsort(-cnts, kind="stable")
-        per_slot.append([int(offs[i]) for i in order[:max_buckets]])
-    B = max((len(c) for c in per_slot), default=0)
+    offs, cnts = np.unique(off[ok], return_counts=True)
+    order = np.argsort(-cnts, kind="stable")
+    # A bucket costs one full-width roll + select regardless of how many
+    # entries it covers; below ~0.2 % of the table the exception gather
+    # (~7 ns/index, SMALL index count) is cheaper than the roll, so
+    # low-yield offsets fall to the exception tail instead.
+    floor = max(64, int(ok.sum()) // 512) if min_count is None else min_count
+    chosen = [int(offs[i]) for i in order[:max_buckets]
+              if cnts[i] >= floor]
+    B = len(chosen)
     if B == 0:
         return _decline()
 
-    shift = np.zeros((K, B), np.int32)
+    shift = np.asarray(chosen, np.int32)
     sel = np.full((K, R), B, np.int32)
-    exc_k, exc_v = [], []
-    for k in range(K):
-        for j, o in enumerate(per_slot[k]):
-            shift[k, j] = o
-            sel[k][ok[k] & (off[k] == o)] = j
-        sel[k][~ok[k]] = 0  # padding slots: value unused, avoid exceptions
-        vs = np.nonzero(ok[k] & (sel[k] == B))[0]
-        exc_k.extend([k] * len(vs))
-        exc_v.extend(int(v) for v in vs)
-    if len(exc_v) > max_exc_frac * K * R:
+    for j, o in enumerate(chosen):
+        sel[ok & (off == o)] = j
+    sel[~ok] = 0  # padding slots: value unused, avoid exceptions
+    exc_k, exc_v = np.nonzero(ok & (sel == B))
+    if exc_k.shape[0] > max_exc_frac * K * R:
         return _decline()
 
-    exc_k_np = np.asarray(exc_k, np.int32).reshape(-1)
-    exc_v_np = np.asarray(exc_v, np.int32).reshape(-1)
+    exc_k_np = exc_k.astype(np.int32)
+    exc_v_np = exc_v.astype(np.int32)
     exc_src = tab[exc_k_np, exc_v_np].astype(np.int32).reshape(-1)
     return shift, sel, exc_src, exc_k_np, exc_v_np
 
@@ -126,19 +130,18 @@ def roll_gather(mat, shift, sel, exc_src, exc_k, exc_v):
     ``mat`` is ``[C, R]`` (C stacked per-road arrays sharing the same index
     structure — direction stacks pack/head-id/head-dest so one plan pays for
     all three gathers).  Returns ``[K, C, R]``, bitwise-equal to
-    ``mat[:, tab]`` transposed to slot-major.
+    ``mat[:, tab]`` transposed to slot-major.  One dynamic-slice + one
+    [K, C, R] select per GLOBAL bucket — slots sharing an offset share the
+    roll.
     """
     C, R = mat.shape
-    K, B = shift.shape
+    (B,) = shift.shape
+    K = sel.shape[0]
     out = jnp.zeros((K, C, R), mat.dtype)
     if exc_src.shape[0]:
         out = out.at[exc_k, :, exc_v].set(mat[:, exc_src].T)
     mat2 = jnp.concatenate([mat, mat], axis=1)  # doubled once, shared by rolls
-    rows = []
-    for k in range(K):
-        acc = out[k]
-        for j in range(B):
-            rolled = lax.dynamic_slice_in_dim(mat2, shift[k, j], R, axis=1)
-            acc = jnp.where((sel[k] == j)[None, :], rolled, acc)
-        rows.append(acc)
-    return jnp.stack(rows)
+    for b in range(B):
+        rolled = lax.dynamic_slice_in_dim(mat2, shift[b], R, axis=1)
+        out = jnp.where((sel == b)[:, None, :], rolled[None], out)
+    return out

@@ -110,17 +110,17 @@ class Network:
     # the direction step's one remaining gather (``pack[in_src_tab]``) hits
     # XLA's serial emitter; road networks have few distinct ``src - dst``
     # offsets, so the gather is evaluated as per-offset rolls instead.
-    # ``in_roll_shift.shape[1] == 0`` means declined (small R / irregular
+    # ``in_roll_shift.shape == (0,)`` means declined (small R / irregular
     # topology) and the direct gather is used.  Derived from in_src_tab at
     # build time; no independent semantics. ---
-    in_roll_shift: jnp.ndarray = None    # int32[KIN, B] — mod-R offsets
+    in_roll_shift: jnp.ndarray = None    # int32[B] — global mod-R offsets
     in_roll_sel: jnp.ndarray = None      # int32[KIN, R] — bucket id (B = exception)
     in_roll_exc_src: jnp.ndarray = None  # int32[E] — exception source roads
     in_roll_exc_k: jnp.ndarray = None    # int32[E]
     in_roll_exc_v: jnp.ndarray = None    # int32[E]
     # Same plan over out_dst_tab: core.response.confirm_step replaces its
     # [R]-index pop scatter with rolled out-slot compares at metro scale.
-    out_roll_shift: jnp.ndarray = None   # int32[KOUT, B]
+    out_roll_shift: jnp.ndarray = None   # int32[B]
     out_roll_sel: jnp.ndarray = None     # int32[KOUT, R]
     out_roll_exc_src: jnp.ndarray = None # int32[E]
     out_roll_exc_k: jnp.ndarray = None   # int32[E]

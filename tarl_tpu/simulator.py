@@ -315,7 +315,8 @@ class TransportationSimulator:
                     state.road, state.selected_road, self.network, state.time,
                     k_dir, physics,
                 )
-                road, popped = confirm_step(road, accept, win_src)
+                road, popped = confirm_step(road, accept, win_src,
+                                            self.network)
                 hour = jnp.clip(
                     (state.time / 3600.0).astype(jnp.int32), 0, simc.num_hours - 1
                 )

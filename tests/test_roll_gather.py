@@ -34,16 +34,17 @@ def grid(tmp_path_factory):
 
 def _force_plan(net, **kw):
     kw.setdefault("max_exc_frac", 1.0)  # tiny grid: boundary tail is large
+    kw.setdefault("min_count", 1)       # tiny grid: every count is small
     plan = build_roll_plan(
         np.asarray(net.in_src_tab), np.asarray(net.in_edge_ok),
         min_roads=0, **kw,
     )
-    assert plan[0].shape[1] > 0, "grid plan unexpectedly declined"
+    assert plan[0].shape[0] > 0, "grid plan unexpectedly declined"
     out_plan = build_roll_plan(
         np.asarray(net.out_dst_tab), np.asarray(net.out_edge_ok),
         min_roads=0, **kw,
     )
-    assert out_plan[0].shape[1] > 0
+    assert out_plan[0].shape[0] > 0
     return net.replace(
         in_roll_shift=jnp.asarray(plan[0]),
         in_roll_sel=jnp.asarray(plan[1]),
@@ -67,7 +68,7 @@ def test_roll_gather_matches_direct(grid):
     mat = jnp.asarray(rng.integers(-(2**30), 2**30, size=(3, R)), jnp.int32)
     for max_buckets in (2, 8):  # small cap forces a real exception tail
         plan = build_roll_plan(tab, ok, min_roads=0, max_buckets=max_buckets,
-                               max_exc_frac=1.0)
+                               max_exc_frac=1.0, min_count=1)
         got = roll_gather(mat, *(jnp.asarray(p) for p in plan))
         want = np.asarray(mat)[:, tab].transpose(1, 0, 2)  # [K, 3, R]
         # compare only valid slots (invalid-slot values are don't-care)
@@ -81,7 +82,7 @@ def test_plan_declines_below_min_roads(grid):
     net, _ = grid
     plan = build_roll_plan(np.asarray(net.in_src_tab),
                            np.asarray(net.in_edge_ok))  # default min_roads
-    assert plan[0].shape[1] == 0  # R=224 << MIN_ROADS: direct gather wins
+    assert plan[0].shape[0] == 0  # R=224 << MIN_ROADS: direct gather wins
 
 
 def test_plan_declines_on_scrambled_indices():
@@ -90,7 +91,7 @@ def test_plan_declines_on_scrambled_indices():
     tab = rng.integers(0, R, size=(3, R)).astype(np.int32)
     ok = np.ones((3, R), bool)
     plan = build_roll_plan(tab, ok, min_roads=0)
-    assert plan[0].shape[1] == 0  # exception tail over budget
+    assert plan[0].shape[0] == 0  # exception tail over budget
 
 
 def test_direction_roll_path_bitwise(grid):
