@@ -229,6 +229,36 @@ def test_radial_buckets_under_raised_cap(tmp_path):
     np.testing.assert_array_equal(np.asarray(d_gather), np.asarray(d_roll))
 
 
+def test_roll_path_lowers_without_slot_gathers(grid):
+    """Design property: with the roll plan active, direction_step's lowered
+    program contains only the tiny exception gather — the [KIN*R] slot
+    gather and the two winner gathers are gone (they are the ops the serial
+    TPU emitter makes tick-dominating at metro scale)."""
+    from tarl_tpu.core.direction import direction_step
+    from tarl_tpu.state import init_road_state
+
+    net, _ = grid
+    net_roll = _force_plan(net)
+    R = net.num_roads
+    road = init_road_state(R, net.nmax)
+    sel = jnp.zeros((net.num_nodes,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    t = jnp.float32(0.0)
+
+    def count_gathers(n):
+        f = jax.jit(lambda r, s: direction_step(r, s, n, t, key,
+                                                compute_delta=False))
+        txt = f.lower(road, sel).compile().as_text()
+        return txt.count(" gather(")
+
+    with_roll = count_gathers(net_roll)
+    without = count_gathers(net)
+    # The gather path needs the slot gather + 2 winner gathers; the roll
+    # path keeps at most the [E]-sized exception gather.
+    assert with_roll < without
+    assert with_roll <= 2
+
+
 def test_exception_tail_exercised(grid):
     """With max_buckets=1 most slots fall to the exception gather/scatter;
     the episode must still match bitwise (covers the exception path)."""
