@@ -159,6 +159,7 @@ def main(argv=None):
         checkpoint_dir=ckpt_dir,
         checkpoint_interval=max(iters // 2, 1), verbose=False,
         stochastic_eval=args.track_stochastic,
+        stochastic_eval_samples=3,  # de-noise the selection metric
         track_best=("eval_stochastic/avg_travel_time"
                     if args.track_stochastic else "eval/avg_travel_time"),
     )
