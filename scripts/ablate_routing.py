@@ -52,6 +52,9 @@ def main() -> None:
     sim_small = SimConfig(timestep=1, start_time=6 * 3600,
                           record_road_optimality=False,
                           insert_window=1024, withdraw_depth=2)
+    sim_d1 = SimConfig(timestep=1, start_time=6 * 3600,
+                       record_road_optimality=False,
+                       insert_window=1024, withdraw_depth=1)
 
     results, finals = {}, {}
     for label, algo, rr, cfg in [
@@ -60,6 +63,7 @@ def main() -> None:
         ("sp-cond", "dijkstra", 10**9 - 1, sim),   # same, via per-tick cond
         ("sp-full", "dijkstra", 10, sim),
         ("sp-full-w1k", "dijkstra", 10, sim_small),
+        ("sp-full-w1k-d1", "dijkstra", 10, sim_d1),
     ]:
         routing = (RoutingConfig(refresh_rate=rr, max_bf_iters=8,
                                  backend="primal") if rr else None)
@@ -90,6 +94,12 @@ def main() -> None:
     print(f"W=4096/d=8 vs W=1024/d=2 arrivals identical: {same}")
     if not same:
         d = int(jnp.sum(a.arrival != b.arrival))
+        print(f"  mismatched arrivals: {d} / {a.arrival.shape[0]}")
+    c = finals["sp-full-w1k-d1"].agents
+    same1 = bool(jnp.array_equal(a.arrival, c.arrival))
+    print(f"W=4096/d=8 vs W=1024/d=1 arrivals identical: {same1}")
+    if not same1:
+        d = int(jnp.sum(a.arrival != c.arrival))
         print(f"  mismatched arrivals: {d} / {a.arrival.shape[0]}")
 
 
