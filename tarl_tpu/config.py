@@ -64,6 +64,16 @@ class SimConfig:
     # population with state.sort_agents_by_departure; outcomes are the
     # unsorted run's up to the id permutation.
     sorted_population: bool = False
+    # Compact the withdraw arrival-stamp scatter to at most this many indices
+    # per tick (None = scatter all R*depth candidate slots).  Pops are sparse
+    # — a tick withdraws ~(arrival rate) agents, not R*depth — and TPU
+    # scatters cost ~7 ns per INDEX regardless of how many are dropped
+    # (docs/BENCH.md emitter law), so a top_k compaction of the candidate
+    # list to a small static budget replaces the biggest post-roll index op.
+    # Ticks whose true pop count exceeds the budget fall back to the full
+    # scatter via lax.cond — outcomes stay bitwise-identical at any budget
+    # (tests/test_core_physics.py).
+    withdraw_compact: int | None = None
     # Record per-tick road-optimality series (delta travel time per road,
     # reference: transportation_simulator.py:351).  Costs T x R floats.
     record_road_optimality: bool = True

@@ -28,6 +28,7 @@ def withdraw_agents(
     network: Network,
     time: jnp.ndarray,
     depth: int | None = None,
+    compact: int | None = None,
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Withdraw all consecutive-from-head arrived agents.
 
@@ -38,6 +39,16 @@ def withdraw_agents(
         queue (the reference semantics, base.py:364-371); a small static bound
         caps per-tick memory traffic for very deep queues at the cost of
         spreading bursts over consecutive ticks.
+    compact:
+        Static budget for the arrival-stamp scatter (SimConfig.
+        withdraw_compact).  The ``[R*depth]`` candidate list is mostly
+        sentinels — a tick pops roughly the arrival rate, tens of agents —
+        while the scatter pays the TPU serial-emitter cost per INDEX.  With a
+        budget, ``lax.top_k`` over the is-real flags pulls the (at most
+        ``compact``) real entries to the front and the scatter shrinks to
+        ``compact`` indices; a tick whose true pop count overflows the budget
+        takes the full scatter through ``lax.cond`` — outcomes are
+        bitwise-identical at every budget.
 
     Returns ``(road, agents, withdraw_counts)`` where ``withdraw_counts`` is
     int32[R] agents popped per road this tick; ``withdraw_counts > 0`` is the
@@ -97,9 +108,33 @@ def withdraw_agents(
     # Stamp arrival (base.py:398-400).  DONE/ON_WAY are derived from it
     # (state.AgentState), so this ONE scatter replaces the reference's three
     # agent-column writes — withdraw is the largest tick phase on TPU.
-    arrival = agents.arrival.at[wids].set(
-        jnp.broadcast_to(time, wids.shape), mode="drop"
-    )
+    if compact is not None and 0 < compact < wids.size:
+        import jax
+
+        # Pull the real entries (wids < A) to the front: top_k on the flags
+        # is index-stable, so topi enumerates real positions in order.  All
+        # pops this tick stamp the same time, so order is immaterial anyway.
+        flags = (wids < A).astype(jnp.int32)
+        topf, topi = jax.lax.top_k(flags, compact)
+        cids = jnp.where(topf > 0, wids[topi], A)  # A -> dropped
+
+        def _compact(arr):
+            return arr.at[cids].set(
+                jnp.broadcast_to(time, cids.shape), mode="drop"
+            )
+
+        def _full(arr):
+            return arr.at[wids].set(
+                jnp.broadcast_to(time, wids.shape), mode="drop"
+            )
+
+        arrival = jax.lax.cond(
+            jnp.sum(wcount) <= compact, _compact, _full, agents.arrival
+        )
+    else:
+        arrival = agents.arrival.at[wids].set(
+            jnp.broadcast_to(time, wids.shape), mode="drop"
+        )
 
     return (
         road._replace(head=new_head, count=new_count),
