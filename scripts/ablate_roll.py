@@ -67,12 +67,12 @@ def core_scan(net, physics, sim):
     return run
 
 
-def withdraw_scan(net, depth):
+def withdraw_scan(net, depth, compact=None):
     @jax.jit
     def run(state):
         def body(s, _):
             road, ag, w = withdraw_agents(s.road, s.agents, net, s.time,
-                                          depth=depth)
+                                          depth=depth, compact=compact)
             return s._replace(road=road, agents=ag, time=s.time + 1.0), None
         return jax.lax.scan(body, state, length=CHUNK)[0]
 
@@ -119,6 +119,8 @@ def main():
 
     for d in (8, 2, 1):
         timed(f"withdraw depth={d}", withdraw_scan(net, d), state)
+    for c in (256, 1024):
+        timed(f"withdraw d=2 compact={c}", withdraw_scan(net, 2, c), state)
 
     # FULL tick both modes: a fresh jax.jit(lambda ...) per mode over the
     # UNDECORATED episode body, so each mode traces its own program (any
@@ -129,6 +131,13 @@ def main():
     os.environ["TARL_NO_ROLL"] = "0"
     f2 = jax.jit(lambda s: full(s)[0])
     timed("FULL tick (ROLL)", f2, state)
+
+    import dataclasses
+    sim_c = dataclasses.replace(sim, withdraw_compact=256)
+    full_c = functools.partial(episode_raw, network=net, policy=policy,
+                               num_steps=CHUNK, sim=sim_c)
+    f3 = jax.jit(lambda s: full_c(s)[0])
+    timed("FULL tick (ROLL + compact256)", f3, state)
 
 
 if __name__ == "__main__":
