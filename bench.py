@@ -55,6 +55,10 @@ TIMESTEP = 1
 CHUNK = int(os.environ.get("TARL_BENCH_CHUNK", "1024"))
 WINDOW = int(os.environ.get("TARL_BENCH_WINDOW", "1024"))
 DEPTH = int(os.environ.get("TARL_BENCH_DEPTH", "2"))
+# Arrival-scatter budget (SimConfig.withdraw_compact): bitwise-identical at
+# every value (overflow ticks take the full scatter through lax.cond); 0
+# disables.  Measured 179 -> 47 us/tick on the withdraw phase at Grid64x64.
+COMPACT = int(os.environ.get("TARL_BENCH_COMPACT", "256")) or None
 
 
 def main() -> None:
@@ -90,6 +94,7 @@ def main() -> None:
         record_road_optimality=False,
         insert_window=WINDOW,
         withdraw_depth=DEPTH,
+        withdraw_compact=COMPACT,
         sorted_population=True,
     )
     policy = Policy(choice=random_choice)
@@ -165,6 +170,7 @@ def _sp_bench(cache: str) -> dict:
     sim = SimConfig(timestep=1, start_time=6 * 3600,
                     record_road_optimality=False,
                     insert_window=1024, withdraw_depth=2,
+                    withdraw_compact=COMPACT,
                     sorted_population=True)
     policy = make_policy("dijkstra", routing, network=net)
     from tarl_tpu.core.step import run_episode_periodic
