@@ -72,8 +72,11 @@ class SimConfig:
     # list to a small static budget replaces the biggest post-roll index op.
     # Ticks whose true pop count exceeds the budget fall back to the full
     # scatter via lax.cond — outcomes stay bitwise-identical at any budget
-    # (tests/test_core_physics.py).
-    withdraw_compact: int | None = None
+    # (tests/test_core_physics.py).  "auto" (default) enables a 256-index
+    # budget once the candidate list R*depth reaches 4x the budget and stays
+    # plain below (the top_k pass is pure overhead when the scatter is
+    # already small); None disables unconditionally.
+    withdraw_compact: int | str | None = "auto"
     # Record per-tick road-optimality series (delta travel time per road,
     # reference: transportation_simulator.py:351).  Costs T x R floats.
     record_road_optimality: bool = True

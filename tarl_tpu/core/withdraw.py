@@ -21,6 +21,15 @@ from ..state import AgentState, RoadState
 # form (compile-size / CPU-runtime guard; see withdraw_agents).
 _SLOT_UNROLL_MAX = 16
 
+# compact="auto": candidate-list size (R * depth) at which the arrival
+# scatter switches to the top_k-compacted 256-index form.  Gated at 4x the
+# budget: below that the scatter is already small and the top_k pass is pure
+# overhead; both measured wins sit above it (Grid16x16 R*K=1920: official
+# bench 438 -> 448M agent-steps/s; Grid64x64 R*K=32768: withdraw phase
+# 179 -> 47 us/tick, scripts/ablate_roll.py).
+_COMPACT_AUTO_BUDGET = 256
+_COMPACT_AUTO_MIN = 4 * _COMPACT_AUTO_BUDGET
+
 
 def withdraw_agents(
     road: RoadState,
@@ -28,7 +37,7 @@ def withdraw_agents(
     network: Network,
     time: jnp.ndarray,
     depth: int | None = None,
-    compact: int | None = None,
+    compact: int | str | None = "auto",
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Withdraw all consecutive-from-head arrived agents.
 
@@ -48,7 +57,12 @@ def withdraw_agents(
         ``compact``) real entries to the front and the scatter shrinks to
         ``compact`` indices; a tick whose true pop count overflows the budget
         takes the full scatter through ``lax.cond`` — outcomes are
-        bitwise-identical at every budget.
+        bitwise-identical at every budget.  The default ``"auto"`` enables a
+        256-index budget once the candidate list exceeds
+        ``_COMPACT_AUTO_MIN`` entries (measured 179 → 47 µs/tick on the
+        withdraw phase at Grid64x64/depth=2, scripts/ablate_roll.py) and
+        stays on the plain scatter for small networks where the ``top_k``
+        overhead is not worth it; ``None`` disables unconditionally.
 
     Returns ``(road, agents, withdraw_counts)`` where ``withdraw_counts`` is
     int32[R] agents popped per road this tick; ``withdraw_counts > 0`` is the
@@ -59,6 +73,10 @@ def withdraw_agents(
     Nmax = road.nmax
     A = agents.num_agents
     K = Nmax if depth is None else min(depth, Nmax)
+    if isinstance(compact, str):
+        if compact != "auto":
+            raise ValueError(f"withdraw compact: {compact!r} (int|None|'auto')")
+        compact = _COMPACT_AUTO_BUDGET if R * K >= _COMPACT_AUTO_MIN else None
 
     # Ring reads as masked row-reductions over the logical-position matrix —
     # never per-row gathers (TPU's serial gather emitter costs more than the

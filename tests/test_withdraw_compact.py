@@ -66,3 +66,35 @@ def test_compact_with_bounded_depth(setup):
         np.asarray(full.agents.arrival), np.asarray(comp.agents.arrival)
     )
     assert int(jnp.sum(comp.road.count)) == int(jnp.sum(full.road.count))
+
+
+def test_auto_gate_resolution():
+    """"auto" resolves to the 256 budget once the candidate list reaches 4x
+    the budget, plain below, and rejects unknown strings; outcomes match the
+    explicit settings (compaction is bitwise-identical either way)."""
+    from tarl_tpu.core import withdraw as W
+
+    assert W._COMPACT_AUTO_BUDGET == 256
+    assert W._COMPACT_AUTO_MIN == 4 * W._COMPACT_AUTO_BUDGET
+
+    # Small net: "auto" must match the plain path bitwise whichever side of
+    # the gate it lands on.
+    import tempfile
+    base = ensure_scenario(tempfile.mkdtemp(), "Grid4x4")
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    auto = _run(net, agents, compact="auto", steps=1200)
+    plain = _run(net, agents, compact=None, steps=1200)
+    np.testing.assert_array_equal(
+        np.asarray(auto.agents.arrival), np.asarray(plain.agents.arrival)
+    )
+
+    with pytest.raises(ValueError, match="withdraw compact"):
+        from tarl_tpu.core.withdraw import withdraw_agents
+        sim = SimConfig(withdraw_compact="fast")
+        state = init_sim_state(net, agents, sim=sim,
+                               policy=Policy(choice=make_shortest_path_choice()))
+        withdraw_agents(state.road, state.agents, net, state.time,
+                        compact="fast")
