@@ -64,6 +64,16 @@ class SimConfig:
     # population with state.sort_agents_by_departure; outcomes are the
     # unsorted run's up to the id permutation.
     sorted_population: bool = False
+    # Escalate the insert window on saturated ticks: run additional window
+    # passes at offsets ptr + k*W until the last pass's tail agent is no
+    # longer due.  Consecutive windows COMPOSE exactly (per-road admission
+    # is a prefix in candidate order; escalation passes stamp departures
+    # from the tick-start occupancy snapshot), so the windowed insert
+    # becomes outcome-identical to the unbounded whole-population scan at
+    # ANY window size — saturated ticks pay extra passes, everyone else
+    # pays one while-loop predicate.  With sorted_population this is
+    # bitwise-equal to ``insert_agents`` (tests/test_agents.py).
+    insert_escalate: bool = True
     # Compact the withdraw arrival-stamp scatter to at most this many indices
     # per tick (None = scatter all R*depth candidate slots).  Pops are sparse
     # — a tick withdraws ~(arrival rate) agents, not R*depth — and TPU

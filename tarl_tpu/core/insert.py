@@ -67,6 +67,7 @@ def _admit_candidates(
     road_key: jnp.ndarray,       # int32[K] entry road, R = not a candidate
     cand_dest: jnp.ndarray | None = None,  # int32[K] dest per candidate
     update_inserted: bool = True,
+    stamp_count: jnp.ndarray | None = None,  # int32[R] tick-start occupancy
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Shared admission core: capacity-clipped group insert of candidates.
 
@@ -84,6 +85,16 @@ def _admit_candidates(
     Returns ``(road, agents, admitted)`` where ``admitted`` is the admission
     mask in CANDIDATE order (windowed insertion derives its pointer advance
     from it without re-reading agent flags).
+
+    ``stamp_count`` (optional [R] snapshot of road occupancy at tick start)
+    overrides the departure-stamp denominator: the reference stamps every
+    agent admitted in one tick with the congestion law evaluated at the
+    road's occupancy BEFORE the whole insert (base.py:313-325).  Escalation
+    passes (see :func:`insert_agents_windowed`) admit after earlier
+    same-tick passes already raised ``road.count``, so they pass the
+    snapshot to keep stamps bitwise-equal to a single whole-population
+    insert.  Rank/capacity math always uses the CURRENT count (equivalent
+    to global ranks, since earlier passes admit per-road prefixes).
     """
     R = road.num_roads
     Nmax = road.nmax
@@ -135,8 +146,11 @@ def _admit_candidates(
     slot = (head_c + count_before + rank) % Nmax
     rows = jnp.where(ok, road_cand, R)  # R is out of bounds -> dropped
 
+    stamp_c = (
+        count_before if stamp_count is None else stamp_count[safe_road]
+    )
     time_congestion = cc_c / (
-        cap_c + physics.congestion_softening - count_before.astype(jnp.float32)
+        cap_c + physics.congestion_softening - stamp_c.astype(jnp.float32)
     )
     travel_time = jnp.maximum(ff_c, time_congestion)
 
@@ -255,6 +269,7 @@ def insert_agents_windowed(
     entry_road: jnp.ndarray | None = None,
     entry_lookup=None,
     sorted_fast: bool = False,
+    escalate: bool = False,
 ) -> tuple[RoadState, AgentState, jnp.ndarray, jnp.ndarray]:
     """Windowed insertion: O(W log W) per tick instead of O(A log A).
 
@@ -269,17 +284,33 @@ def insert_agents_windowed(
     ``ptr`` advances past the leading run of agents that are ON_WAY or DONE.
     Capacity-blocked agents pin the pointer and retry next tick; if more than
     ``W`` agents are simultaneously pending, the overflow waits extra ticks
-    (bounded, documented deviation from the all-at-once reference scan).
+    (a bounded deviation from the all-at-once reference scan) — UNLESS
+    ``escalate`` is set (SimConfig.insert_escalate, the default), in which
+    case additional window passes run at offsets ``ptr + k·W`` until the
+    last pass's tail agent is no longer due (or the population is covered).
 
-    Returns ``(road, agents, new_ptr, saturated)``.  ``saturated`` (bool[])
-    is the in-run overflow monitor: True when the window's TAIL agent is
-    already due, i.e. due agents may extend beyond the window and this
-    tick's admission can differ from exact whole-population insertion.  A
-    run whose saturated series is all-False is outcome-identical to
-    ``insert_agents`` (given the same entry roads); measured at the official
-    bench workload (Grid16x16 / 50k / 2 h peak) saturation occurs and the
-    done-count deviation stays under 0.6% for W in [512, 2048] — see
-    bench.py.
+    Escalation is BITWISE-EXACT vs whole-population :func:`insert_agents`
+    (given the same entry roads): consecutive windows compose, because
+    per-road admission is a prefix of candidates in departure order — a
+    later pass sees ``remaining`` reduced by exactly the earlier passes'
+    same-road admissions, so local rank < local remaining ⟺ global rank <
+    global remaining, and slots (head + count + rank) telescope identically.
+    Departure stamps use the tick-start occupancy snapshot
+    (``stamp_count``), matching the reference's stamp-before-the-whole-
+    insert semantics (base.py:313-325).  Overlapping passes near the end of
+    the population (clamped starts) are outcome-neutral: a road that
+    blocked anyone has ``remaining == 0`` afterwards, and admitted agents
+    are no longer ready.  Non-saturated ticks pay only the while-loop
+    predicate.
+
+    Returns ``(road, agents, new_ptr, saturated)``.  Without escalation
+    ``saturated`` (bool[]) is the in-run overflow monitor: True when the
+    window's TAIL agent is already due, i.e. due agents may extend beyond
+    the window and this tick's admission can differ from exact
+    whole-population insertion (a run whose saturated series is all-False
+    is outcome-identical to ``insert_agents``).  With escalation the run is
+    ALWAYS outcome-identical and ``saturated`` (float32[]) instead counts
+    the extra passes taken this tick (0 = the window sufficed).
     """
     R = road.num_roads
     A = agents.num_agents
@@ -293,21 +324,10 @@ def insert_agents_windowed(
         # dummy agent 0 departs past the horizon and is simply never
         # windowed.  ``order`` is ignored.
         W = min(W, A - 1)
-        start = jnp.minimum(ptr, A - 1 - W).astype(jnp.int32)
-        lo = start + 1
-        win_ids = lo + jnp.arange(W, dtype=jnp.int32)
-        win_dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, W)
-        win_origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, W)
-        win_dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, W)
-        win_inserted = jax.lax.dynamic_slice_in_dim(agents.inserted, lo, W)
+        limit = A - 1 - W   # max clamped window start
+        static_tab = None
     else:
-        # Explicit clamped start: dynamic_slice clamps anyway, but the
-        # pointer arithmetic below must use the *actual* slice start.
-        start = jnp.minimum(ptr, A - W).astype(jnp.int32)
-        win_ids = jax.lax.dynamic_slice_in_dim(order, start, W).astype(
-            jnp.int32
-        )
-
+        limit = A - W
         # ONE row gather of the static per-agent columns.  The stack is
         # loop-invariant when run_episode keeps these arrays out of the
         # scan carry (module docstring); int columns round-trip exactly
@@ -320,46 +340,110 @@ def insert_agents_windowed(
             ],
             axis=1,
         )
-        win_static = static_tab[win_ids]                # [W, 3]
-        win_dep = win_static[:, 0]
-        win_origin = win_static[:, 1].astype(jnp.int32)
-        win_dest = win_static[:, 2].astype(jnp.int32)
-        win_inserted = agents.inserted[win_ids]         # dynamic flag gather
 
-    # done => inserted (arrival is stamped strictly after insertion), so the
-    # reference's ~ON_WAY & ~DONE readiness (base.py:247-251) is ~inserted.
-    ready = (win_dep <= time) & (~win_inserted)
-    if entry_lookup is not None:
-        win_entry = entry_lookup(win_ids)
-    elif entry_road is not None:
-        win_entry = entry_road[win_ids]
-    else:
-        win_entry = selected_road[win_origin]
-    valid_road = (win_entry >= 0) & (win_entry < R)
-    road_key = jnp.where(ready & valid_road, win_entry, R).astype(jnp.int32)
+    agents_static = agents  # immutable columns; `inserted` threads explicitly
+    pos_w = jnp.arange(W, dtype=jnp.int32)
 
-    road, agents, admitted = _admit_candidates(
-        road, agents, network, time, physics, win_ids, road_key,
-        cand_dest=win_dest, update_inserted=not sorted_fast,
-    )
-    if sorted_fast:
-        agents = agents._replace(
-            inserted=jax.lax.dynamic_update_slice_in_dim(
-                agents.inserted, win_inserted | admitted, lo, axis=0
+    def one_pass(road, inserted, off, stamp_count):
+        """One window pass at (clamped) offset ``off``.  Returns
+        ``(road, inserted, settled, saturated, start)``."""
+        start = jnp.minimum(off, limit).astype(jnp.int32)
+        if sorted_fast:
+            lo = start + 1
+            win_ids = lo + pos_w
+            win_dep = jax.lax.dynamic_slice_in_dim(
+                agents_static.departure, lo, W
             )
+            win_origin = jax.lax.dynamic_slice_in_dim(
+                agents_static.origin, lo, W
+            )
+            win_dest = jax.lax.dynamic_slice_in_dim(agents_static.dest, lo, W)
+            win_inserted = jax.lax.dynamic_slice_in_dim(inserted, lo, W)
+        else:
+            win_ids = jax.lax.dynamic_slice_in_dim(order, start, W).astype(
+                jnp.int32
+            )
+            win_static = static_tab[win_ids]                # [W, 3]
+            win_dep = win_static[:, 0]
+            win_origin = win_static[:, 1].astype(jnp.int32)
+            win_dest = win_static[:, 2].astype(jnp.int32)
+            win_inserted = inserted[win_ids]         # dynamic flag gather
+
+        # done => inserted (arrival is stamped strictly after insertion), so
+        # the reference's ~ON_WAY & ~DONE readiness (base.py:247-251) is
+        # ~inserted.
+        ready = (win_dep <= time) & (~win_inserted)
+        if entry_lookup is not None:
+            win_entry = entry_lookup(win_ids)
+        elif entry_road is not None:
+            win_entry = entry_road[win_ids]
+        else:
+            win_entry = selected_road[win_origin]
+        valid_road = (win_entry >= 0) & (win_entry < R)
+        road_key = jnp.where(
+            ready & valid_road, win_entry, R
+        ).astype(jnp.int32)
+
+        road, agents2, admitted = _admit_candidates(
+            road, agents_static._replace(inserted=inserted), network, time,
+            physics, win_ids, road_key, cand_dest=win_dest,
+            update_inserted=not sorted_fast, stamp_count=stamp_count,
         )
+        if sorted_fast:
+            inserted = jax.lax.dynamic_update_slice_in_dim(
+                inserted, win_inserted | admitted, lo, axis=0
+            )
+        else:
+            inserted = agents2.inserted
+
+        # settled = ON_WAY | DONE = inserted, and post-insert that is
+        # exactly (pre-insert inserted) | (admitted this tick) — no
+        # re-gather.  The tail agent being DUE (inserted or not) means
+        # later departures beyond the window may be due too.
+        settled = win_inserted | admitted
+        saturated = win_dep[W - 1] <= time
+        return road, inserted, settled, saturated, start
+
+    count0 = road.count  # tick-start occupancy (escalation stamp snapshot)
+    road, inserted, settled0, sat0, start0 = one_pass(
+        road, agents.inserted, ptr.astype(jnp.int32), None
+    )
 
     # Advance past the leading settled run, measured from the actual slice
-    # start.  settled = ON_WAY | DONE = inserted, and post-insert that is
-    # exactly (pre-insert inserted) | (admitted this tick) — no re-gather.
-    # The run length is the first unsettled position — a min-reduce, much
-    # cheaper on TPU than the cumprod-and-sum scan (~80 us/tick, measured).
-    settled = win_inserted | admitted
-    pos_w = jnp.arange(W, dtype=jnp.int32)
-    advance = jnp.min(jnp.where(settled, W, pos_w))
-    new_ptr = jnp.minimum(start + advance, A).astype(jnp.int32)
+    # start.  The run length is the first unsettled position — a min-reduce,
+    # much cheaper on TPU than the cumprod-and-sum scan (~80 us/tick,
+    # measured).
+    adv0 = jnp.min(jnp.where(settled0, W, pos_w))
 
-    # Conservative: the tail agent being DUE (inserted or not) means later
-    # departures beyond the window may be due too.
-    saturated = win_dep[W - 1] <= time
-    return road, agents, new_ptr, saturated
+    if not escalate:
+        new_ptr = jnp.minimum(start0 + adv0, A).astype(jnp.int32)
+        return road, agents._replace(inserted=inserted), new_ptr, sat0
+
+    # --- escalation: more passes while the last window's tail was due and
+    # a further window would cover new candidates -------------------------
+    def cond_fn(c):
+        _road, _ins, _start, sat, _adv, _open, _extra = c
+        return sat & (_start < limit)
+
+    def body_fn(c):
+        road, inserted, start_prev, _sat, adv, adv_open, extra = c
+        off = start_prev + W
+        road, inserted, settled, sat, start = one_pass(
+            road, inserted, off, count0
+        )
+        adv_k = jnp.min(jnp.where(settled, W, pos_w))
+        # Chain the pointer advance only across contiguous (unclamped)
+        # fully-settled windows; a conservative (smaller) ptr is always
+        # safe — the next tick just re-examines settled agents.
+        contiguous = start == off
+        adv = jnp.where(adv_open & contiguous, adv + adv_k, adv)
+        adv_open = adv_open & contiguous & (adv_k == W)
+        return road, inserted, start, sat, adv, adv_open, extra + 1.0
+
+    road, inserted, _start, _sat, adv, _open, extra = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (road, inserted, start0, sat0, adv0, adv0 == W,
+         jnp.zeros((), jnp.float32)),
+    )
+    new_ptr = jnp.minimum(start0 + adv, A).astype(jnp.int32)
+    return road, agents._replace(inserted=inserted), new_ptr, extra

@@ -162,7 +162,10 @@ def tick(
             state.road, state.agents, state.selected_road, network, t,
             state.insert_order, state.insert_ptr, sim.insert_window, physics,
             entry_lookup=entry_fn, sorted_fast=sim.sorted_population,
+            escalate=sim.insert_escalate,
         )
+        # Under escalation `sat` counts extra passes (run stays exact); the
+        # plain window reports the saturation monitor bool.
         saturated = sat.astype(jnp.float32)
     else:
         entry_road = (

@@ -193,6 +193,8 @@ def env_step(
         road, agents, insert_ptr, _ = insert_agents_windowed(
             road, agents, sim.selected_road, network, t,
             sim.insert_order, sim.insert_ptr, sim_cfg.insert_window, physics,
+            sorted_fast=sim_cfg.sorted_population,
+            escalate=sim_cfg.insert_escalate,
         )
     else:
         road, agents = insert_agents(

@@ -286,7 +286,8 @@ class TransportationSimulator:
                         state.road, state.agents, state.selected_road,
                         self.network, state.time, state.insert_order,
                         state.insert_ptr, simc.insert_window, physics,
-                        entry_road=entry,
+                        entry_road=entry, sorted_fast=simc.sorted_population,
+                        escalate=simc.insert_escalate,
                     )
                     return state._replace(road=road, agents=agents, insert_ptr=ptr)
                 road, agents = insert_agents(

@@ -265,10 +265,14 @@ class TickLog(NamedTuple):
     on_way: jnp.ndarray           # float32[] — agents currently en route
     time: jnp.ndarray             # float32[]
     road_delta_tt: jnp.ndarray    # float32[R] or float32[0] — congestion delay
-    # Windowed-insertion overflow monitor: 1.0 on ticks where the insert
-    # window's TAIL agent was already due, i.e. due agents may extend past
-    # the window and the bounded-entry deviation from the reference's
-    # all-at-once scan (core.insert.insert_agents_windowed) is ACTIVE.
-    # All-zero means the windowed run is outcome-identical to exact insert.
-    # 0.0 always under exact (window=None) insertion.
+    # Windowed-insertion overflow monitor.  With insert escalation (the
+    # SimConfig.insert_escalate default) the run is ALWAYS outcome-identical
+    # to the unbounded whole-population scan and this counts the EXTRA
+    # window passes the tick needed (0.0 = the base window sufficed).
+    # Without escalation: 1.0 on ticks where the insert window's TAIL agent
+    # was already due, i.e. due agents may extend past the window and the
+    # bounded-entry deviation from the reference's all-at-once scan
+    # (core.insert.insert_agents_windowed) is ACTIVE — all-zero means the
+    # windowed run is outcome-identical to exact insert.  0.0 always under
+    # exact (window=None) insertion.
     window_saturated: jnp.ndarray  # float32[]

@@ -67,6 +67,112 @@ def test_small_window_conserves_and_completes(setup):
     assert att_w == pytest.approx(att_e, rel=0.25)
 
 
+def test_escalation_single_tick_matches_exact(setup):
+    """Escalating window passes must reproduce the whole-population insert
+    BITWISE in a single tick — including the departure stamps of agents
+    admitted by later passes on a road that earlier passes already pushed
+    to (the tick-start occupancy snapshot, core.insert._admit_candidates
+    stamp_count)."""
+    from tarl_tpu.config import DEFAULT_PHYSICS
+    from tarl_tpu.core.insert import insert_agents, insert_agents_windowed
+    from tarl_tpu.state import init_agent_state, init_road_state
+
+    net, _ = setup
+    R = net.num_roads
+    # 41 agents (id 0 = dummy past the horizon), ALL due at t=100: 30 head
+    # for road 0 (spans 4 window passes at W=8), 10 for road 1.
+    A = 41
+    dep = np.full((A,), 50.0, np.float32)
+    dep[0] = 1e9
+    agents = init_agent_state(
+        origin=np.zeros((A,), np.int32),
+        dest=np.ones((A,), np.int32),
+        departure=dep,
+    )
+    entry = np.concatenate(
+        [[R], np.zeros(30, np.int32), np.ones(10, np.int32)]
+    ).astype(np.int32)
+    entry = jnp.asarray(entry)
+    t = jnp.asarray(100.0, jnp.float32)
+    sel = jnp.zeros((net.num_nodes,), jnp.int32)
+
+    road0 = init_road_state(R, net.nmax)
+    # Road 0 must admit across a pass boundary (> W) AND block the tail
+    # (< 30 candidates) so both the stamp snapshot and the blocked-suffix
+    # invariants are exercised.
+    cap0 = float(net.capacity[0])
+    assert 8 < cap0 - 3 < 30, f"capacity {cap0} breaks the test premise"
+
+    exact_road, exact_agents = insert_agents(
+        road0, agents, sel, net, t, DEFAULT_PHYSICS, entry_road=entry
+    )
+    for fast in (False, True):
+        order = jnp.arange(A, dtype=jnp.int32)  # ids are departure-sorted
+        w_road, w_agents, _, extra = insert_agents_windowed(
+            road0, agents, sel, net, t, order, jnp.zeros((), jnp.int32),
+            8, DEFAULT_PHYSICS, entry_road=entry, sorted_fast=fast,
+            escalate=True,
+        )
+        assert float(extra) >= 2.0  # multi-pass actually happened
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.fifo_ids), np.asarray(w_road.fifo_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.fifo_departure),
+            np.asarray(w_road.fifo_departure),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.fifo_arrival),
+            np.asarray(w_road.fifo_arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.fifo_dest), np.asarray(w_road.fifo_dest)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.count), np.asarray(w_road.count)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_agents.inserted), np.asarray(w_agents.inserted)
+        )
+
+
+def test_escalation_episode_matches_exact(setup):
+    """A burst workload (everyone due at episode start) with a tiny window:
+    with SimConfig.insert_escalate the full episode trajectory is bitwise
+    equal to the unbounded whole-population insert."""
+    from tarl_tpu.state import sort_agents_by_departure
+
+    net, agents = setup
+    agents = sort_agents_by_departure(agents)
+    start = int(np.asarray(agents.departure)[1:].max()) + 1  # all due at t0
+    steps = 2500
+    finals, logs = {}, {}
+    for window in (None, 16):
+        sim = SimConfig(start_time=start, end_time=start + steps,
+                        insert_window=window, record_road_optimality=False,
+                        sorted_population=window is not None,
+                        insert_escalate=True)
+        policy = Policy(
+            choice=make_shortest_path_choice(),
+            entry=lambda s, n: s.next_hop[s.agents.origin, s.agents.dest],
+            needs_next_hop=True,
+        )
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        finals[window], logs[window] = run_episode(
+            state, net, policy, steps, sim=sim
+        )
+    assert float(np.asarray(logs[16].window_saturated).max()) >= 1.0
+    np.testing.assert_array_equal(
+        np.asarray(finals[None].agents.arrival),
+        np.asarray(finals[16].agents.arrival),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(finals[None].agents.done),
+        np.asarray(finals[16].agents.done),
+    )
+    assert int(np.asarray(finals[16].agents.done)[1:].sum()) > 0
+
+
 def test_sorted_fast_path_matches_windowed(setup):
     """SimConfig.sorted_population (the gather-free windowed-insert fast
     path) must reproduce the normal windowed trajectory bitwise on a
