@@ -45,8 +45,10 @@ class TransformerRoutePolicy(nn.Module):
 
     # GTConv attention aggregates over the WHOLE edge list — logits are not
     # per-edge-row independent, so the slot-major padded-table fast paths
-    # (rl.learned_policy.make_learned_choice, the shard_map episode) must
-    # reject this net (they mask invalid rows only after the forward).
+    # (rl.learned_policy.make_learned_choice, the shard_map episode) cannot
+    # run this net's own forward (they mask invalid rows only after the
+    # fact).  They detect the flag and route through the masked slot-twin
+    # forward instead (models/transformer/slot_forward.py — same params).
     edge_row_independent = False
 
     pe: np.ndarray          # [N, pe_dim] static positional encodings

@@ -28,7 +28,11 @@ pinned:
   tie-break as ``core.direction``.
 
 Supported policies: ``random_choice`` (reads no road state, so its
-replicated recomputation is exact) and the shortest-path policy in BOTH
+replicated recomputation is exact), learned policies from
+``rl.learned_policy.make_learned_choice`` — edge-row-independent nets run
+their forward on the local slot columns only; attention nets (GTConv) run
+the slot-twin trunk with a per-layer all_gather node halo
+(models/transformer/slot_forward.py) — and the shortest-path policy in BOTH
 table backends — the dense dual [N, N] form (``Policy.needs_next_hop``)
 and the O(I^2) primal form (``Policy.table_init``, for large networks):
 either refresh and its per-road next-hop selection run REPLICATED on every
@@ -168,9 +172,16 @@ def run_episode_shard_map(
         # (rl.learned_policy).  Shard i owns the edge groups whose SOURCE
         # road is in its block; the small SRC/DEST-node groups (entry-edge
         # logits) are recomputed replicated, like the routing refreshes.
-        from ..rl.learned_policy import full_out_tables
+        # Attention nets (spec.slot_net, models.transformer.slot_forward)
+        # reuse the spec's own out tables so slot layouts cannot diverge.
+        attention_net = learned.slot_net is not None
+        if attention_net:
+            lp_ok = learned.slot_tables.out_ok
+            lp_dst = learned.slot_tables.out_dst
+        else:
+            from ..rl.learned_policy import full_out_tables
 
-        lp_ok, lp_dst, lp_attr = full_out_tables(network)
+            lp_ok, lp_dst, lp_attr = full_out_tables(network)
         KF = int(lp_ok.shape[0])
         N = network.num_nodes
         # Padded ROAD-column views for block slicing (the virtual columns
@@ -402,10 +413,38 @@ def run_episode_shard_map(
             # column so the row gathers stay in range — the values never
             # contribute.
             cols_blk = block0 + rows_local
-            logit_blk = slot_logits(
-                learned, x_ctx, network, lp_dst, lp_attr,
-                jnp.minimum(cols_blk, R - 1),
-            )
+            logit_virt_attn = None
+            if attention_net:
+                # Attention net: the slot-twin trunk runs once over the
+                # local block + the replicated virtual columns, with the
+                # per-layer node sync = all_gather of the block updates
+                # (models.transformer.slot_forward module docstring) — the
+                # node state every shard carries into the next layer is
+                # bitwise the unsharded one, so the local columns' logits
+                # are too.
+                nv = N - R
+                cols_all = jnp.concatenate([
+                    jnp.minimum(cols_blk, R - 1),
+                    jnp.arange(R, N, dtype=jnp.int32),
+                ])
+
+                def _sync(h_cols):
+                    h_blk = jax.lax.all_gather(
+                        h_cols[:rl], AXIS, tiled=True
+                    )  # [Rp, d]
+                    return jnp.concatenate([h_blk[:R], h_cols[rl:]], axis=0)
+
+                logit_all = learned.slot_net.apply(
+                    learned.params, x_ctx, learned.slot_tables, cols_all,
+                    sync=_sync,
+                )
+                logit_blk = logit_all[:, :rl]
+                logit_virt_attn = logit_all[:, rl:]
+            else:
+                logit_blk = slot_logits(
+                    learned, x_ctx, network, lp_dst, lp_attr,
+                    jnp.minimum(cols_blk, R - 1),
+                )
             g_blk = jax.lax.dynamic_slice(g_road_p, (0, block0), (KF, rl))
             ok_blk = jax.lax.dynamic_slice(lp_ok_p, (0, block0), (KF, rl))
             dst_blk = jax.lax.dynamic_slice(lp_dst_p, (0, block0), (KF, rl))
@@ -416,10 +455,13 @@ def run_episode_shard_map(
             sel_roads = jax.lax.all_gather(sel_blk, AXIS, tiled=True)  # [Rp]
 
             # Virtual (SRC/DEST) columns, replicated on every shard.
-            cols_virt = jnp.arange(R, N, dtype=jnp.int32)
-            logit_virt = slot_logits(
-                learned, x_ctx, network, lp_dst, lp_attr, cols_virt
-            )
+            if attention_net:
+                logit_virt = logit_virt_attn
+            else:
+                cols_virt = jnp.arange(R, N, dtype=jnp.int32)
+                logit_virt = slot_logits(
+                    learned, x_ctx, network, lp_dst, lp_attr, cols_virt
+                )
             score_virt = jnp.where(
                 lp_ok[:, R:], logit_virt + g_full[:, R:], -jnp.inf
             )

@@ -52,13 +52,18 @@ class LearnedSpec:
     def __init__(self, policy_net, params, *, deterministic: bool = False,
                  pending_entrants: bool = False,
                  dist: Optional[jnp.ndarray] = None,
-                 extra_obs: bool = False):
+                 extra_obs: bool = False,
+                 slot_net=None, slot_tables=None):
         self.policy_net = policy_net
         self.params = params
         self.deterministic = deterministic
         self.pending_entrants = pending_entrants
         self.dist = dist  # [N, N] distance-prior table (or None)
         self.extra_obs = extra_obs  # append observation.extra_node_features
+        # Attention nets (edge_row_independent=False): the slot-major twin
+        # forward + its in/out edge tables (models.transformer.slot_forward).
+        self.slot_net = slot_net
+        self.slot_tables = slot_tables
 
 
 def rollout_context(
@@ -168,37 +173,51 @@ def make_learned_choice(
     the multi-hot write of ``ExternalChoice`` (reinforcement_learning.py:
     224-231) for the one-sample-per-source-group action.
 
-    Requires an EDGE-ROW-INDEPENDENT policy net (per-edge MLP / embedding
-    gather, like MPNNPolicyNet): the forward runs on the slot-major padded
-    edge table, whose invalid rows are masked AFTER the fact.  An
-    attention-based net (TransformerRoutePolicy) aggregates over its whole
-    edge list — padded rows would contaminate real nodes' softmax sums and
-    silently corrupt every logit.  Such nets declare
-    ``edge_row_independent = False`` and are rejected here; drive them
-    through the rl.env rollout path (real edge list) instead.
+    EDGE-ROW-INDEPENDENT policy nets (per-edge MLP / embedding gather, like
+    MPNNPolicyNet) run directly on the slot-major padded edge table, whose
+    invalid rows are masked AFTER the fact.  An attention-based net
+    (TransformerRoutePolicy) aggregates over its whole edge list — padded
+    rows would contaminate real nodes' softmax sums — so nets declaring
+    ``edge_row_independent = False`` run through the masked slot-major twin
+    forward instead (models.transformer.slot_forward: deterministic
+    slot-axis softmax reductions; the trained params apply verbatim).
     """
     from ..core.step import Policy
 
-    if not getattr(policy_net, "edge_row_independent", True):
-        raise ValueError(
-            f"{type(policy_net).__name__} is not edge-row-independent: its "
-            "forward aggregates over the edge list, so the slot-major "
-            "padded table used here (and by the shard_map episode) would "
-            "silently corrupt its logits.  Use the rl.env rollout path."
+    attention = not getattr(policy_net, "edge_row_independent", True)
+    if attention:
+        from ..models.transformer.slot_forward import (
+            slot_edge_tables,
+            slot_twin,
         )
 
-    spec = LearnedSpec(
-        policy_net, params, deterministic=deterministic,
-        pending_entrants=pending_entrants, dist=dist, extra_obs=extra_obs,
-    )
-    ok, dst_tab, attr_tab = full_out_tables(network)
+        spec = LearnedSpec(
+            policy_net, params, deterministic=deterministic,
+            pending_entrants=pending_entrants, dist=dist,
+            extra_obs=extra_obs, slot_net=slot_twin(policy_net),
+            slot_tables=slot_edge_tables(network),
+        )
+        ok = spec.slot_tables.out_ok
+        dst_tab = spec.slot_tables.out_dst
+        attr_tab = spec.slot_tables.out_attr[..., 0]
+    else:
+        spec = LearnedSpec(
+            policy_net, params, deterministic=deterministic,
+            pending_entrants=pending_entrants, dist=dist, extra_obs=extra_obs,
+        )
+        ok, dst_tab, attr_tab = full_out_tables(network)
     n = network.num_nodes
     all_cols = jnp.arange(n, dtype=jnp.int32)
 
     def choice(state: SimState, network: Network):
         x = rollout_context(state, network, spec.pending_entrants,
                             extra_obs=spec.extra_obs)
-        logits = slot_logits(spec, x, network, dst_tab, attr_tab, all_cols)
+        if attention:
+            logits = spec.slot_net.apply(
+                spec.params, x, spec.slot_tables, all_cols
+            )
+        else:
+            logits = slot_logits(spec, x, network, dst_tab, attr_tab, all_cols)
         key, sub = jax.random.split(state.key)
         if spec.deterministic:
             score = jnp.where(ok, logits, -jnp.inf)

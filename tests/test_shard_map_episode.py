@@ -230,6 +230,57 @@ def test_shard_map_learned_policy_matches_unsharded(setup):
         assert not sm_final.road.count.sharding.is_fully_replicated
 
 
+def test_shard_map_transformer_policy_matches_unsharded(setup):
+    """Attention policies (GTConv aggregation) run SPATIALLY SHARDED too:
+    the slot-twin trunk (models/transformer/slot_forward.py) computes each
+    layer's node updates for the local road block, all_gathers them as the
+    halo, and scores only the local out-edge columns — bitwise-equal to the
+    unsharded learned rollout in both sampling modes."""
+    from tarl_tpu.models.transformer.agent import (
+        TransformerRoutePolicy,
+        network_positional_encoding,
+    )
+    from tarl_tpu.rl.learned_policy import make_learned_choice
+
+    net, agents = setup
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 200)
+    pe = network_positional_encoding(net, 8)
+    pnet = TransformerRoutePolicy(pe=pe, hidden_dim=8, num_layers=2,
+                                  num_heads=2)
+    n, e = net.num_nodes, net.num_full_edges
+    params = pnet.init(
+        jax.random.PRNGKey(5), jnp.ones((n, 16)), jnp.ones((e, 1)),
+        net.full_src, net.full_dst,
+    )
+    mesh = make_road_mesh(8)
+
+    for deterministic in (False, True):
+        policy = make_learned_choice(pnet, params, net,
+                                     deterministic=deterministic)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        ref_final, ref_logs = run_episode(state, net, policy, 200, sim=sim)
+        sm_final, sm_logs = run_episode_shard_map(
+            state, net, policy, 200, mesh, sim=sim
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.done), np.asarray(sm_final.agents.done)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.arrival),
+            np.asarray(sm_final.agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.selected_road),
+            np.asarray(sm_final.selected_road),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_logs.arrivals), np.asarray(sm_logs.arrivals)
+        )
+        # Non-vacuous: agents entered the network (a random-init attention
+        # policy may legitimately complete none of them in 200 ticks).
+        assert float(np.asarray(sm_logs.on_way).max()) > 0
+
+
 def test_learned_rollout_context_matches_ppo_context(setup):
     """rollout_context (the classical-episode context builder) must produce
     exactly the x[N, 16] the PPO training path feeds the policy, so trained

@@ -122,16 +122,91 @@ class TestTransformerAgent:
         sel = np.asarray(final.selected_road[: net.num_roads])
         assert np.all(sel >= 0)  # every road got a sampled direction
 
-    def test_slot_major_adapter_rejects_attention_nets(self, setup):
-        """make_learned_choice runs the forward on the slot-major PADDED
-        edge table; GTConv attention would aggregate the padding into real
-        nodes' softmax sums, so it must be rejected loudly
-        (TransformerRoutePolicy.edge_row_independent = False)."""
-        from tarl_tpu.rl.learned_policy import make_learned_choice
+    def test_slot_forward_matches_segment(self, setup):
+        """The slot-major twin (models/transformer/slot_forward.py) applied
+        to the SAME params reproduces the segment-op training forward's
+        per-edge logits (up to reduction order inside the softmax sums)."""
+        from tarl_tpu.models.transformer.slot_forward import (
+            slot_edge_tables,
+            slot_twin,
+        )
 
         net, agents, state = setup
         pe = network_positional_encoding(net, 16)
-        pol_net = TransformerRoutePolicy(pe=pe, hidden_dim=16, num_layers=1,
-                                         num_heads=2)
-        with pytest.raises(ValueError, match="edge-row-independent"):
-            make_learned_choice(pol_net, {}, net)
+        pol_net = TransformerRoutePolicy(pe=pe, hidden_dim=16, num_layers=2,
+                                         num_heads=4)
+        n, e = net.num_nodes, net.num_full_edges
+        key = jax.random.PRNGKey(3)
+        x = jax.random.normal(key, (n, 16))
+        params = pol_net.init(jax.random.PRNGKey(0), x,
+                              jnp.ones((e, 1)), net.full_src, net.full_dst)
+        ef = net.full_attr.reshape(-1, 1)
+        flat = pol_net.apply(params, x, ef, net.full_src, net.full_dst)
+
+        tables = slot_edge_tables(net)
+        twin = slot_twin(pol_net)
+        cols = jnp.arange(n, dtype=jnp.int32)
+        slot = twin.apply(params, x, tables, cols)
+
+        # Scatter the flat logits into the out-slot layout for comparison.
+        src = np.asarray(net.full_src)
+        expect = np.zeros(slot.shape, np.float32)
+        fill = {int(s): 0 for s in range(n)}
+        for ei in range(e):
+            s = int(src[ei])
+            expect[fill[s], s] = float(flat[ei])
+            fill[s] += 1
+        ok = np.asarray(tables.out_ok)
+        np.testing.assert_allclose(
+            np.where(ok, np.asarray(slot), 0.0), expect, atol=2e-5, rtol=2e-5
+        )
+        assert ok.sum() == e
+
+    def test_learned_choice_attention_net(self, setup):
+        """make_learned_choice accepts attention nets via the slot-major
+        twin forward: the deterministic selection equals the argmax over
+        the segment-op training forward's per-source out-edge logits
+        (ascending-slot strict-> tie-break)."""
+        from tarl_tpu.rl.learned_policy import (
+            make_learned_choice,
+            rollout_context,
+        )
+
+        net, agents, state = setup
+        pe = network_positional_encoding(net, 16)
+        pol_net = TransformerRoutePolicy(pe=pe, hidden_dim=16, num_layers=2,
+                                         num_heads=4)
+        n, e = net.num_nodes, net.num_full_edges
+        params = pol_net.init(
+            jax.random.PRNGKey(0), jnp.ones((n, 16)), jnp.ones((e, 1)),
+            net.full_src, net.full_dst,
+        )
+        policy = make_learned_choice(pol_net, params, net,
+                                     deterministic=True)
+        # Warm the state so the context is non-trivial, then one choice.
+        warm, _ = run_episode(state, net, Policy(choice=random_choice), 50)
+        chosen, _ = policy.choice(warm, net)
+        sel = np.asarray(chosen.selected_road)
+
+        x = rollout_context(warm, net)
+        flat = np.asarray(pol_net.apply(
+            params, x, net.full_attr.reshape(-1, 1),
+            net.full_src, net.full_dst,
+        ))
+        src = np.asarray(net.full_src)
+        dst = np.asarray(net.full_dst)
+        best = np.full(n, -np.inf)
+        expect = np.asarray(warm.selected_road).copy()
+        for ei in range(e):  # edge-id order == ascending slot order
+            s = int(src[ei])
+            if flat[ei] > best[s] + 1e-4:  # clear of reduction-order ulps
+                best[s] = flat[ei]
+                expect[s] = dst[ei]
+        near_tie = np.zeros(n, bool)
+        for ei in range(e):
+            s = int(src[ei])
+            near_tie[s] |= abs(flat[ei] - best[s]) < 1e-4 and expect[s] != dst[ei]
+        cmp = ~near_tie
+        np.testing.assert_array_equal(sel[cmp], expect[cmp])
+        # Not vacuous (ties concentrate on symmetric virtual SRC nodes).
+        assert cmp.sum() > 0.7 * n
