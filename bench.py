@@ -28,6 +28,16 @@ comparison against the unbounded reference semantics):
   per-tick ``TickLog.window_saturated`` monitor flags exactly the ticks
   where the deviation can be active (all-zero == bitwise-exact run).
 
+The headline row runs this fast bounded mode (``insert_escalate=False``
+and ``withdraw_escalate=False``, explicit — the SimConfig DEFAULTS escalate
+saturated ticks to exactness); the ``exact_*`` keys measure the SAME
+workload with both escalations ON, i.e. bitwise reference-exact
+whole-population insert AND unbounded-withdraw semantics.  The
+gap is the honest price of exactness here: the peak keeps a multi-thousand
+agent capacity-blocked backlog saturated, and exact insertion re-scans that
+backlog every tick (escalation passes at ptr + k*W) while the bounded mode
+delays overflow entrants a few ticks (done-count delta < 0.6%).
+
 The core runs the slot-major XLA path (core/direction.py) — measured faster
 than the Pallas fused kernel at every size since the gather-free redesign.
 
@@ -87,42 +97,52 @@ def main() -> None:
 
     agents = sort_agents_by_departure(agents)
 
-    sim_cfg = SimConfig(
-        timestep=TIMESTEP,
-        start_time=6 * 3600,
-        end_time=6 * 3600 + SIM_SECONDS,
-        record_road_optimality=False,
-        insert_window=WINDOW,
-        withdraw_depth=DEPTH,
-        withdraw_compact=COMPACT,
-        sorted_population=True,
-    )
-    policy = Policy(choice=random_choice)
-    state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
+    def measure(insert_escalate: bool) -> float:
+        sim_cfg = SimConfig(
+            timestep=TIMESTEP,
+            start_time=6 * 3600,
+            end_time=6 * 3600 + SIM_SECONDS,
+            record_road_optimality=False,
+            insert_window=WINDOW,
+            withdraw_depth=DEPTH,
+            withdraw_compact=COMPACT,
+            sorted_population=True,
+            insert_escalate=insert_escalate,
+            withdraw_escalate=insert_escalate,
+        )
+        policy = Policy(choice=random_choice)
+        state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
 
-    # One chunk size -> one compile; first chunk is the warmup.
-    chunk = CHUNK
-    num_chunks = max(SIM_SECONDS // TIMESTEP // chunk, 2)
-    state, _ = run_episode(state, net, policy, chunk, sim=sim_cfg)
-    jax.block_until_ready(state.road.count)
+        # One chunk size -> one compile; first chunk is the warmup.
+        chunk = CHUNK
+        num_chunks = max(SIM_SECONDS // TIMESTEP // chunk, 2)
+        state, _ = run_episode(state, net, policy, chunk, sim=sim_cfg)
+        jax.block_until_ready(state.road.count)
 
-    t0 = time.time()
-    final = state
-    for _ in range(num_chunks - 1):
-        final, logs = run_episode(final, net, policy, chunk, sim=sim_cfg)
-    jax.block_until_ready(final.road.count)
-    wall = time.time() - t0
+        t0 = time.time()
+        final = state
+        for _ in range(num_chunks - 1):
+            final, logs = run_episode(final, net, policy, chunk, sim=sim_cfg)
+        jax.block_until_ready(final.road.count)
+        wall = time.time() - t0
 
-    measured_ticks = (num_chunks - 1) * chunk
-    agent_steps = agents.num_agents * measured_ticks
-    value = agent_steps / wall
+        measured_ticks = (num_chunks - 1) * chunk
+        return agents.num_agents * measured_ticks / wall
 
+    value = measure(insert_escalate=False)
     result = {
         "metric": "agent_steps_per_sec",
         "value": round(value, 1),
         "unit": "agent-steps/s",
         "vs_baseline": round(value / 1e6, 3),
     }
+    if os.environ.get("TARL_BENCH_EXACT", "1") == "1":
+        try:
+            exact = measure(insert_escalate=True)
+            result["exact_metric"] = "exact_semantics_agent_steps_per_sec"
+            result["exact_value"] = round(exact, 1)
+        except Exception as e:  # fail-soft: keep the headline row
+            result["exact_error"] = f"{type(e).__name__}: {e}"[:200]
     sp_default = "1" if jax.default_backend() == "tpu" else "0"
     if os.environ.get("TARL_BENCH_SP", sp_default) == "1":
         try:
@@ -171,7 +191,8 @@ def _sp_bench(cache: str) -> dict:
                     record_road_optimality=False,
                     insert_window=1024, withdraw_depth=2,
                     withdraw_compact=COMPACT,
-                    sorted_population=True)
+                    sorted_population=True,
+                    insert_escalate=False, withdraw_escalate=False)
     policy = make_policy("dijkstra", routing, network=net)
     from tarl_tpu.core.step import run_episode_periodic
 

@@ -52,6 +52,11 @@ class SimConfig:
     # that exact semantics, a small int bounds per-tick memory traffic on
     # very deep queues (ring-buffer design makes either cheap).
     withdraw_depth: int | None = None
+    # Self-heal a bounded withdraw_depth to exactness: re-scan roads whose
+    # pop run hit the depth bound until none saturates (extra passes on
+    # saturated ticks only) — any depth becomes outcome-identical to the
+    # unbounded scan (core.withdraw.withdraw_agents escalate).
+    withdraw_escalate: bool = True
     # Cap on insertion candidates considered per tick (None = all agents, the
     # reference semantics).  A static window keeps per-tick cost O(W log W)
     # for multi-million-agent populations.

@@ -179,7 +179,7 @@ def tick(
     # --- withdraw (agents/base.py:334-403) ---
     road, agents, wcount = withdraw_agents(
         road, agents, network, t, depth=sim.withdraw_depth,
-        compact=sim.withdraw_compact,
+        compact=sim.withdraw_compact, escalate=sim.withdraw_escalate,
     )
     withdrawn = wcount > 0
     state = state._replace(road=road, agents=agents)

@@ -38,6 +38,7 @@ def withdraw_agents(
     time: jnp.ndarray,
     depth: int | None = None,
     compact: int | str | None = "auto",
+    escalate: bool = False,
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Withdraw all consecutive-from-head arrived agents.
 
@@ -48,6 +49,16 @@ def withdraw_agents(
         queue (the reference semantics, base.py:364-371); a small static bound
         caps per-tick memory traffic for very deep queues at the cost of
         spreading bursts over consecutive ticks.
+    escalate:
+        Self-heal a bounded ``depth`` to exactness: whenever some road's pop
+        run hit the depth bound this tick (``wcount == depth`` — the run MAY
+        continue past the scanned slots), run additional scan passes from
+        the advanced heads until no road saturates.  Passes compose exactly
+        (the leading eligible run is popped in order; eligibility depends
+        only on the tick clock and static ring content), so any depth
+        becomes outcome-identical to the unbounded scan; non-saturated
+        ticks pay one ``while_loop`` predicate
+        (tests/test_core_physics.py::test_withdraw_escalation).
     compact:
         Static budget for the arrival-stamp scatter (SimConfig.
         withdraw_compact).  The ``[R*depth]`` candidate list is mostly
@@ -85,77 +96,97 @@ def withdraw_agents(
     # slot unroll would blow up the program (and XLA:CPU compile time), so
     # past _SLOT_UNROLL_MAX the vectorized [R, K] gather form is used
     # instead — bounded-depth TPU runs stay on the unrolled path.
-    if K <= _SLOT_UNROLL_MAX:
-        col = jnp.arange(Nmax, dtype=jnp.int32)[None, :]
-        lp = (col - road.head[:, None]) % Nmax  # [R, Nmax] logical position
-        run = jnp.ones((R,), bool)  # consecutive-from-head run (base.py:370)
-        wid_rows = []
-        for k in range(K):
-            at_k = lp == k
-            ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
-            dep_k = jnp.where(at_k, road.fifo_departure, 0.0).sum(axis=1)
-            dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+    def _scan(head, count):
+        if K <= _SLOT_UNROLL_MAX:
+            col = jnp.arange(Nmax, dtype=jnp.int32)[None, :]
+            lp = (col - head[:, None]) % Nmax  # [R, Nmax] logical position
+            run = jnp.ones((R,), bool)  # consecutive-from-head run (base.py:370)
+            wid_rows = []
+            for k in range(K):
+                at_k = lp == k
+                ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
+                dep_k = jnp.where(at_k, road.fifo_departure, 0.0).sum(axis=1)
+                dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+                eligible = (
+                    (dest_k == network.road_dest)
+                    & (dep_k <= time)
+                    & (k < count)
+                )
+                run = run & eligible
+                wid_rows.append(jnp.where(run, ids_k, A))  # A -> dropped
+            wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
+            wids = jnp.concatenate(wid_rows)
+        else:
+            logical = jnp.arange(K, dtype=jnp.int32)
+            phys = (head[:, None] + logical[None, :]) % Nmax  # [R, K]
+            ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
+            dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
+            dest = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
             eligible = (
-                (dest_k == network.road_dest)
-                & (dep_k <= time)
-                & (k < road.count)
+                (dest == network.road_dest[:, None])
+                & (dep <= time)
+                & (logical[None, :] < count[:, None])
             )
-            run = run & eligible
-            wid_rows.append(jnp.where(run, ids_k, A))  # A -> dropped
-        wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
-        wids = jnp.concatenate(wid_rows)
-    else:
-        logical = jnp.arange(K, dtype=jnp.int32)
-        phys = (road.head[:, None] + logical[None, :]) % Nmax  # [R, K]
-        ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
-        dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
-        dest = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
-        eligible = (
-            (dest == network.road_dest[:, None])
-            & (dep <= time)
-            & (logical[None, :] < road.count[:, None])
-        )
-        cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
-        wcount = cum.sum(axis=1).astype(jnp.int32)
-        wids = jnp.where(cum, ids, A).reshape(-1)  # A -> dropped
-
-    # Pop: advance head pointers, nothing else moves.
-    new_head = (road.head + wcount) % Nmax
-    new_count = road.count - wcount
+            cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
+            wcount = cum.sum(axis=1).astype(jnp.int32)
+            wids = jnp.where(cum, ids, A).reshape(-1)  # A -> dropped
+        return wids, wcount
 
     # Stamp arrival (base.py:398-400).  DONE/ON_WAY are derived from it
     # (state.AgentState), so this ONE scatter replaces the reference's three
     # agent-column writes — withdraw is the largest tick phase on TPU.
-    if compact is not None and 0 < compact < wids.size:
-        import jax
+    def _stamp(arrival, wids, total):
+        if compact is not None and 0 < compact < wids.size:
+            import jax
 
-        # Pull the real entries (wids < A) to the front: top_k on the flags
-        # is index-stable, so topi enumerates real positions in order.  All
-        # pops this tick stamp the same time, so order is immaterial anyway.
-        flags = (wids < A).astype(jnp.int32)
-        topf, topi = jax.lax.top_k(flags, compact)
-        cids = jnp.where(topf > 0, wids[topi], A)  # A -> dropped
+            # Pull the real entries (wids < A) to the front: top_k on the
+            # flags is index-stable, so topi enumerates real positions in
+            # order.  All pops this tick stamp the same time, so order is
+            # immaterial anyway.
+            flags = (wids < A).astype(jnp.int32)
+            topf, topi = jax.lax.top_k(flags, compact)
+            cids = jnp.where(topf > 0, wids[topi], A)  # A -> dropped
 
-        def _compact(arr):
-            return arr.at[cids].set(
-                jnp.broadcast_to(time, cids.shape), mode="drop"
-            )
+            def _compact(arr):
+                return arr.at[cids].set(
+                    jnp.broadcast_to(time, cids.shape), mode="drop"
+                )
 
-        def _full(arr):
-            return arr.at[wids].set(
-                jnp.broadcast_to(time, wids.shape), mode="drop"
-            )
+            def _full(arr):
+                return arr.at[wids].set(
+                    jnp.broadcast_to(time, wids.shape), mode="drop"
+                )
 
-        arrival = jax.lax.cond(
-            jnp.sum(wcount) <= compact, _compact, _full, agents.arrival
-        )
-    else:
-        arrival = agents.arrival.at[wids].set(
+            return jax.lax.cond(total <= compact, _compact, _full, arrival)
+        return arrival.at[wids].set(
             jnp.broadcast_to(time, wids.shape), mode="drop"
         )
 
+    wids, wcount = _scan(road.head, road.count)
+    arrival = _stamp(agents.arrival, wids, jnp.sum(wcount))
+    # Pop: advance head pointers, nothing else moves.
+    head = (road.head + wcount) % Nmax
+    count = road.count - wcount
+
+    if escalate and K < Nmax:
+        import jax
+
+        def cond_fn(c):
+            return jnp.any(c[4] == K)
+
+        def body_fn(c):
+            head, count, arrival, total, _last = c
+            wids_k, w_k = _scan(head, count)
+            arrival = _stamp(arrival, wids_k, jnp.sum(w_k))
+            return ((head + w_k) % Nmax, count - w_k, arrival,
+                    total + w_k, w_k)
+
+        head, count, arrival, wcount, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (head, count, arrival, wcount, wcount)
+        )
+
     return (
-        road._replace(head=new_head, count=new_count),
+        road._replace(head=head, count=count),
         agents._replace(arrival=arrival),
         wcount,
     )

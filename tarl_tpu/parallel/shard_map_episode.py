@@ -333,43 +333,71 @@ def run_episode_shard_map(
         road_dest_local = jax.lax.dynamic_slice_in_dim(
             road_dest_p, block0, rl
         )
-        if K <= _SLOT_UNROLL_MAX:
-            colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
-            lpw = (colw - road.head[:, None]) % nmax
-            run = jnp.ones((rl,), bool)
-            wid_rows = []
-            for k in range(K):
-                at_k = lpw == k
-                ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
-                dep_k = jnp.where(at_k, road.fifo_departure, 0.0).sum(axis=1)
-                dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+
+        def _wscan(head, count):
+            if K <= _SLOT_UNROLL_MAX:
+                colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+                lpw = (colw - head[:, None]) % nmax
+                run = jnp.ones((rl,), bool)
+                wid_rows = []
+                for k in range(K):
+                    at_k = lpw == k
+                    ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
+                    dep_k = jnp.where(
+                        at_k, road.fifo_departure, 0.0
+                    ).sum(axis=1)
+                    dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+                    eligible = (
+                        (dest_k == road_dest_local)
+                        & (dep_k <= t)
+                        & (k < count)
+                    )
+                    run = run & eligible
+                    wid_rows.append(jnp.where(run, ids_k, A))
+                wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
+                wids = jnp.concatenate(wid_rows)
+            else:
+                logical = jnp.arange(K, dtype=jnp.int32)
+                phys = (head[:, None] + logical[None, :]) % nmax
+                w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
+                w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
+                w_dst = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
                 eligible = (
-                    (dest_k == road_dest_local)
-                    & (dep_k <= t)
-                    & (k < road.count)
+                    (w_dst == road_dest_local[:, None])
+                    & (w_dep <= t)
+                    & (logical[None, :] < count[:, None])
                 )
-                run = run & eligible
-                wid_rows.append(jnp.where(run, ids_k, A))
-            wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
-            wids = jnp.concatenate(wid_rows)
-        else:
-            logical = jnp.arange(K, dtype=jnp.int32)
-            phys = (road.head[:, None] + logical[None, :]) % nmax
-            w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
-            w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
-            w_dst = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
-            eligible = (
-                (w_dst == road_dest_local[:, None])
-                & (w_dep <= t)
-                & (logical[None, :] < road.count[:, None])
-            )
-            cum = jnp.cumprod(eligible.astype(jnp.int32), axis=1).astype(bool)
-            wcount = cum.sum(axis=1).astype(jnp.int32)
-            wids = jnp.where(cum, w_ids, A).reshape(-1)
-        road = road._replace(
-            head=(road.head + wcount) % nmax, count=road.count - wcount
-        )
+                cum = jnp.cumprod(
+                    eligible.astype(jnp.int32), axis=1
+                ).astype(bool)
+                wcount = cum.sum(axis=1).astype(jnp.int32)
+                wids = jnp.where(cum, w_ids, A).reshape(-1)
+            return wids, wcount
+
+        wids, wcount = _wscan(road.head, road.count)
         wd = jnp.zeros((A,), jnp.int32).at[wids].set(1, mode="drop")
+        head_w = (road.head + wcount) % nmax
+        count_w = road.count - wcount
+        if sim.withdraw_escalate and K < nmax:
+            # Depth-saturation escalation, mirroring core.withdraw: extra
+            # local scans while some LOCAL road's run hit the bound.  The
+            # shard-local while_loop may run different pass counts per
+            # shard; the psum below is the only cross-shard merge and sums
+            # the accumulated masks regardless.
+            def wcond(c):
+                return jnp.any(c[3] == K)
+
+            def wbody(c):
+                head, count, wd, _last, total = c
+                wids_k, w_k = _wscan(head, count)
+                wd = wd.at[wids_k].set(1, mode="drop")
+                return ((head + w_k) % nmax, count - w_k, wd, w_k,
+                        total + w_k)
+
+            head_w, count_w, wd, _, wcount = jax.lax.while_loop(
+                wcond, wbody, (head_w, count_w, wd, wcount, wcount)
+            )
+        road = road._replace(head=head_w, count=count_w)
         wd = jax.lax.psum(wd, AXIS)
         withdrew = wd > 0
         agents = agents._replace(

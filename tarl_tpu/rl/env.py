@@ -181,7 +181,8 @@ def env_step(
 
     # --- withdraw (rl.py:243-248) ---
     road, agents, wcount = withdraw_agents(
-        road, sim.agents, network, t, depth=sim_cfg.withdraw_depth
+        road, sim.agents, network, t, depth=sim_cfg.withdraw_depth,
+        escalate=sim_cfg.withdraw_escalate,
     )
     withdrawn = wcount > 0
 

@@ -300,7 +300,8 @@ class TransportationSimulator:
             def phase_withdraw(state):
                 road, agents, wcount = withdraw_agents(
                     state.road, state.agents, self.network, state.time,
-                    depth=simc.withdraw_depth,
+                    depth=simc.withdraw_depth, compact=simc.withdraw_compact,
+                    escalate=simc.withdraw_escalate,
                 )
                 return state._replace(road=road, agents=agents), wcount > 0
 

@@ -65,6 +65,51 @@ class TestInsertWithdraw:
         assert not bool(agents.on_way[0])
         assert float(agents.arrival[0]) == 10.0
 
+    def test_withdraw_escalation_matches_unbounded(self):
+        """A bounded withdraw_depth with escalation pops the FULL eligible
+        head run in one tick — bitwise equal to the unbounded scan — while
+        the non-escalated bound pops exactly ``depth`` (the documented
+        burst-spreading behavior)."""
+        net = _single_road_network(capacity_slots=12, fftt=10.0)
+        road0 = init_road_state(net.num_roads, net.nmax)
+        n = 6
+        agents0 = init_agent_state(
+            origin=[2] * n, dest=[5] * n, departure=[0.0] * n
+        )
+        sel = default_selected_road(net)
+        road0, agents0 = insert_agents(
+            road0, agents0, sel, net, jnp.float32(0.0)
+        )
+        assert int(road0.count[0]) == n
+        t = jnp.float32(50.0)
+
+        exact_road, exact_agents, exact_w = withdraw_agents(
+            road0, agents0, net, t, depth=None
+        )
+        assert int(exact_w[0]) == n
+
+        esc_road, esc_agents, esc_w = withdraw_agents(
+            road0, agents0, net, t, depth=2, escalate=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_w), np.asarray(esc_w)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.head), np.asarray(esc_road.head)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_road.count), np.asarray(esc_road.count)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(exact_agents.arrival), np.asarray(esc_agents.arrival)
+        )
+
+        plain_road, _, plain_w = withdraw_agents(
+            road0, agents0, net, t, depth=2, escalate=False
+        )
+        assert int(plain_w[0]) == 2
+        assert int(plain_road.count[0]) == n - 2
+
     def test_insert_capacity_limit(self):
         """Mirrors reference tests/agents_test.py:43-73: capacity 5 minus the
         CONGESTION_FILE buffer (3) admits exactly 2 of 4 ready agents."""

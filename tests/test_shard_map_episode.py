@@ -83,6 +83,34 @@ def test_shard_map_matches_unsharded(setup):
     assert not sm_final.road.count.sharding.is_fully_replicated
 
 
+def test_shard_map_bounded_depth_escalation_matches_unsharded(setup):
+    """withdraw_depth=1 with escalation (the SimConfig default) self-heals
+    to the unbounded scan in BOTH drivers: the shard-local while_loop must
+    reproduce core.withdraw's escalation exactly, so sharded == unsharded
+    == unbounded."""
+    net, agents = setup
+    base_sim = dict(start_time=6 * 3600, end_time=6 * 3600 + 300)
+    sim_b = SimConfig(withdraw_depth=1, withdraw_escalate=True, **base_sim)
+    sim_x = SimConfig(withdraw_depth=None, **base_sim)
+
+    state, policy = _state(net, agents, sim_b)
+    ref_final, _ = run_episode(state, net, policy, 300, sim=sim_b)
+    exact_final, _ = run_episode(state, net, policy, 300, sim=sim_x)
+    mesh = make_road_mesh(8)
+    sm_final, _ = run_episode_shard_map(
+        state, net, policy, 300, mesh, sim=sim_b
+    )
+    for other in (exact_final, sm_final):
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.agents.arrival),
+            np.asarray(other.agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref_final.road.count), np.asarray(other.road.count)
+        )
+    assert int(np.asarray(ref_final.agents.done)[1:].sum()) > 0
+
+
 def test_shard_map_collective_structure(setup):
     """Pin the halo-exchange communication structure in the compiled HLO:
     per tick there are all-gathers (head-summary halo x2 + winners) and
