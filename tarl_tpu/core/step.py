@@ -206,11 +206,27 @@ def tick(
             compute_delta=want_delta,
         )
     else:
-        road, road_delta_tt, accept, win_src = direction_step(
-            state.road, state.selected_road, network, t, k_dir, physics,
-            compute_delta=want_delta,
-        )
-        road, popped = confirm_step(road, accept, win_src, network)
+        from .fused_winner import fused_winner_ok
+
+        if fused_winner_ok(network):
+            # Metro scale: the whole roll/eligibility/winner/confirm
+            # mid-section (~100 launch-bound XLA kernels, ~550 of the
+            # 575 us core at Grid64x64) runs as ONE Pallas kernel —
+            # bitwise-identical outputs (core/fused_winner.py).
+            from .fused_winner import direction_confirm_fused
+
+            road, road_delta_tt, _accept, _win, popped = (
+                direction_confirm_fused(
+                    state.road, state.selected_road, network, t, k_dir,
+                    physics, compute_delta=want_delta,
+                )
+            )
+        else:
+            road, road_delta_tt, accept, win_src = direction_step(
+                state.road, state.selected_road, network, t, k_dir, physics,
+                compute_delta=want_delta,
+            )
+            road, popped = confirm_step(road, accept, win_src, network)
 
     # --- clock + metrics (ts.py:342-351) ---
     new_time = t + sim.timestep

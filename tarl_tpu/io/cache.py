@@ -18,11 +18,14 @@ from ..state import AgentState
 from ..schema import agent_features_matrix, agents_from_matrix
 
 _NET_STATIC = ("num_roads", "num_intersections", "nmax")
+# Static tuple fields (python ints, not traced arrays) — round-trip as int64
+# arrays and restore to tuples on load.
+_NET_STATIC_TUPLES = ("in_roll_shift_t", "out_roll_shift_t")
 
 # Bump when the Network/AgentState array schema changes; mismatched caches
 # are rebuilt from XML (the reference's torch.load would deserialize stale
 # objects silently).
-CACHE_VERSION = 7
+CACHE_VERSION = 8
 
 
 def save_network(network: Network, path: str) -> None:
@@ -30,7 +33,8 @@ def save_network(network: Network, path: str) -> None:
     arrays = {"__version__": np.asarray(CACHE_VERSION)}
     for f in dataclasses.fields(network):
         v = getattr(network, f.name)
-        arrays[f.name] = np.asarray(v)
+        arrays[f.name] = np.asarray(v, dtype=np.int64) \
+            if f.name in _NET_STATIC_TUPLES else np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
@@ -41,7 +45,12 @@ def load_network_cache(path: str) -> Network:
         kwargs = {}
         for f in dataclasses.fields(Network):
             v = data[f.name]
-            kwargs[f.name] = int(v) if f.name in _NET_STATIC else jnp.asarray(v)
+            if f.name in _NET_STATIC:
+                kwargs[f.name] = int(v)
+            elif f.name in _NET_STATIC_TUPLES:
+                kwargs[f.name] = tuple(int(x) for x in v)
+            else:
+                kwargs[f.name] = jnp.asarray(v)
     return Network(**kwargs)
 
 

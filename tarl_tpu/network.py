@@ -125,6 +125,14 @@ class Network:
     out_roll_exc_src: jnp.ndarray = None # int32[E]
     out_roll_exc_k: jnp.ndarray = None   # int32[E]
     out_roll_exc_v: jnp.ndarray = None   # int32[E]
+    # STATIC mirrors of the roll-plan shifts (python int tuples, not traced):
+    # the fused winner kernel (core.fused_winner) bakes each offset into the
+    # kernel as a compile-time lane rotation — a dynamic-shift roll was the
+    # measured VPU bottleneck of the first sweep kernel
+    # (routing.bellman_ford._sweep_kernel_body).  Same values as
+    # in_roll_shift / out_roll_shift; () == no plan.
+    in_roll_shift_t: tuple = struct.field(pytree_node=False, default=())
+    out_roll_shift_t: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_nodes(self) -> int:
@@ -360,6 +368,8 @@ def build_network(
         out_roll_exc_src=jnp.asarray(out_roll[2]),
         out_roll_exc_k=jnp.asarray(out_roll[3]),
         out_roll_exc_v=jnp.asarray(out_roll[4]),
+        in_roll_shift_t=tuple(int(s) for s in in_roll[0]),
+        out_roll_shift_t=tuple(int(s) for s in out_roll[0]),
     )
 
 

@@ -56,6 +56,8 @@ def _force_plan(net, **kw):
         out_roll_exc_src=jnp.asarray(out_plan[2]),
         out_roll_exc_k=jnp.asarray(out_plan[3]),
         out_roll_exc_v=jnp.asarray(out_plan[4]),
+        in_roll_shift_t=tuple(int(s) for s in plan[0]),
+        out_roll_shift_t=tuple(int(s) for s in out_plan[0]),
     )
 
 
