@@ -45,6 +45,13 @@ from .direction import pack_upstream, upstream_pack_layout
 # [1, R] vectors must fit with headroom.
 _VMEM_BYTES = 100 * 1024 * 1024
 
+# Gate threshold on the INPUT-table estimate: measured on v5e, the live
+# intermediates (register-allocator spill slots) run ~3.5x the input bytes —
+# Grid256 (est 46 MB) compiled to a 163 MB vmem requirement and OOM'd the
+# 128 MB chip, while Grid128 (est 11.6 MB) runs fine.  28 MB keeps ~3.5x
+# headroom; larger networks fall back to the XLA roll path.
+_EST_BYTES_MAX = 28 * 1024 * 1024
+
 
 def fused_winner_ok(network: Network) -> bool:
     """Trace-time gate: TPU backend, both roll plans built, modest slot
@@ -53,6 +60,8 @@ def fused_winner_ok(network: Network) -> bool:
     CPU (equality tests)."""
     if os.environ.get("TARL_FUSED_WINNER", "1") != "1":
         return False
+    if os.environ.get("TARL_NO_ROLL", "0") == "1":
+        return False  # the kernel IS a roll evaluation (A/B hygiene)
     interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
     if not interpret and jax.default_backend() != "tpu":
         return False
@@ -69,7 +78,7 @@ def fused_winner_ok(network: Network) -> bool:
         # padding.  Every grid network measured lands on a multiple.
         return False
     est = 4 * r * (6 * kin + 3 * kout + 8)
-    return est <= _VMEM_BYTES
+    return est <= _EST_BYTES_MAX
 
 
 def _kernel(
