@@ -157,9 +157,12 @@ def direction_step(
     # dynamic-slice), stacking head id / head dest into the same plan so the
     # winner gathers below are covered too.  Small nets keep ONE flattened
     # [KIN*R] gather (launch-bound regime; fewer ops wins there).
-    from .roll_gather import roll_enabled
+    from .roll_gather import roll_enabled, MIN_ROADS
 
-    use_roll = roll_enabled(network.in_roll_shift)
+    # Plans are now BUILT from 512 roads up (the fused kernel uses them at
+    # any size); the XLA roll evaluation stays gated at MIN_ROADS, below
+    # which the flattened gather wins (launch-bound regime).
+    use_roll = roll_enabled(network.in_roll_shift) and R >= MIN_ROADS
     if use_roll:
         from .roll_gather import roll_gather
 

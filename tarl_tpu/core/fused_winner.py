@@ -72,11 +72,8 @@ def fused_winner_ok(network: Network) -> bool:
     r = network.num_roads
     if kin > 8 or kout > 8:
         return False
-    if r % 128 != 0:
-        # The in-kernel rotations are lane rolls over the road axis; an
-        # unaligned logical width would rotate through Mosaic's lane
-        # padding.  Every grid network measured lands on a multiple.
-        return False
+    # pltpu.roll handles arbitrary (non-128-multiple) logical lane widths
+    # exactly (scripts/probe_roll.py: verified on chip at R=777/960/16128).
     est = 4 * r * (6 * kin + 3 * kout + 8)
     return est <= _EST_BYTES_MAX
 

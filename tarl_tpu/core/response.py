@@ -47,11 +47,11 @@ def confirm_step(
     """
     R = road.num_roads
     pop_src = jnp.where(accept, win_src, R)
-    from .roll_gather import roll_enabled
+    from .roll_gather import roll_enabled, MIN_ROADS
 
     use_roll = network is not None and roll_enabled(
         getattr(network, "out_roll_shift", None)
-    )
+    ) and R >= MIN_ROADS  # below: the single scatter wins (launch-bound)
     if use_roll:
         from .roll_gather import roll_gather
 

@@ -316,8 +316,15 @@ def build_network(
 
     from .core.roll_gather import build_roll_plan
 
-    in_roll = build_roll_plan(in_src, in_tab_ok)
-    out_roll = build_roll_plan(out_dst, out_tab_ok)
+    # Plans are built from 512 roads up with a 5 % exception budget: the
+    # FUSED winner kernel (core.fused_winner) consumes them at any size —
+    # its exception overlay costs one small scatter per tick — while the
+    # XLA roll evaluation keeps its own higher gate (roll_gather.MIN_ROADS,
+    # enforced at the use sites) below which the direct gather wins.
+    in_roll = build_roll_plan(in_src, in_tab_ok, min_roads=512,
+                              max_exc_frac=0.05)
+    out_roll = build_roll_plan(out_dst, out_tab_ok, min_roads=512,
+                               max_exc_frac=0.05)
 
     return Network(
         num_roads=num_roads,

@@ -674,7 +674,7 @@ def primal_relax_next_roads(
         shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
         dist_o, road_o = _multisweep_nr_pallas(
             dist_p, w_cols, road_cols, slot_cols, shifts, max_iters,
-            _SWEEP_TILE_D
+            _sweep_tile_d()
         )
         dist_o = dist_o[:, :d]
         road_o = road_o[:, :d]
@@ -752,6 +752,14 @@ def _sweep_pallas(dist, w_cols, delta_arr, num_deltas: int, tile_d: int):
 # default scoped limit; CompilerParams raises it to this budget).
 _SWEEP_TILE_D = 128
 _SWEEP_VMEM_BYTES = 40 * 1024 * 1024
+
+
+def _sweep_tile_d() -> int:
+    """Column-tile width of the multisweep kernels (TARL_SWEEP_TILE_D).
+    Read at trace time so on-chip A/B tuning needs no code edit."""
+    import os
+
+    return int(os.environ.get("TARL_SWEEP_TILE_D", str(_SWEEP_TILE_D)))
 
 
 def _pallas_sweep_ok(i_n: int, num_deltas: int) -> bool:
@@ -847,7 +855,7 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
                                constant_values=BIG))
         shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
         dist_p = _multisweep_pallas(dist_p, w_cols, shifts, iters,
-                                    _SWEEP_TILE_D)
+                                    _sweep_tile_d())
         out = dist_p[:, :d]
         return out if inv is None else out[inv]
 

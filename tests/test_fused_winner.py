@@ -129,8 +129,10 @@ def test_fused_winner_gate(warm, monkeypatch):
     monkeypatch.delenv("TARL_FUSED_WINNER_INTERPRET", raising=False)
     assert not fused_winner_ok(net)  # cpu backend
     monkeypatch.setenv("TARL_FUSED_WINNER_INTERPRET", "1")
-    ok = fused_winner_ok(net)
-    assert ok == (net.num_roads % 128 == 0)
+    assert fused_winner_ok(net)  # any R: pltpu.roll handles unaligned lanes
     assert not fused_winner_ok(net.replace(in_roll_shift_t=()))
+    monkeypatch.setenv("TARL_NO_ROLL", "1")
+    assert not fused_winner_ok(net)  # the kernel IS a roll evaluation
+    monkeypatch.delenv("TARL_NO_ROLL")
     monkeypatch.setenv("TARL_FUSED_WINNER", "0")
     assert not fused_winner_ok(net)

@@ -20,6 +20,16 @@ from tarl_tpu.io.scenarios import grid_scenario
 from tarl_tpu.routing.policies import random_choice
 
 
+@pytest.fixture(autouse=True)
+def _roll_at_any_size(monkeypatch):
+    """direction/confirm gate the XLA roll evaluation at MIN_ROADS (the
+    launch-bound regime below which the direct gather wins); these tests
+    exercise the roll path on tiny forced-plan grids, so lower the gate."""
+    from tarl_tpu.core import roll_gather
+
+    monkeypatch.setattr(roll_gather, "MIN_ROADS", 0)
+
+
 @pytest.fixture(scope="module")
 def grid(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("roll_scen"))
