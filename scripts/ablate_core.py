@@ -152,13 +152,27 @@ def main():
             return s._replace(road=road, time=s.time + 1.0), None
         return jax.lax.scan(body, state, length=CHUNK)[0]
 
-    from tarl_tpu.core.fused_winner import direction_confirm_fused, fused_winner_ok
+    from tarl_tpu.core.fused_winner import (
+        direction_confirm_fused, direction_confirm_fused_tiled,
+        fused_winner_ok, fused_winner_tiled_ok,
+    )
 
     @jax.jit
     def dir_confirm_fused(state):
         def body(s, _):
             key, k = jax.random.split(s.key)
             road, _, _acc, _win, _pop = direction_confirm_fused(
+                s.road, s.selected_road, net, s.time, k, physics,
+                compute_delta=False,
+            )
+            return s._replace(road=road, key=key, time=s.time + 1.0), None
+        return jax.lax.scan(body, state, length=CHUNK)[0]
+
+    @jax.jit
+    def dir_confirm_tiled(state):
+        def body(s, _):
+            key, k = jax.random.split(s.key)
+            road, _, _acc, _win, _pop = direction_confirm_fused_tiled(
                 s.road, s.selected_road, net, s.time, k, physics,
                 compute_delta=False,
             )
@@ -173,6 +187,10 @@ def main():
         e = timed("e. FUSED direction+confirm kernel", dir_confirm_fused, state)
     else:
         print("e. fused kernel gated off", flush=True)
+    if fused_winner_tiled_ok(net):
+        timed("f. TILED fused direction+confirm", dir_confirm_tiled, state)
+    else:
+        print("f. tiled kernel gated off", flush=True)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,18 @@ BITWISE-identical to the unfused one (pinned by
 tests/test_fused_winner.py in interpret mode; the same physics as
 direction_mpnn.py:44-196 + response_mpnn.py:86-127 with the win-pop
 confirm fix of core.response).
+
+TILED variant (:func:`direction_confirm_fused_tiled`): the single-block
+kernel keeps every ``[K, R]`` table VMEM-resident, which caps it at
+~28 MB of inputs (Grid256's 46 MB compiled to a 163 MB live-set and
+OOM'd the 128 MB chip).  The tiled form hoists the only GLOBAL ops — the
+static lane rotations — OUT of the kernel as ``B`` XLA ``jnp.roll``s of
+the stacked ``[3, R]`` channel matrix (index-free full-bandwidth copies,
+one per roll-plan bucket); after pre-rolling, the entire mid-section is
+COLUMNWISE, so it grid-tiles over the road axis with no halo and runs at
+any network size.  Confirm needs the rolled WINNER row (a kernel output),
+so the tiled path is two kernels with the ``B_out`` win_src rolls between
+them.  Same prologue/epilogue, same bitwise guarantees.
 """
 from __future__ import annotations
 
@@ -176,40 +188,25 @@ def _kernel(
     popped_ref[...] = popped.astype(jnp.int32)
 
 
-def direction_confirm_fused(
-    road: RoadState,
-    selected_road: jnp.ndarray,
-    network: Network,
-    time: jnp.ndarray,
-    key: jax.Array,
-    physics: PhysicsConfig = DEFAULT_PHYSICS,
-    compute_delta: bool = True,
-) -> tuple[RoadState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in for ``direction_step`` + ``confirm_step`` on the roll path:
-    returns ``(road, road_delta_tt, accept, win_src, popped)`` bitwise-equal
-    to the unfused pair (same Gumbel stream, same tie-breaks)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _winner_inputs(road, selected_road, network, time, key, physics):
+    """Shared prologue: packed upstream word, head rows, Gumbel matrix and
+    the in-table exception overlay/mask (identical for both kernel forms)."""
     R = road.num_roads
     Nmax = road.nmax
     KIN = network.in_src_tab.shape[0]
-    KOUT = network.out_dst_tab.shape[0]
-    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
 
     head_id = road.head_ids()
     head_arrival = road.head_arrival()
     head_departure = road.head_departure()
     head_dest = road.head_dests()
-    count = road.count
-    count_f = count.astype(jnp.float32)
+    count_f = road.count.astype(jnp.float32)
     cap = network.capacity
     sel = selected_road[:R]
 
     shift_free, shift_sel, free_mask = upstream_pack_layout(R, Nmax)
     sel_enc = jnp.where((sel >= 0) & (sel < R), sel, R).astype(jnp.int32)
     pack = pack_upstream(
-        head_departure, count, cap, sel_enc, time, physics, R, Nmax
+        head_departure, road.count, cap, sel_enc, time, physics, R, Nmax
     )
     gumbel = jax.random.gumbel(key, (KIN, R), dtype=jnp.float32)
 
@@ -217,9 +214,9 @@ def direction_confirm_fused(
     # channel values at the (channel, slot, road) exception coordinates.
     # The coordinate/mask arrays are network constants — XLA hoists them
     # out of the episode scan; only the value gather+scatter runs per tick.
+    mat = jnp.stack([pack, head_id, head_dest])  # [3, R] int32
     E = int(network.in_roll_exc_src.shape[0])
     if E:
-        mat = jnp.stack([pack, head_id, head_dest])  # [3, R] int32
         vals = mat[:, network.in_roll_exc_src].reshape(-1)       # [3E]
         rows = (
             jnp.arange(3, dtype=jnp.int32)[:, None] * KIN
@@ -234,41 +231,15 @@ def direction_confirm_fused(
     exc_mask = jnp.zeros((KIN, R), jnp.int32).at[
         network.in_roll_exc_k, network.in_roll_exc_v
     ].set(1, mode="drop")
-
-    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((1, R), jnp.int32) for _ in range(5)]
-    extra = {} if interpret else dict(
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES)
+    return (
+        mat, head_arrival, head_departure, count_f, cap, gumbel,
+        exc_overlay, exc_mask, (shift_free, shift_sel, free_mask),
     )
-    accept_i, win_src, chosen_agent, chosen_dest, popped_i = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            in_shifts=network.in_roll_shift_t,
-            out_shifts=network.out_roll_shift_t,
-            kin=KIN, kout=KOUT, r=R,
-            shift_free=shift_free, shift_sel=shift_sel, free_mask=free_mask,
-            buffer_i=int(physics.congestion_buffer),
-        ),
-        in_specs=[spec] * 13,
-        out_specs=[spec] * 5,
-        out_shape=out_shape,
-        interpret=interpret,
-        **extra,
-    )(
-        pack[None, :], head_id[None, :], head_dest[None, :], gumbel,
-        exc_overlay, network.in_roll_sel, network.in_logit_tab,
-        network.in_src_tab, exc_mask, network.out_roll_sel,
-        network.out_edge_ok.astype(jnp.int32), count_f[None, :],
-        cap[None, :],
-    )
-    accept = accept_i[0] > 0
-    win_src = win_src[0]
-    chosen_agent = chosen_agent[0]
-    chosen_dest = chosen_dest[0]
-    popped = popped_i[0] > 0
 
-    # Out-table exceptions: the few (k, v) entries off the global offsets —
-    # road exc_src[e] pops if it won column exc_v[e] (tiny index ops).
+
+def _patch_out_exceptions(popped, win_src, network, R):
+    """Out-table exceptions: the few (k, v) entries off the global offsets —
+    road exc_src[e] pops if it won column exc_v[e] (tiny index ops)."""
     Eo = int(network.out_roll_exc_src.shape[0])
     if Eo:
         # Entry (k, v) with downstream exc_src: v pops iff exc_src's winner
@@ -281,8 +252,17 @@ def direction_confirm_fused(
                 hit, mode="drop"
             ) > 0
         )
+    return popped
 
-    # --- update: push at tail (direction_mpnn.py:171-195), pop winners ---
+
+def _winner_epilogue(
+    road, network, physics, time, head_arrival, head_departure, count_f,
+    accept, chosen_agent, chosen_dest, popped, compute_delta,
+):
+    """Shared update: push winners at the tail (direction_mpnn.py:171-195),
+    pop confirmed heads, and the congestion-delay observability row."""
+    Nmax = road.nmax
+    cap = network.capacity
     slot = (road.head + road.count) % Nmax
     time_congestion = network.congestion_constant / (
         cap + physics.congestion_softening - count_f
@@ -320,7 +300,296 @@ def direction_confirm_fused(
             count=new_count,
         ),
         road_delta_tt,
-        accept,
-        win_src,
-        popped,
     )
+
+
+def direction_confirm_fused(
+    road: RoadState,
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    key: jax.Array,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    compute_delta: bool = True,
+) -> tuple[RoadState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Drop-in for ``direction_step`` + ``confirm_step`` on the roll path:
+    returns ``(road, road_delta_tt, accept, win_src, popped)`` bitwise-equal
+    to the unfused pair (same Gumbel stream, same tie-breaks)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = road.num_roads
+    KIN = network.in_src_tab.shape[0]
+    KOUT = network.out_dst_tab.shape[0]
+    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
+
+    (
+        mat, head_arrival, head_departure, count_f, cap, gumbel,
+        exc_overlay, exc_mask, (shift_free, shift_sel, free_mask),
+    ) = _winner_inputs(road, selected_road, network, time, key, physics)
+    pack, head_id, head_dest = mat[0], mat[1], mat[2]
+
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((1, R), jnp.int32) for _ in range(5)]
+    extra = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES)
+    )
+    accept_i, win_src, chosen_agent, chosen_dest, popped_i = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            in_shifts=network.in_roll_shift_t,
+            out_shifts=network.out_roll_shift_t,
+            kin=KIN, kout=KOUT, r=R,
+            shift_free=shift_free, shift_sel=shift_sel, free_mask=free_mask,
+            buffer_i=int(physics.congestion_buffer),
+        ),
+        in_specs=[spec] * 13,
+        out_specs=[spec] * 5,
+        out_shape=out_shape,
+        interpret=interpret,
+        **extra,
+    )(
+        pack[None, :], head_id[None, :], head_dest[None, :], gumbel,
+        exc_overlay, network.in_roll_sel, network.in_logit_tab,
+        network.in_src_tab, exc_mask, network.out_roll_sel,
+        network.out_edge_ok.astype(jnp.int32), count_f[None, :],
+        cap[None, :],
+    )
+    accept = accept_i[0] > 0
+    win_src = win_src[0]
+    chosen_agent = chosen_agent[0]
+    chosen_dest = chosen_dest[0]
+    popped = popped_i[0] > 0
+
+    popped = _patch_out_exceptions(popped, win_src, network, R)
+    new_road, road_delta_tt = _winner_epilogue(
+        road, network, physics, time, head_arrival, head_departure, count_f,
+        accept, chosen_agent, chosen_dest, popped, compute_delta,
+    )
+    return new_road, road_delta_tt, accept, win_src, popped
+
+
+# ---------------------------------------------------------------------------
+# Tiled variant — any network size.
+# ---------------------------------------------------------------------------
+
+# Lanes per grid tile.  VMEM per tile is ~(3·B_in + 5·KIN + 3·KIN + 2 + 4)
+# rows × 4 B × TILE — ≤ 4 MB at the 8192 default even for a 24-bucket plan.
+def _tile_lanes() -> int:
+    return int(os.environ.get("TARL_FUSED_TILE", "8192"))
+
+
+def fused_winner_tiled_ok(network: Network) -> bool:
+    """Trace-time gate for the tiled form: same requirements as the
+    single-block kernel minus the VMEM cap.  ``TARL_FUSED_TILED=0`` opts
+    out (A/B switch); callers try :func:`fused_winner_ok` first (the
+    single-block kernel avoids the pre-roll HBM traffic)."""
+    if os.environ.get("TARL_FUSED_TILED", "1") != "1":
+        return False
+    if os.environ.get("TARL_FUSED_WINNER", "1") != "1":
+        return False
+    if os.environ.get("TARL_NO_ROLL", "0") == "1":
+        return False  # the kernel IS a roll evaluation (A/B hygiene)
+    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if not network.in_roll_shift_t or not network.out_roll_shift_t:
+        return False
+    kin = network.in_src_tab.shape[0]
+    kout = network.out_dst_tab.shape[0]
+    return kin <= 8 and kout <= 8
+
+
+def _tile_winner_kernel(
+    rolled_ref, exc_ref, exc_mask_ref, in_sel_ref, in_logit_ref,
+    in_src_ref, gumbel_ref, count_ref, cap_ref,
+    accept_ref, win_src_ref, agent_ref, dest_ref,
+    *, b_in, kin, r, tile, shift_free, shift_sel, free_mask, buffer_i,
+):
+    from jax.experimental import pallas as pl
+
+    neg_inf = float(-jnp.inf)
+    col0 = pl.program_id(0) * tile
+    iota = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+
+    in_sel = in_sel_ref[...]          # int32 [KIN, T]
+    exc_mask = exc_mask_ref[...]      # int32 [KIN, T]
+    exc = exc_ref[...]                # int32 [3*KIN, T] overlay values
+    rolled = rolled_ref[...]          # int32 [3*B_in, T], rows b*3 + channel
+
+    def gather_ch(c, exc_rows):
+        """Channel c of the pre-rolled stack -> [KIN, T] slot rows; entries
+        flagged by exc_mask take the overlay rows instead."""
+        val = jnp.where(exc_mask != 0, exc_rows, 0)
+        for b in range(b_in):
+            row = rolled[3 * b + c:3 * b + c + 1]
+            val = jnp.where(in_sel == b, row, val)
+        return val
+
+    pack_s = gather_ch(0, exc[0:kin])
+    id_s = gather_ch(1, exc[kin:2 * kin])
+    dest_s = gather_ch(2, exc[2 * kin:3 * kin])
+
+    # Downstream-side ingredients (core.direction:130-133), [1, T].
+    count_f = count_ref[...]
+    cap = cap_ref[...]
+    space_ok = count_f < cap - float(buffer_i)
+    v_free = cap - count_f
+    v_has_slot = count_f < cap
+
+    # Eligibility + Gumbel-max winner — identical math to _kernel, with the
+    # GLOBAL column id in place of the full-row iota.
+    dep_ok = (pack_s & 1) > 0
+    nonempty = (pack_s & 2) > 0
+    stuck = (pack_s & 4) > 0
+    u_free = ((pack_s >> shift_free) & free_mask).astype(jnp.float32)
+    u_full = u_free <= float(buffer_i)
+    wants_v = (pack_s >> shift_sel) == iota
+    mask = dep_ok & space_ok & wants_v & nonempty
+    mask = mask | (stuck & u_full & (u_free <= v_free) & wants_v
+                   & nonempty & v_has_slot)
+    score = jnp.where(mask, in_logit_ref[...] + gumbel_ref[...], neg_inf)
+
+    in_src = in_src_ref[...]
+    best = jnp.full((1, tile), neg_inf, jnp.float32)
+    src = jnp.zeros((1, tile), jnp.int32)
+    agent = jnp.zeros((1, tile), jnp.int32)
+    dest = jnp.zeros((1, tile), jnp.int32)
+    acc = jnp.zeros((1, tile), jnp.bool_)
+    for k in range(kin):
+        s_k = score[k:k + 1]
+        take = s_k > best
+        best = jnp.where(take, s_k, best)
+        src = jnp.where(take, in_src[k:k + 1], src)
+        agent = jnp.where(take, id_s[k:k + 1], agent)
+        dest = jnp.where(take, dest_s[k:k + 1], dest)
+        acc = acc | take
+
+    agent = jnp.where(acc, agent, 0)
+    acc = agent != 0          # sentinel guard (direction_mpnn.py:194)
+    dest = jnp.where(acc, dest, 0)
+    win_src = jnp.where(acc, src, r)
+
+    accept_ref[...] = acc.astype(jnp.int32)
+    win_src_ref[...] = win_src
+    agent_ref[...] = agent
+    dest_ref[...] = dest
+
+
+def _tile_confirm_kernel(
+    win_rolled_ref, out_sel_ref, out_ok_ref, popped_ref,
+    *, b_out, kout, tile,
+):
+    from jax.experimental import pallas as pl
+
+    col0 = pl.program_id(0) * tile
+    iota = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    out_sel = out_sel_ref[...]
+    out_ok = out_ok_ref[...]
+    rolled = win_rolled_ref[...]      # int32 [B_out, T]
+    win_rows = jnp.full(out_sel.shape, -1, jnp.int32)
+    for b in range(b_out):
+        win_rows = jnp.where(out_sel == b, rolled[b:b + 1], win_rows)
+    popped = jnp.zeros((1, tile), jnp.bool_)
+    for k in range(kout):
+        popped = popped | (
+            (out_ok[k:k + 1] != 0) & (win_rows[k:k + 1] == iota)
+        )
+    popped_ref[...] = popped.astype(jnp.int32)
+
+
+def direction_confirm_fused_tiled(
+    road: RoadState,
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    key: jax.Array,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    compute_delta: bool = True,
+) -> tuple[RoadState, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Grid-tiled form of :func:`direction_confirm_fused` — bitwise-equal
+    outputs, no VMEM size cap.  The roll-plan rotations run OUTSIDE as
+    static XLA rolls; everything after is columnwise and tiles freely."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = road.num_roads
+    KIN = network.in_src_tab.shape[0]
+    KOUT = network.out_dst_tab.shape[0]
+    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
+
+    (
+        mat, head_arrival, head_departure, count_f, cap, gumbel,
+        exc_overlay, exc_mask, (shift_free, shift_sel, free_mask),
+    ) = _winner_inputs(road, selected_road, network, time, key, physics)
+
+    # Pre-roll the [3, R] channel stack once per in-plan bucket: rolled
+    # row (b*3 + c)[v] == mat[c, (v + shift_b) % R] — the same convention
+    # as roll_gather / pltpu.roll in the single-block kernel.
+    rolled = jnp.concatenate(
+        [jnp.roll(mat, -s, axis=1) for s in network.in_roll_shift_t], axis=0
+    )  # [3*B_in, R] int32
+    b_in = len(network.in_roll_shift_t)
+    b_out = len(network.out_roll_shift_t)
+
+    tile = min(_tile_lanes(), max(128, -(-R // 128) * 128))
+    grid = (-(-R // tile),)
+
+    def row_spec(rows):
+        return pl.BlockSpec((rows, tile), lambda i: (0, i))
+
+    out_shape = [jax.ShapeDtypeStruct((1, R), jnp.int32) for _ in range(4)]
+    accept_i, win_src, chosen_agent, chosen_dest = pl.pallas_call(
+        functools.partial(
+            _tile_winner_kernel,
+            b_in=b_in, kin=KIN, r=R, tile=tile,
+            shift_free=shift_free, shift_sel=shift_sel, free_mask=free_mask,
+            buffer_i=int(physics.congestion_buffer),
+        ),
+        grid=grid,
+        in_specs=[
+            row_spec(3 * b_in), row_spec(3 * KIN), row_spec(KIN),
+            row_spec(KIN), row_spec(KIN), row_spec(KIN), row_spec(KIN),
+            row_spec(1), row_spec(1),
+        ],
+        out_specs=[row_spec(1)] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        rolled, exc_overlay, exc_mask, network.in_roll_sel,
+        network.in_logit_tab, network.in_src_tab, gumbel,
+        count_f[None, :], cap[None, :],
+    )
+    accept = accept_i[0] > 0
+    win_src = win_src[0]
+    chosen_agent = chosen_agent[0]
+    chosen_dest = chosen_dest[0]
+
+    # Confirm: roll the winner row per out-plan bucket, then one columnwise
+    # tiled kernel for the popped test.
+    win_rolled = jnp.concatenate(
+        [jnp.roll(win_src[None, :], -s, axis=1)
+         for s in network.out_roll_shift_t],
+        axis=0,
+    )  # [B_out, R] int32
+    popped_i = pl.pallas_call(
+        functools.partial(
+            _tile_confirm_kernel, b_out=b_out, kout=KOUT, tile=tile,
+        ),
+        grid=grid,
+        in_specs=[row_spec(b_out), row_spec(KOUT), row_spec(KOUT)],
+        out_specs=row_spec(1),
+        out_shape=jax.ShapeDtypeStruct((1, R), jnp.int32),
+        interpret=interpret,
+    )(
+        win_rolled, network.out_roll_sel,
+        network.out_edge_ok.astype(jnp.int32),
+    )
+    popped = popped_i[0] > 0
+
+    popped = _patch_out_exceptions(popped, win_src, network, R)
+    new_road, road_delta_tt = _winner_epilogue(
+        road, network, physics, time, head_arrival, head_departure, count_f,
+        accept, chosen_agent, chosen_dest, popped, compute_delta,
+    )
+    return new_road, road_delta_tt, accept, win_src, popped

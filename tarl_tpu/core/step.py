@@ -206,7 +206,7 @@ def tick(
             compute_delta=want_delta,
         )
     else:
-        from .fused_winner import fused_winner_ok
+        from .fused_winner import fused_winner_ok, fused_winner_tiled_ok
 
         if fused_winner_ok(network):
             # Metro scale: the whole roll/eligibility/winner/confirm
@@ -217,6 +217,18 @@ def tick(
 
             road, road_delta_tt, _accept, _win, popped = (
                 direction_confirm_fused(
+                    state.road, state.selected_road, network, t, k_dir,
+                    physics, compute_delta=want_delta,
+                )
+            )
+        elif fused_winner_tiled_ok(network):
+            # Past the single-block VMEM cap (Grid256+): the rotations run
+            # as static XLA rolls, the columnwise remainder as two
+            # grid-tiled Pallas kernels — same bitwise outputs at any R.
+            from .fused_winner import direction_confirm_fused_tiled
+
+            road, road_delta_tt, _accept, _win, popped = (
+                direction_confirm_fused_tiled(
                     state.road, state.selected_road, network, t, k_dir,
                     physics, compute_delta=want_delta,
                 )
