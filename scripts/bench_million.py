@@ -32,6 +32,9 @@ ZONES = int(os.environ.get("TARL_M_ZONES", "256"))
 # Refresh-aligned (multiple of refresh_rate=10) so the shortest-path pass
 # uses the hoisted periodic driver (core.step.run_episode_periodic).
 TICKS = int(os.environ.get("TARL_M_TICKS", "1020"))
+# Comma-separated subset of {sp, random} — lets a kernel A/B re-measure one
+# policy without paying the other's table init / compile.
+ALGOS = os.environ.get("TARL_M_ALGOS", "sp,random").split(",")
 
 
 def main() -> None:
@@ -84,6 +87,8 @@ def main() -> None:
         "ingest_population_s": round(t_pop, 1),
     }
     for label, algo in (("sp", "dijkstra"), ("random", "random")):
+        if label not in ALGOS:
+            continue
         if algo == "dijkstra":
             policy = make_policy(algo, routing, network=net,
                                  dest_inters=dest_inters)
@@ -127,6 +132,8 @@ def main() -> None:
     # recorded Grid128/1M datapoint (runs/million/report.json).
     out = ("runs/million/report.json" if (GRID, NUM_AGENTS) == (128, 1000000)
            else f"runs/million/report_grid{GRID}_{NUM_AGENTS // 10**6}m.json")
+    if set(ALGOS) != {"sp", "random"}:  # partial run: don't clobber the record
+        out = out.replace(".json", f"_{'_'.join(ALGOS)}.json")
     os.makedirs("runs/million", exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=2)

@@ -38,7 +38,10 @@ one per roll-plan bucket); after pre-rolling, the entire mid-section is
 COLUMNWISE, so it grid-tiles over the road axis with no halo and runs at
 any network size.  Confirm needs the rolled WINNER row (a kernel output),
 so the tiled path is two kernels with the ``B_out`` win_src rolls between
-them.  Same prologue/epilogue, same bitwise guarantees.
+them.  Same prologue/epilogue, same bitwise guarantees.  MEASURED RESULT:
+at Grid256 the tiled form is ~5 % slower than the XLA roll path (the
+single-block kernel's win is VMEM residency, which tiling gives up), so
+it is OPT-IN — see :func:`fused_winner_tiled_ok`.
 """
 from __future__ import annotations
 
@@ -381,10 +384,17 @@ def _tile_lanes() -> int:
 
 def fused_winner_tiled_ok(network: Network) -> bool:
     """Trace-time gate for the tiled form: same requirements as the
-    single-block kernel minus the VMEM cap.  ``TARL_FUSED_TILED=0`` opts
-    out (A/B switch); callers try :func:`fused_winner_ok` first (the
-    single-block kernel avoids the pre-roll HBM traffic)."""
-    if os.environ.get("TARL_FUSED_TILED", "1") != "1":
+    single-block kernel minus the VMEM cap.  OPT-IN (``TARL_FUSED_TILED=1``):
+    measured at Grid256x256 / 2M agents (the first size past the
+    single-block gate), the tiled kernel ran the full random tick at
+    4.354 ms vs 4.157 ms for the XLA roll path — at that scale XLA's own
+    fusion already amortizes launch overhead over ~1 MB rows, and the
+    pre-roll materialization ([3·B, R] written+read per tick) plus the
+    kernel I/O round-trip costs more than the fusion saves.  The win of
+    the single-block kernel comes from keeping the whole mid-section
+    VMEM-resident, which tiling inherently gives up.  Kept as an opt-in
+    for irregular future sizes and as the measured record."""
+    if os.environ.get("TARL_FUSED_TILED", "0") != "1":
         return False
     if os.environ.get("TARL_FUSED_WINNER", "1") != "1":
         return False

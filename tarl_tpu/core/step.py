@@ -222,9 +222,11 @@ def tick(
                 )
             )
         elif fused_winner_tiled_ok(network):
-            # Past the single-block VMEM cap (Grid256+): the rotations run
-            # as static XLA rolls, the columnwise remainder as two
-            # grid-tiled Pallas kernels — same bitwise outputs at any R.
+            # Opt-in (TARL_FUSED_TILED=1): rotations as static XLA rolls,
+            # the columnwise remainder as two grid-tiled Pallas kernels —
+            # same bitwise outputs at any R.  Measured SLOWER than the XLA
+            # roll path at Grid256 (see fused_winner_tiled_ok), so the
+            # default past the single-block VMEM gate stays XLA.
             from .fused_winner import direction_confirm_fused_tiled
 
             road, road_delta_tt, _accept, _win, popped = (

@@ -142,6 +142,7 @@ def test_fused_winner_tiled_episode_through_tick(tmp_path, monkeypatch):
     monkeypatch.setenv("TARL_FUSED_TILE", "256")
     finals = {}
     for mode in ("0", "1"):
+        monkeypatch.setenv("TARL_FUSED_TILED", mode)  # opt-in gate
         monkeypatch.setenv("TARL_FUSED_WINNER", mode)
         monkeypatch.setenv("TARL_FUSED_WINNER_INTERPRET", mode)
         jax.clear_caches()
