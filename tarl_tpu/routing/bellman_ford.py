@@ -626,7 +626,7 @@ def _multisweep_nr_ok(i_n: int, num_deltas: int, iters: int) -> bool:
         return False
     if not _multisweep_ok(i_n, num_deltas, iters):
         return False
-    need = (num_deltas + 8) * 4 * i_n * _SWEEP_TILE_D \
+    need = (num_deltas + 8) * 4 * i_n * _sweep_tile_d() \
         + 3 * 4 * i_n * _round_up_lane(num_deltas)
     return need <= _MULTISWEEP_VMEM_BYTES
 
@@ -750,7 +750,11 @@ def _sweep_pallas(dist, w_cols, delta_arr, num_deltas: int, tile_d: int):
 # VMEM gate for the Pallas sweep: resident tile + output tile + rotate
 # temporary + w columns, with headroom (v5e VMEM is far above the 16 MB
 # default scoped limit; CompilerParams raises it to this budget).
-_SWEEP_TILE_D = 128
+# Column-tile width: on-chip sweep at the official sp workload
+# (Grid64x64/200k congested refresh, scripts/tune_sweep_tile.py):
+# 128 -> 6.75 ms/refresh, 256 -> 6.16 ms, 512 -> scoped-VMEM OOM at
+# I=4096 (the [I, I] next-road scratch outgrows the 100 MB stack limit).
+_SWEEP_TILE_D = 256
 _SWEEP_VMEM_BYTES = 40 * 1024 * 1024
 
 
@@ -807,7 +811,10 @@ def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
     if iters > 16 or i_n % 8 != 0:
         return False
     # (num_deltas + 4) column tiles (in/out/carry + per-delta rotates) + w.
-    need = (num_deltas + 4) * 4 * i_n * _SWEEP_TILE_D \
+    # Uses the env-aware tile width so a TARL_SWEEP_TILE_D override is
+    # gate-checked too (a 512 override used to sail past the gate and OOM
+    # the 100 MB scoped-VMEM stack at I=4096).
+    need = (num_deltas + 4) * 4 * i_n * _sweep_tile_d() \
         + 4 * i_n * _round_up_lane(num_deltas)
     return need <= _MULTISWEEP_VMEM_BYTES
 
