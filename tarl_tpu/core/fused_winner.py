@@ -379,7 +379,10 @@ def direction_confirm_fused(
 # Lanes per grid tile.  VMEM per tile is ~(3·B_in + 5·KIN + 3·KIN + 2 + 4)
 # rows × 4 B × TILE — ≤ 4 MB at the 8192 default even for a 24-bucket plan.
 def _tile_lanes() -> int:
-    return int(os.environ.get("TARL_FUSED_TILE", "8192"))
+    # Round the env override UP to a multiple of 128: a non-lane-aligned
+    # BlockSpec width fails Mosaic lowering with an opaque error.
+    raw = int(os.environ.get("TARL_FUSED_TILE", "8192"))
+    return max(128, ((raw + 127) // 128) * 128)
 
 
 def fused_winner_tiled_ok(network: Network) -> bool:

@@ -666,7 +666,11 @@ def primal_relax_next_roads(
             road_cost, out_r_p, ok_p, b_slot_p, b_pad
         )
         d = dist0.shape[1]
-        d_p = _round_up_lane(d)
+        tile_d = _sweep_tile_d()
+        # Pad to a multiple of the COLUMN TILE, not just the 128 lane: the
+        # grid is d_p // tile_d, so a lane-only pad would leave the last
+        # partial tile unprocessed (and d_p < tile_d would launch nothing).
+        d_p = _round_up(d, tile_d)
         dist_p = dist0 if perm is None else dist0[perm]
         if d_p != d:
             dist_p = jnp.pad(dist_p, ((0, 0), (0, d_p - d)),
@@ -674,7 +678,7 @@ def primal_relax_next_roads(
         shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
         dist_o, road_o = _multisweep_nr_pallas(
             dist_p, w_cols, road_cols, slot_cols, shifts, max_iters,
-            _sweep_tile_d()
+            tile_d
         )
         dist_o = dist_o[:, :d]
         road_o = road_o[:, :d]
@@ -760,10 +764,13 @@ _SWEEP_VMEM_BYTES = 40 * 1024 * 1024
 
 def _sweep_tile_d() -> int:
     """Column-tile width of the multisweep kernels (TARL_SWEEP_TILE_D).
-    Read at trace time so on-chip A/B tuning needs no code edit."""
+    Read at trace time so on-chip A/B tuning needs no code edit.  The env
+    value is rounded UP to a multiple of 128: a non-lane-aligned BlockSpec
+    width fails Mosaic lowering with an opaque error."""
     import os
 
-    return int(os.environ.get("TARL_SWEEP_TILE_D", str(_SWEEP_TILE_D)))
+    raw = int(os.environ.get("TARL_SWEEP_TILE_D", str(_SWEEP_TILE_D)))
+    return max(128, _round_up(raw, 128))
 
 
 def _pallas_sweep_ok(i_n: int, num_deltas: int) -> bool:
@@ -782,12 +789,17 @@ def _pallas_sweep_ok(i_n: int, num_deltas: int) -> bool:
         return False
     if i_n % 8 != 0:  # sublane alignment; rolls assume unpadded rows
         return False
-    need = 5 * 4 * i_n * _SWEEP_TILE_D + 4 * i_n * _round_up_lane(num_deltas)
+    need = 5 * 4 * i_n * _sweep_tile_d() \
+        + 4 * i_n * _round_up_lane(num_deltas)
     return need <= _SWEEP_VMEM_BYTES
 
 
 def _round_up_lane(x: int) -> int:
     return ((x + 127) // 128) * 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 # The unrolled static-shift sweep materializes one rotated temporary per
@@ -856,13 +868,15 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
             w_flat.reshape(b_n, i_n).T
         )
         d = dist0.shape[1]
-        d_p = _round_up_lane(d)
+        tile_d = _sweep_tile_d()
+        # Tile-multiple pad (not lane-only): grid = d_p // tile_d.
+        d_p = _round_up(d, tile_d)
         dist_p = (dist0 if d_p == d
                   else jnp.pad(dist0, ((0, 0), (0, d_p - d)),
                                constant_values=BIG))
         shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
         dist_p = _multisweep_pallas(dist_p, w_cols, shifts, iters,
-                                    _sweep_tile_d())
+                                    tile_d)
         out = dist_p[:, :d]
         return out if inv is None else out[inv]
 
@@ -882,7 +896,9 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
             w_flat.reshape(b_n, i_n).T
         )
         d = dist0.shape[1]
-        d_p = _round_up_lane(d)
+        tile_d = _sweep_tile_d()
+        # Tile-multiple pad (not lane-only): grid = d_p // tile_d.
+        d_p = _round_up(d, tile_d)
         dist_p = (dist0 if d_p == d
                   else jnp.pad(dist0, ((0, 0), (0, d_p - d)),
                                constant_values=BIG))
@@ -899,7 +915,7 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
 
         def body(carry):
             i, dist, _ = carry
-            new = _sweep_pallas(dist, w_cols, delta_arr, b_n, _SWEEP_TILE_D)
+            new = _sweep_pallas(dist, w_cols, delta_arr, b_n, tile_d)
             return i + 1, new, jnp.any(new < dist)
 
         _, dist_p, _ = jax.lax.while_loop(

@@ -288,3 +288,39 @@ def test_exception_tail_exercised(grid):
                                   np.asarray(fb.road.fifo_ids))
     np.testing.assert_array_equal(np.asarray(fa.agents.arrival),
                                   np.asarray(fb.agents.arrival))
+
+
+def test_multisweep_tile_pad_covers_all_columns(monkeypatch):
+    """ADVICE r3 (high): the multisweep pallas callers padded the dest axis
+    to the 128 lane but launched grid = d_p // tile_d with tile_d=256 — a
+    non-tile-multiple width left the tail columns unrelaxed (and d_p <
+    tile_d launched NOTHING).  Force the gate on in interpret mode at a
+    width that trips both cases and pin bitwise equality vs the XLA roll
+    sweep."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tarl_tpu.routing import bellman_ford as bf
+
+    i_n = 16
+    deltas = (1, 5)
+    # Two out-roads per node: tail t -> (t+1) % I (bucket 0, slot t) and
+    # tail t -> (t+5) % I (bucket 1, slot i_n + t).
+    slot_of_road = np.concatenate([np.arange(i_n), i_n + np.arange(i_n)])
+    rng = np.random.default_rng(7)
+    road_cost = jnp.asarray(rng.uniform(1.0, 9.0, 2 * i_n), jnp.float32)
+    iters = 6
+
+    # inter_out_road is only used for its leading dim (i_n); the bucketed
+    # paths never index it.
+    dummy_out = np.zeros((i_n, 1), np.int32)
+    for d in (320, 100):  # 320: partial last tile; 100: lane pad < one tile
+        dist0 = jnp.asarray(rng.uniform(0.0, 50.0, (i_n, d)), jnp.float32)
+        buckets = (deltas, jnp.asarray(slot_of_road, jnp.int32), None, None)
+        ref = bf._primal_relax(dist0, road_cost, dummy_out, None, None,
+                               iters, buckets=buckets)
+        monkeypatch.setenv("TARL_SWEEP_TILE_D", "256")
+        monkeypatch.setattr(bf, "_multisweep_ok", lambda *a: True)
+        with pltpu.force_tpu_interpret_mode():
+            got = bf._primal_relax(dist0, road_cost, dummy_out, None, None,
+                                   iters, buckets=buckets)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
