@@ -79,6 +79,27 @@ class SimConfig:
     # pays one while-loop predicate.  With sorted_population this is
     # bitwise-equal to ``insert_agents`` (tests/test_agents.py).
     insert_escalate: bool = True
+    # Persistent blocked-candidate backlog capacity (core.insert.
+    # insert_agents_backlogged).  None = off.  With a value (requires
+    # sorted_population + insert_window), due-but-capacity-blocked agents
+    # move into a carried [B] candidate set that re-bids every tick with a
+    # FRESH entry-road read (the reference's whole-population re-scan
+    # semantics, agents/base.py:247-299) while the window pointer advances
+    # past them — exact insertion then costs O(B + W) per tick instead of
+    # the ~5 escalation window passes the blocked peak otherwise forces.
+    # Bitwise-identical to the unbounded whole-population scan; if the live
+    # blocked set overflows B, the pointer pins on the overflow and the
+    # escalation passes preserve exactness (slower, never wrong).
+    insert_backlog: int | None = None
+    # Compact the insert-phase FIFO/flag scatters to at most this many
+    # indices per tick (the withdraw_compact trick on the admission side):
+    # admissions are sparse — a tick admits ~(departure rate) agents, not
+    # the whole candidate window — and TPU scatters cost ~7 ns per INDEX
+    # regardless of drops.  Ticks admitting more than the budget fall back
+    # to the full scatter via lax.cond (bitwise-identical at any value).
+    # "auto" (default) uses a 256-index budget once the candidate count
+    # reaches 4x the budget; None disables unconditionally.
+    insert_compact: int | str | None = "auto"
     # Compact the withdraw arrival-stamp scatter to at most this many indices
     # per tick (None = scatter all R*depth candidate slots).  Pops are sparse
     # — a tick withdraws ~(arrival rate) agents, not R*depth — and TPU

@@ -57,6 +57,17 @@ def _road_static_tab(network: Network) -> jnp.ndarray:
     )
 
 
+def _resolve_compact(compact, num_candidates: int) -> int | None:
+    """Resolve SimConfig.insert_compact for a K-candidate admission: "auto"
+    enables the 256-index budget once K reaches 4x the budget (below that
+    the scatter is already small and the top_k pass is pure overhead)."""
+    if isinstance(compact, str):
+        if compact != "auto":
+            raise ValueError(f"insert compact: {compact!r} (int|None|'auto')")
+        return 256 if num_candidates >= 4 * 256 else None
+    return compact
+
+
 def _admit_candidates(
     road: RoadState,
     agents: AgentState,
@@ -68,6 +79,8 @@ def _admit_candidates(
     cand_dest: jnp.ndarray | None = None,  # int32[K] dest per candidate
     update_inserted: bool = True,
     stamp_count: jnp.ndarray | None = None,  # int32[R] tick-start occupancy
+    force_pairwise: bool = False,
+    compact: int | None = None,
 ) -> tuple[RoadState, AgentState, jnp.ndarray]:
     """Shared admission core: capacity-clipped group insert of candidates.
 
@@ -101,7 +114,7 @@ def _admit_candidates(
     A = agents.num_agents
     K = candidate_ids.shape[0]
 
-    pairwise = K <= _PAIRWISE_RANK_MAX
+    pairwise = force_pairwise or K <= _PAIRWISE_RANK_MAX
     if pairwise:
         road_cand = road_key.astype(jnp.int32)
         agent_cand = candidate_ids.astype(jnp.int32)
@@ -156,15 +169,64 @@ def _admit_candidates(
 
     if dest_cand is None:
         dest_cand = agents.dest[agent_cand]
+    dep_stamp = time + travel_time
 
-    fifo_ids = road.fifo_ids.at[rows, slot].set(agent_cand, mode="drop")
-    fifo_arrival = road.fifo_arrival.at[rows, slot].set(
-        jnp.broadcast_to(time, (K,)), mode="drop"
-    )
-    fifo_departure = road.fifo_departure.at[rows, slot].set(
-        time + travel_time, mode="drop"
-    )
-    fifo_dest = road.fifo_dest.at[rows, slot].set(dest_cand, mode="drop")
+    def _write(rws, slt, ids_v, dst_v, dep_v, ins_mask_ids):
+        """The admission scatters over one (possibly compacted) index set.
+        Returns (fifo_ids, fifo_arrival, fifo_departure, fifo_dest[,
+        ins_delta])."""
+        out = (
+            road.fifo_ids.at[rws, slt].set(ids_v, mode="drop"),
+            road.fifo_arrival.at[rws, slt].set(
+                jnp.broadcast_to(time, ids_v.shape), mode="drop"
+            ),
+            road.fifo_departure.at[rws, slt].set(dep_v, mode="drop"),
+            road.fifo_dest.at[rws, slt].set(dst_v, mode="drop"),
+        )
+        if update_inserted:
+            # Scatter into an int32 staging vector: TPU bool scatters run
+            # ~7x slower than int32 ones (measured); OR is a fused [A] pass.
+            out += (
+                jnp.zeros((A,), jnp.int32).at[ins_mask_ids].set(
+                    1, mode="drop"
+                ),
+            )
+        return out
+
+    compact = _resolve_compact(compact, K)
+    if compact is not None and 0 < compact < K:
+        # Admissions are sparse (~departure rate per tick, not K) and TPU
+        # scatters cost ~7 ns per INDEX regardless of drops: pull the
+        # admitted candidates to the front with a stable top_k (ties keep
+        # index order) and scatter `compact` indices instead of K.  Ticks
+        # whose admission count overflows the budget take the full scatter
+        # through lax.cond — bitwise-identical either way (same index/value
+        # pairs land; admitted (row, slot) pairs are unique so order is
+        # immaterial).
+        flags = ok.astype(jnp.int32)
+        topf, topi = jax.lax.top_k(flags, compact)
+        sel = topf > 0
+        c_rows = jnp.where(sel, rows[topi], R)
+        outs = jax.lax.cond(
+            jnp.sum(flags) <= compact,
+            lambda _: _write(
+                c_rows, slot[topi], agent_cand[topi], dest_cand[topi],
+                dep_stamp[topi],
+                jnp.where(c_rows < R, agent_cand[topi], A),
+            ),
+            lambda _: _write(
+                rows, slot, agent_cand, dest_cand, dep_stamp,
+                jnp.where(ok, agent_cand, A),
+            ),
+            None,
+        )
+    else:
+        outs = _write(
+            rows, slot, agent_cand, dest_cand, dep_stamp,
+            jnp.where(ok, agent_cand, A),
+        )
+    fifo_ids, fifo_arrival, fifo_departure, fifo_dest = outs[:4]
+
     if pairwise and K * R <= _PAIRWISE_COUNT_MAX_ELEMS:
         # Per-road admitted counts via the same pairwise trick (a [K, R]
         # compare+sum is fused VPU work; the segment_sum alternative is
@@ -179,13 +241,7 @@ def _admit_candidates(
         )[:R]
 
     if update_inserted:
-        # Scatter into an int32 staging vector: TPU bool scatters run ~7x
-        # slower than int32 ones (measured); the OR is a fused [A] pass.
-        inserted_agents = jnp.where(ok, agent_cand, A)  # A -> dropped
-        ins_delta = jnp.zeros((A,), jnp.int32).at[inserted_agents].set(
-            1, mode="drop"
-        )
-        inserted = agents.inserted | (ins_delta > 0)
+        inserted = agents.inserted | (outs[4] > 0)
     else:
         # Caller updates the flag itself (the sorted fast path replaces the
         # scatter with a contiguous dynamic_update_slice).
@@ -218,6 +274,7 @@ def insert_agents(
     time: jnp.ndarray,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     entry_road: jnp.ndarray | None = None,
+    compact: int | str | None = None,
 ) -> tuple[RoadState, AgentState]:
     """Insert every ready agent whose entry road has spare capacity.
 
@@ -251,7 +308,7 @@ def insert_agents(
     candidate_ids = jnp.arange(agents.num_agents, dtype=jnp.int32)
     road, agents, _ = _admit_candidates(
         road, agents, network, time, physics, candidate_ids, road_key,
-        cand_dest=agents.dest,
+        cand_dest=agents.dest, compact=compact,
     )
     return road, agents
 
@@ -270,6 +327,7 @@ def insert_agents_windowed(
     entry_lookup=None,
     sorted_fast: bool = False,
     escalate: bool = False,
+    compact: int | str | None = None,
 ) -> tuple[RoadState, AgentState, jnp.ndarray, jnp.ndarray]:
     """Windowed insertion: O(W log W) per tick instead of O(A log A).
 
@@ -388,6 +446,7 @@ def insert_agents_windowed(
             road, agents_static._replace(inserted=inserted), network, time,
             physics, win_ids, road_key, cand_dest=win_dest,
             update_inserted=not sorted_fast, stamp_count=stamp_count,
+            compact=compact,
         )
         if sorted_fast:
             inserted = jax.lax.dynamic_update_slice_in_dim(
@@ -447,3 +506,215 @@ def insert_agents_windowed(
     )
     new_ptr = jnp.minimum(start0 + adv, A).astype(jnp.int32)
     return road, agents._replace(inserted=inserted), new_ptr, extra
+
+
+def insert_agents_backlogged(
+    road: RoadState,
+    agents: AgentState,
+    backlog,                 # state.BacklogState
+    selected_road: jnp.ndarray,
+    network: Network,
+    time: jnp.ndarray,
+    ptr: jnp.ndarray,        # int32[] — first agent id - 1 still pending
+    window: int,
+    physics: PhysicsConfig = DEFAULT_PHYSICS,
+    entry_lookup=None,
+    escalate: bool = True,
+    compact: int | str | None = "auto",
+):
+    """Exact insertion with a persistent blocked-candidate backlog.
+
+    The reference re-scans the WHOLE population every tick, so an agent
+    blocked by a full entry road keeps re-bidding — with a fresh
+    ``SELECTED_ROAD`` read — until capacity frees (agents/base.py:247-299).
+    :func:`insert_agents_windowed` reproduces those semantics by pinning
+    the window pointer on blocked agents and escalating over them, which at
+    a congested demand peak costs ~5 full window passes per tick.  Here the
+    blocked set is carried EXPLICITLY (state.BacklogState): every tick the
+    candidates are ``backlog ++ window`` — the backlog re-bids with a fresh
+    per-tick entry-road read (preserving the reference's re-evaluation
+    semantics under stochastic policies), admitted entries become holes in
+    place, window agents that get blocked append at the tail, and the
+    window pointer advances past everything due.  One admission pass covers
+    what escalation needed ~5 for.
+
+    BITWISE-EXACT vs the whole-population :func:`insert_agents` (given the
+    same entry-road evaluations): candidates appear in ascending agent-id
+    order (backlog ascending by construction; appended ids exceed
+    everything queued because the pointer is monotone), which for a
+    departure-sorted population is exactly the reference's stable
+    candidate order, and per-road admission is a prefix in that order.
+
+    REQUIRES ``sorted_population`` (ids 1..A-1 ascending departure).
+
+    Overflow never breaks exactness: when the live blocked set exceeds the
+    backlog capacity the kept set is a PREFIX of this tick's blocked
+    candidates (append rank is monotone in position), the pointer pins on
+    the first dropped agent, and the escalation passes cover the rest
+    exactly as :func:`insert_agents_windowed` does.
+
+    Returns ``(road, agents, backlog, new_ptr, monitor)`` where ``monitor``
+    (float32[]) counts extra escalation passes (0 = backlog + one window
+    pass sufficed).
+    """
+    R = road.num_roads
+    A = agents.num_agents
+    B = backlog.capacity
+    W = min(window, A - 1)
+    limit = A - 1 - W
+    pos_w = jnp.arange(W, dtype=jnp.int32)
+    compact = _resolve_compact(compact, B + W)
+
+    # --- hole compaction (lax.cond; fires only when tail nears capacity,
+    # i.e. every ~(B - live)/append-rate ticks) -----------------------------
+    def _compress(bl):
+        flags = (bl.ids < A).astype(jnp.int32)
+        # Stable top_k: live positions in ascending order -> ascending ids.
+        topf, topi = jax.lax.top_k(flags, B)
+        keep = topf > 0
+        return bl._replace(
+            ids=jnp.where(keep, bl.ids[topi], A),
+            origin=jnp.where(keep, bl.origin[topi], 0),
+            dest=jnp.where(keep, bl.dest[topi], 0),
+            tail=jnp.sum(flags),
+        )
+
+    backlog = jax.lax.cond(
+        backlog.tail > B - min(W, B), _compress, lambda b: b, backlog
+    )
+
+    # --- candidate assembly: backlog ++ window -----------------------------
+    bl_ids = backlog.ids
+    bl_live = bl_ids < A
+    if entry_lookup is not None:
+        bl_entry = entry_lookup(jnp.minimum(bl_ids, A - 1))
+    else:
+        bl_entry = selected_road[backlog.origin]
+    bl_key = jnp.where(
+        bl_live & (bl_entry >= 0) & (bl_entry < R), bl_entry, R
+    ).astype(jnp.int32)
+
+    inserted0 = agents.inserted
+    queued0 = backlog.queued
+
+    def window_candidates(off, inserted, queued):
+        start = jnp.minimum(off, limit).astype(jnp.int32)
+        lo = start + 1
+        win_ids = lo + pos_w
+        win_dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, W)
+        win_origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, W)
+        win_dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, W)
+        win_inserted = jax.lax.dynamic_slice_in_dim(inserted, lo, W)
+        win_queued = jax.lax.dynamic_slice_in_dim(queued, lo, W)
+        ready = (win_dep <= time) & ~win_inserted & ~win_queued
+        if entry_lookup is not None:
+            win_entry = entry_lookup(win_ids)
+        else:
+            win_entry = selected_road[win_origin]
+        win_key = jnp.where(
+            ready & (win_entry >= 0) & (win_entry < R), win_entry, R
+        ).astype(jnp.int32)
+        return (start, lo, win_ids, win_dep, win_origin, win_dest,
+                win_inserted, win_queued, ready, win_key)
+
+    count0 = road.count  # tick-start occupancy: the departure-stamp base
+
+    # --- main pass: backlog + window in one admission ----------------------
+    (start0, lo0, win_ids, win_dep, win_origin, win_dest, win_inserted,
+     win_queued, win_ready, win_key) = window_candidates(
+        ptr.astype(jnp.int32), inserted0, queued0
+    )
+    cand_ids = jnp.concatenate([jnp.minimum(bl_ids, A - 1), win_ids])
+    cand_key = jnp.concatenate([bl_key, win_key])
+    cand_dest = jnp.concatenate([backlog.dest, win_dest])
+
+    road, agents2, admitted = _admit_candidates(
+        road, agents, network, time, physics, cand_ids, cand_key,
+        cand_dest=cand_dest, update_inserted=True, stamp_count=None,
+        force_pairwise=True, compact=compact,
+    )
+    inserted = agents2.inserted
+
+    # Backlog holes for admitted entries: pure elementwise, no scatter.
+    bl_ids_new = jnp.where(admitted[:B], A, bl_ids)
+
+    def append_blocked(bl_ids_a, bl_origin_a, bl_dest_a, tail, queued,
+                       win, wa):
+        """Append this pass's blocked window candidates at the tail (kept
+        set = a PREFIX of the blocked positions), update the queued flag
+        slice, and return the pointer-advance mask."""
+        (start, lo, win_ids, win_dep, win_origin, win_dest, win_inserted,
+         win_queued, ready, win_key) = win
+        blocked = ready & (win_key < R) & ~wa
+        brank = jnp.cumsum(blocked.astype(jnp.int32)) - 1
+        room = B - tail
+        kept = blocked & (brank < room)
+        rows_a = jnp.where(kept, tail + brank, B)
+        bl_ids_a = bl_ids_a.at[rows_a].set(win_ids, mode="drop")
+        bl_origin_a = bl_origin_a.at[rows_a].set(win_origin, mode="drop")
+        bl_dest_a = bl_dest_a.at[rows_a].set(win_dest, mode="drop")
+        tail = tail + jnp.sum(kept.astype(jnp.int32))
+        queued = jax.lax.dynamic_update_slice_in_dim(
+            queued, win_queued | kept, lo, axis=0
+        )
+        settled = win_inserted | win_queued | wa | kept
+        adv = jnp.min(jnp.where(settled, W, pos_w))
+        sat = win_dep[W - 1] <= time
+        return bl_ids_a, bl_origin_a, bl_dest_a, tail, queued, adv, sat, start
+
+    win0 = (start0, lo0, win_ids, win_dep, win_origin, win_dest,
+            win_inserted, win_queued, win_ready, win_key)
+    (bl_ids_new, bl_origin_new, bl_dest_new, tail, queued, adv0, sat0,
+     start0) = append_blocked(
+        bl_ids_new, backlog.origin, backlog.dest, backlog.tail, queued0,
+        win0, admitted[B:],
+    )
+
+    extra = jnp.zeros((), jnp.float32)
+    if escalate:
+        # Window saturation (> W NEW departures in one tick once the
+        # backlog absorbs the blocked set — rare) keeps the exactness
+        # guarantee: extra window-only passes at ptr + k*W, stamped from
+        # the tick-start occupancy snapshot (insert_agents_windowed
+        # escalation semantics; the backlog needs no second look — all its
+        # entries were candidates in the main pass).
+        def cond_fn(c):
+            (_road, _ins, _q, _bi, _bo, _bd, _tail, start, sat, _adv,
+             _open, _extra) = c
+            return sat & (start < limit)
+
+        def body_fn(c):
+            (road, inserted, queued, bi, bo, bd, tail, start_prev, _sat,
+             adv, adv_open, extra) = c
+            off = start_prev + W
+            win = window_candidates(off, inserted, queued)
+            (start, lo, w_ids, w_dep, w_origin, w_dest, w_inserted,
+             w_queued, w_ready, w_key) = win
+            road, agents_k, wa = _admit_candidates(
+                road, agents._replace(inserted=inserted), network, time,
+                physics, w_ids, w_key, cand_dest=w_dest,
+                update_inserted=True, stamp_count=count0, compact=compact,
+            )
+            inserted = agents_k.inserted
+            bi, bo, bd, tail, queued, adv_k, sat, start = append_blocked(
+                bi, bo, bd, tail, queued, win, wa
+            )
+            contiguous = start == off
+            adv = jnp.where(adv_open & contiguous, adv + adv_k, adv)
+            adv_open = adv_open & contiguous & (adv_k == W)
+            return (road, inserted, queued, bi, bo, bd, tail, start, sat,
+                    adv, adv_open, extra + 1.0)
+
+        (road, inserted, queued, bl_ids_new, bl_origin_new, bl_dest_new,
+         tail, _start, _sat, adv0, _open, extra) = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (road, inserted, queued, bl_ids_new, bl_origin_new, bl_dest_new,
+             tail, start0, sat0, adv0, adv0 == W, extra),
+        )
+
+    new_ptr = jnp.minimum(start0 + adv0, A).astype(jnp.int32)
+    backlog = backlog._replace(
+        ids=bl_ids_new, origin=bl_origin_new, dest=bl_dest_new, tail=tail,
+        queued=queued,
+    )
+    return road, agents._replace(inserted=inserted), backlog, new_ptr, extra

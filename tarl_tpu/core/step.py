@@ -26,6 +26,7 @@ from ..state import (
     MetricState,
     SimState,
     TickLog,
+    init_backlog_state,
     init_metric_state,
     init_road_state,
 )
@@ -84,6 +85,13 @@ def init_sim_state(
     """Fresh :class:`SimState` at ``sim.start_time``."""
     if key is None:
         key = jax.random.PRNGKey(sim.seed)
+    backlog = None
+    if sim.insert_backlog is not None:
+        if not (sim.sorted_population and sim.insert_window is not None):
+            raise ValueError(
+                "insert_backlog requires sorted_population and insert_window"
+            )
+        backlog = init_backlog_state(sim.insert_backlog, agents.num_agents)
     if next_hop is None:
         if policy is not None and policy.table_init is not None:
             next_hop = policy.table_init(network)
@@ -106,6 +114,7 @@ def init_sim_state(
         choice_count=jnp.zeros((), jnp.int32),
         insert_order=jnp.argsort(agents.departure, stable=True).astype(jnp.int32),
         insert_ptr=jnp.zeros((), jnp.int32),
+        backlog=backlog,
     )
 
 
@@ -125,6 +134,9 @@ def reset_sim_state(state: SimState, start_time) -> SimState:
         metrics=init_metric_state(R, H),
         choice_count=jnp.zeros((), jnp.int32),
         insert_ptr=jnp.zeros((), jnp.int32),
+        backlog=None if state.backlog is None else init_backlog_state(
+            state.backlog.capacity, state.agents.num_agents
+        ),
     )
 
 
@@ -147,10 +159,9 @@ def tick(
 
     # --- insert (agents/base.py:244-331) ---
     insert_ptr = state.insert_ptr
+    backlog = state.backlog
     saturated = jnp.zeros((), jnp.float32)
     if sim.insert_window is not None:
-        from .insert import insert_agents_windowed
-
         if policy.entry_lookup is not None:
             entry_fn = lambda ids: policy.entry_lookup(state, network, ids)  # noqa: E731
         elif policy.entry is not None:
@@ -158,12 +169,27 @@ def tick(
             entry_fn = lambda ids: full_entry[ids]  # noqa: E731
         else:
             entry_fn = None
-        road, agents, insert_ptr, sat = insert_agents_windowed(
-            state.road, state.agents, state.selected_road, network, t,
-            state.insert_order, state.insert_ptr, sim.insert_window, physics,
-            entry_lookup=entry_fn, sorted_fast=sim.sorted_population,
-            escalate=sim.insert_escalate,
-        )
+        if sim.insert_backlog is not None and backlog is not None:
+            from .insert import insert_agents_backlogged
+
+            road, agents, backlog, insert_ptr, sat = (
+                insert_agents_backlogged(
+                    state.road, state.agents, backlog, state.selected_road,
+                    network, t, state.insert_ptr, sim.insert_window, physics,
+                    entry_lookup=entry_fn, escalate=sim.insert_escalate,
+                    compact=sim.insert_compact,
+                )
+            )
+        else:
+            from .insert import insert_agents_windowed
+
+            road, agents, insert_ptr, sat = insert_agents_windowed(
+                state.road, state.agents, state.selected_road, network, t,
+                state.insert_order, state.insert_ptr, sim.insert_window,
+                physics,
+                entry_lookup=entry_fn, sorted_fast=sim.sorted_population,
+                escalate=sim.insert_escalate, compact=sim.insert_compact,
+            )
         # Under escalation `sat` counts extra passes (run stays exact); the
         # plain window reports the saturation monitor bool.
         saturated = sat.astype(jnp.float32)
@@ -171,6 +197,9 @@ def tick(
         entry_road = (
             policy.entry(state, network) if policy.entry is not None else None
         )
+        # No compaction on the whole-population path: the top_k pass would
+        # scan all A candidates every tick, typically costing more than the
+        # scatter it replaces (this path is the small-scenario/parity one).
         road, agents = insert_agents(
             state.road, state.agents, state.selected_road, network, t, physics,
             entry_road=entry_road,
@@ -271,6 +300,7 @@ def tick(
         time=new_time,
         key=key,
         insert_ptr=insert_ptr,
+        backlog=backlog,
         metrics=MetricState(
             hourly_counts=hourly,
             on_way_before=on_way_total,
@@ -314,7 +344,7 @@ def run_episode(
 
     def assemble(carry) -> SimState:
         (road, arrival, inserted, selected_road, time, key, metrics,
-         next_hop, choice_count, insert_ptr) = carry
+         next_hop, choice_count, insert_ptr, backlog) = carry
         return SimState(
             road=road,
             agents=ag._replace(arrival=arrival, inserted=inserted),
@@ -326,12 +356,13 @@ def run_episode(
             choice_count=choice_count,
             insert_order=order_const,
             insert_ptr=insert_ptr,
+            backlog=backlog,
         )
 
     def disassemble(s: SimState):
         return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
                 s.time, s.key, s.metrics, s.next_hop, s.choice_count,
-                s.insert_ptr)
+                s.insert_ptr, s.backlog)
 
     def body(carry, _):
         s, log = tick(assemble(carry), network, policy, sim, physics)
@@ -392,7 +423,7 @@ def run_episode_periodic(
 
     def assemble(carry, next_hop) -> SimState:
         (road, arrival, inserted, selected_road, time, key, metrics,
-         choice_count, insert_ptr) = carry
+         choice_count, insert_ptr, backlog) = carry
         return SimState(
             road=road,
             agents=ag._replace(arrival=arrival, inserted=inserted),
@@ -404,11 +435,13 @@ def run_episode_periodic(
             choice_count=choice_count,
             insert_order=order_const,
             insert_ptr=insert_ptr,
+            backlog=backlog,
         )
 
     def disassemble(s: SimState):
         return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
-                s.time, s.key, s.metrics, s.choice_count, s.insert_ptr)
+                s.time, s.key, s.metrics, s.choice_count, s.insert_ptr,
+                s.backlog)
 
     def refresh_choice(s: SimState, net: Network):
         buf = policy.refresh(s, net)

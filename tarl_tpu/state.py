@@ -208,6 +208,51 @@ def init_agent_state(
     )
 
 
+class BacklogState(NamedTuple):
+    """Persistent compacted set of DUE-but-capacity-blocked insertion
+    candidates (core.insert.insert_agents_backlogged).
+
+    The reference re-scans the whole population every tick, so an agent
+    blocked by a full entry road keeps re-bidding — with a fresh
+    ``SELECTED_ROAD`` read — until admitted (agents/base.py:247-299).  The
+    windowed insert reproduces that by pinning its pointer on blocked
+    agents and escalating over them (~5 full window passes/tick at the
+    official peak).  This structure instead carries the blocked set
+    explicitly: ids in ascending order (= departure order for a sorted
+    population), with origin/dest denormalized so the per-tick re-bid costs
+    one entry-road lookup instead of a window re-scan.  ``A`` (the
+    population size) is the hole sentinel; admitted entries become holes in
+    place and ``tail`` marks the first free append slot (appends keep
+    ascending order because newly blocked ids always exceed everything
+    queued — the window pointer is monotone).  Compaction squeezes holes
+    out only when the tail nears capacity (lax.cond, rare).
+    """
+
+    ids: jnp.ndarray     # int32[B] — agent ids ascending; A = hole
+    origin: jnp.ndarray  # int32[B] — SRC node per entry (0 for holes)
+    dest: jnp.ndarray    # int32[B] — DEST node per entry (0 for holes)
+    tail: jnp.ndarray    # int32[] — first free append slot
+    # Ever-enqueued flag: window candidacy is ~inserted & ~queued, so a
+    # clamped window near the population end never double-bids an agent the
+    # backlog already owns.  Never cleared (admission sets `inserted`,
+    # which supersedes it).
+    queued: jnp.ndarray  # bool[A]
+
+    @property
+    def capacity(self) -> int:
+        return self.ids.shape[0]
+
+
+def init_backlog_state(capacity: int, num_agents: int) -> BacklogState:
+    return BacklogState(
+        ids=jnp.full((capacity,), num_agents, dtype=jnp.int32),
+        origin=jnp.zeros((capacity,), dtype=jnp.int32),
+        dest=jnp.zeros((capacity,), dtype=jnp.int32),
+        tail=jnp.zeros((), jnp.int32),
+        queued=jnp.zeros((num_agents,), dtype=bool),
+    )
+
+
 class MetricState(NamedTuple):
     """On-device metric accumulators.
 
@@ -254,6 +299,9 @@ class SimState(NamedTuple):
     # departure-sorted agent order and the moving pending pointer.
     insert_order: jnp.ndarray   # int32[A]
     insert_ptr: jnp.ndarray     # int32[]
+    # Persistent blocked-candidate set (SimConfig.insert_backlog); None when
+    # the feature is off.
+    backlog: BacklogState | None = None
 
 
 class TickLog(NamedTuple):
