@@ -59,12 +59,15 @@ def _road_static_tab(network: Network) -> jnp.ndarray:
 
 def _resolve_compact(compact, num_candidates: int) -> int | None:
     """Resolve SimConfig.insert_compact for a K-candidate admission: "auto"
-    enables the 256-index budget once K reaches 4x the budget (below that
-    the scatter is already small and the top_k pass is pure overhead)."""
+    enables the 256-index budget once K reaches 4096.  Measured on the v5e:
+    lax.top_k is launch-bound at ~50 us regardless of input size, so
+    replacing the 4 K-index scatters (~28 us at K=1024) LOSES below ~4k
+    candidates and wins above (withdraw_compact's measured 179 -> 47 us at
+    32k candidates)."""
     if isinstance(compact, str):
         if compact != "auto":
             raise ValueError(f"insert compact: {compact!r} (int|None|'auto')")
-        return 256 if num_candidates >= 4 * 256 else None
+        return 256 if num_candidates >= 4096 else None
     return compact
 
 
@@ -511,93 +514,147 @@ def insert_agents_windowed(
 def insert_agents_backlogged(
     road: RoadState,
     agents: AgentState,
-    backlog,                 # state.BacklogState
+    backlog,                 # state.BacklogState (per-SRC ring queues)
     selected_road: jnp.ndarray,
     network: Network,
     time: jnp.ndarray,
     ptr: jnp.ndarray,        # int32[] — first agent id - 1 still pending
     window: int,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
-    entry_lookup=None,
     escalate: bool = True,
     compact: int | str | None = "auto",
+    pop_width: int | None = None,
 ):
-    """Exact insertion with a persistent blocked-candidate backlog.
+    """Exact insertion with per-SRC blocked-candidate queues.
 
     The reference re-scans the WHOLE population every tick, so an agent
     blocked by a full entry road keeps re-bidding — with a fresh
     ``SELECTED_ROAD`` read — until capacity frees (agents/base.py:247-299).
     :func:`insert_agents_windowed` reproduces those semantics by pinning
     the window pointer on blocked agents and escalating over them, which at
-    a congested demand peak costs ~5 full window passes per tick.  Here the
-    blocked set is carried EXPLICITLY (state.BacklogState): every tick the
-    candidates are ``backlog ++ window`` — the backlog re-bids with a fresh
-    per-tick entry-road read (preserving the reference's re-evaluation
-    semantics under stochastic policies), admitted entries become holes in
-    place, window agents that get blocked append at the tail, and the
-    window pointer advances past everything due.  One admission pass covers
-    what escalation needed ~5 for.
+    a demand-OVERSATURATED peak (the official bench carries ~35k due-but-
+    blocked agents by hour two) degenerates to ~15 full window passes/tick.
 
-    BITWISE-EXACT vs the whole-population :func:`insert_agents` (given the
-    same entry-road evaluations): candidates appear in ascending agent-id
-    order (backlog ascending by construction; appended ids exceed
-    everything queued because the pointer is monotone), which for a
-    departure-sorted population is exactly the reference's stable
-    candidate order, and per-road admission is a prefix in that order.
+    Key structural fact (state.BacklogState docstring): with the entry rule
+    ``entry = SELECTED_ROAD[origin]``, a road is only ever bid by its tail
+    SRC node, and all blocked agents at one SRC bid the SAME road each tick.
+    So the blocked set lives in one FIFO ring per SRC in ascending-id
+    order, and the exact per-tick re-bid costs
 
-    REQUIRES ``sorted_population`` (ids 1..A-1 ascending departure).
+    * one ``selected_road`` row per SRC (the whole backlog's fresh entry
+      evaluation — the reference's stochastic re-bid semantics preserved);
+    * a DRAIN loop popping ``min(qcount, remaining, P)`` entries per SRC
+      from the queue front straight into the road FIFOs (admission rank IS
+      the queue position — no rank computation), repeated while any queue
+      still faces spare capacity (one pass in steady state: capacity frees
+      by at most withdraw_depth + 1 per road per tick);
+    * one standard window pass whose capacity-blocked candidates append to
+      their SRC's queue tail, freeing the window pointer to advance.
 
-    Overflow never breaks exactness: when the live blocked set exceeds the
-    backlog capacity the kept set is a PREFIX of this tick's blocked
-    candidates (append rank is monotone in position), the pointer pins on
-    the first dropped agent, and the escalation passes cover the rest
-    exactly as :func:`insert_agents_windowed` does.
+    BITWISE-EXACT vs the whole-population :func:`insert_agents`: per-road
+    candidate order is (queue front -> queue tail -> window in id order) =
+    ascending agent id = the reference's stable candidate order for a
+    departure-sorted population; drain + window admissions telescope to the
+    single-pass prefix (slots use live counts, departure stamps use the
+    tick-start occupancy snapshot, matching base.py:313-325).
 
-    Returns ``(road, agents, backlog, new_ptr, monitor)`` where ``monitor``
-    (float32[]) counts extra escalation passes (0 = backlog + one window
-    pass sufficed).
+    REQUIRES ``sorted_population`` and the ``selected_road[origin]`` entry
+    rule (policies with per-agent entry roads break the one-road-per-SRC
+    invariant; ``tick`` falls back to the windowed path for those).
+
+    Queue overflow never breaks exactness: the kept set is a prefix of each
+    SRC's blocked candidates, the window pointer pins on the first dropped
+    agent, and escalation passes cover the rest.
+
+    Returns ``(road, agents, backlog, new_ptr, monitor)``; ``monitor``
+    (float32[]) counts extra escalation window passes (0 = drain + one
+    window pass sufficed).
     """
+    import os
+
     R = road.num_roads
+    Nmax = road.nmax
     A = agents.num_agents
-    B = backlog.capacity
+    S, Q = backlog.qids.shape
     W = min(window, A - 1)
     limit = A - 1 - W
     pos_w = jnp.arange(W, dtype=jnp.int32)
-    compact = _resolve_compact(compact, B + W)
+    if pop_width is None:
+        pop_width = int(os.environ.get("TARL_BACKLOG_POP", "4"))
+    P = pop_width
 
-    # --- hole compaction (lax.cond; fires only when tail nears capacity,
-    # i.e. every ~(B - live)/append-rate ticks) -----------------------------
-    def _compress(bl):
-        flags = (bl.ids < A).astype(jnp.int32)
-        # Stable top_k: live positions in ascending order -> ascending ids.
-        topf, topi = jax.lax.top_k(flags, B)
-        keep = topf > 0
-        return bl._replace(
-            ids=jnp.where(keep, bl.ids[topi], A),
-            origin=jnp.where(keep, bl.origin[topi], 0),
-            dest=jnp.where(keep, bl.dest[topi], 0),
-            tail=jnp.sum(flags),
-        )
+    src_nodes = R + 2 * jnp.arange(S, dtype=jnp.int32)
+    g = selected_road[src_nodes]                      # [S] — the re-bid
+    gvalid = (g >= 0) & (g < R)
+    g_safe = jnp.where(gvalid, g, 0)
+    count0 = road.count                               # stamp snapshot
+    cap_f = network.capacity
+    buf = physics.congestion_buffer
 
-    backlog = jax.lax.cond(
-        backlog.tail > B - min(W, B), _compress, lambda b: b, backlog
+    # Per-SRC departure stamp of this tick (tick-start occupancy), shared by
+    # every drain pass — the reference stamps the whole insert from it.
+    c0_g = count0[g_safe].astype(jnp.float32)
+    tt_g = jnp.maximum(
+        network.free_flow[g_safe],
+        network.congestion_constant[g_safe]
+        / (cap_f[g_safe] + physics.congestion_softening - c0_g),
     )
+    dep_stamp_g = time + tt_g                          # [S]
+    head_g = road.head[g_safe]                         # static during insert
+    pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
 
-    # --- candidate assembly: backlog ++ window -----------------------------
-    bl_ids = backlog.ids
-    bl_live = bl_ids < A
-    if entry_lookup is not None:
-        bl_entry = entry_lookup(jnp.minimum(bl_ids, A - 1))
-    else:
-        bl_entry = selected_road[backlog.origin]
-    bl_key = jnp.where(
-        bl_live & (bl_entry >= 0) & (bl_entry < R), bl_entry, R
-    ).astype(jnp.int32)
+    def _remaining(count):
+        return (
+            cap_f[g_safe] - buf - count[g_safe].astype(jnp.float32)
+        ).astype(jnp.int32)
 
-    inserted0 = agents.inserted
-    queued0 = backlog.queued
+    def drain_cond(c):
+        fids, farr, fdep, fdst, count, qhead, qcount, ins = c
+        return jnp.any(gvalid & (qcount > 0) & (_remaining(count) > 0))
 
-    def window_candidates(off, inserted, queued):
+    def drain_body(c):
+        fids, farr, fdep, fdst, count, qhead, qcount, ins = c
+        cnt_g = count[g_safe]
+        rem = _remaining(count)
+        take = jnp.clip(jnp.minimum(qcount, rem), 0, P)
+        take = jnp.where(gvalid, take, 0)
+        phys = (qhead[:, None] + pcol) % Q             # [S, P]
+        ids_p = jnp.take_along_axis(backlog.qids, phys, axis=1)
+        dst_p = jnp.take_along_axis(backlog.qdest, phys, axis=1)
+        active = pcol < take[:, None]
+        slot = (head_g[:, None] + cnt_g[:, None] + pcol) % Nmax
+        rows = jnp.where(active, g_safe[:, None], R)   # R -> dropped
+        fids = fids.at[rows, slot].set(ids_p, mode="drop")
+        farr = farr.at[rows, slot].set(
+            jnp.broadcast_to(time, (S, P)), mode="drop"
+        )
+        fdep = fdep.at[rows, slot].set(
+            jnp.broadcast_to(dep_stamp_g[:, None], (S, P)), mode="drop"
+        )
+        fdst = fdst.at[rows, slot].set(dst_p, mode="drop")
+        count = count.at[jnp.where(take > 0, g_safe, R)].add(
+            take, mode="drop"
+        )
+        ins = ins.at[jnp.where(active, ids_p, A)].set(1, mode="drop")
+        qhead = (qhead + take) % Q
+        qcount = qcount - take
+        return fids, farr, fdep, fdst, count, qhead, qcount, ins
+
+    fids, farr, fdep, fdst, count, qhead, qcount, ins = jax.lax.while_loop(
+        drain_cond, drain_body,
+        (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
+         road.fifo_dest, road.count, backlog.qhead, backlog.qcount,
+         jnp.zeros((A,), jnp.int32)),
+    )
+    road = road._replace(fifo_ids=fids, fifo_arrival=farr,
+                         fifo_departure=fdep, fifo_dest=fdst, count=count)
+    inserted = agents.inserted | (ins > 0)
+    qids, qdest = backlog.qids, backlog.qdest
+    queued = backlog.queued
+
+    # --- window pass (+ escalation): blocked candidates append to their
+    # SRC queue tail; pointer advances past everything due -----------------
+    def window_pass(road, inserted, queued, qids, qdest, qhead, qcount, off):
         start = jnp.minimum(off, limit).astype(jnp.int32)
         lo = start + 1
         win_ids = lo + pos_w
@@ -607,114 +664,86 @@ def insert_agents_backlogged(
         win_inserted = jax.lax.dynamic_slice_in_dim(inserted, lo, W)
         win_queued = jax.lax.dynamic_slice_in_dim(queued, lo, W)
         ready = (win_dep <= time) & ~win_inserted & ~win_queued
-        if entry_lookup is not None:
-            win_entry = entry_lookup(win_ids)
-        else:
-            win_entry = selected_road[win_origin]
+        win_entry = selected_road[win_origin]
         win_key = jnp.where(
             ready & (win_entry >= 0) & (win_entry < R), win_entry, R
         ).astype(jnp.int32)
-        return (start, lo, win_ids, win_dep, win_origin, win_dest,
-                win_inserted, win_queued, ready, win_key)
 
-    count0 = road.count  # tick-start occupancy: the departure-stamp base
+        road, agents2, admitted = _admit_candidates(
+            road, agents._replace(inserted=inserted), network, time,
+            physics, win_ids, win_key, cand_dest=win_dest,
+            update_inserted=False, stamp_count=count0, compact=compact,
+        )
+        inserted = jax.lax.dynamic_update_slice_in_dim(
+            inserted, win_inserted | admitted, lo, axis=0
+        )
 
-    # --- main pass: backlog + window in one admission ----------------------
-    (start0, lo0, win_ids, win_dep, win_origin, win_dest, win_inserted,
-     win_queued, win_ready, win_key) = window_candidates(
-        ptr.astype(jnp.int32), inserted0, queued0
-    )
-    cand_ids = jnp.concatenate([jnp.minimum(bl_ids, A - 1), win_ids])
-    cand_key = jnp.concatenate([bl_key, win_key])
-    cand_dest = jnp.concatenate([backlog.dest, win_dest])
-
-    road, agents2, admitted = _admit_candidates(
-        road, agents, network, time, physics, cand_ids, cand_key,
-        cand_dest=cand_dest, update_inserted=True, stamp_count=None,
-        force_pairwise=True, compact=compact,
-    )
-    inserted = agents2.inserted
-
-    # Backlog holes for admitted entries: pure elementwise, no scatter.
-    bl_ids_new = jnp.where(admitted[:B], A, bl_ids)
-
-    def append_blocked(bl_ids_a, bl_origin_a, bl_dest_a, tail, queued,
-                       win, wa):
-        """Append this pass's blocked window candidates at the tail (kept
-        set = a PREFIX of the blocked positions), update the queued flag
-        slice, and return the pointer-advance mask."""
-        (start, lo, win_ids, win_dep, win_origin, win_dest, win_inserted,
-         win_queued, ready, win_key) = win
-        blocked = ready & (win_key < R) & ~wa
-        brank = jnp.cumsum(blocked.astype(jnp.int32)) - 1
-        room = B - tail
-        kept = blocked & (brank < room)
-        rows_a = jnp.where(kept, tail + brank, B)
-        bl_ids_a = bl_ids_a.at[rows_a].set(win_ids, mode="drop")
-        bl_origin_a = bl_origin_a.at[rows_a].set(win_origin, mode="drop")
-        bl_dest_a = bl_dest_a.at[rows_a].set(win_dest, mode="drop")
-        tail = tail + jnp.sum(kept.astype(jnp.int32))
+        blocked = ready & (win_key < R) & ~admitted
+        o = (win_origin - R) // 2                      # SRC ordinal
+        o_safe = jnp.clip(o, 0, S - 1)
+        same_o = (
+            (o_safe[None, :] == o_safe[:, None])
+            & blocked[None, :]
+            & (pos_w[None, :] < pos_w[:, None])
+        )
+        brank = jnp.sum(same_o, axis=1).astype(jnp.int32)
+        qpos = qcount[o_safe] + brank
+        kept = blocked & (qpos < Q)
+        rows_q = jnp.where(kept, o_safe, S)            # S -> dropped
+        col_q = (qhead[o_safe] + qpos) % Q
+        qids = qids.at[rows_q, col_q].set(win_ids, mode="drop")
+        qdest = qdest.at[rows_q, col_q].set(win_dest, mode="drop")
+        qcount = qcount.at[jnp.where(kept, o_safe, S)].add(1, mode="drop")
         queued = jax.lax.dynamic_update_slice_in_dim(
             queued, win_queued | kept, lo, axis=0
         )
-        settled = win_inserted | win_queued | wa | kept
+
+        settled = win_inserted | win_queued | admitted | kept
         adv = jnp.min(jnp.where(settled, W, pos_w))
         sat = win_dep[W - 1] <= time
-        return bl_ids_a, bl_origin_a, bl_dest_a, tail, queued, adv, sat, start
+        return (road, inserted, queued, qids, qdest, qhead, qcount, adv,
+                sat, start)
 
-    win0 = (start0, lo0, win_ids, win_dep, win_origin, win_dest,
-            win_inserted, win_queued, win_ready, win_key)
-    (bl_ids_new, bl_origin_new, bl_dest_new, tail, queued, adv0, sat0,
-     start0) = append_blocked(
-        bl_ids_new, backlog.origin, backlog.dest, backlog.tail, queued0,
-        win0, admitted[B:],
+    (road, inserted, queued, qids, qdest, qhead, qcount, adv0, sat0,
+     start0) = window_pass(
+        road, inserted, queued, qids, qdest, qhead, qcount,
+        ptr.astype(jnp.int32),
     )
 
     extra = jnp.zeros((), jnp.float32)
     if escalate:
-        # Window saturation (> W NEW departures in one tick once the
-        # backlog absorbs the blocked set — rare) keeps the exactness
-        # guarantee: extra window-only passes at ptr + k*W, stamped from
-        # the tick-start occupancy snapshot (insert_agents_windowed
-        # escalation semantics; the backlog needs no second look — all its
-        # entries were candidates in the main pass).
+        # Window saturation (> W NEW departures in one tick once the queues
+        # absorb the blocked set — rare) keeps the exactness guarantee via
+        # extra window passes at ptr + k*W (insert_agents_windowed
+        # escalation semantics; the queues need no second look — the drain
+        # already ran to quiescence against current capacity).
         def cond_fn(c):
-            (_road, _ins, _q, _bi, _bo, _bd, _tail, start, sat, _adv,
-             _open, _extra) = c
+            (_road, _ins, _q, _qi, _qd, _qh, _qc, start, sat, _adv, _open,
+             _extra) = c
             return sat & (start < limit)
 
         def body_fn(c):
-            (road, inserted, queued, bi, bo, bd, tail, start_prev, _sat,
-             adv, adv_open, extra) = c
+            (road, inserted, queued, qids, qdest, qhead, qcount, start_prev,
+             _sat, adv, adv_open, extra) = c
             off = start_prev + W
-            win = window_candidates(off, inserted, queued)
-            (start, lo, w_ids, w_dep, w_origin, w_dest, w_inserted,
-             w_queued, w_ready, w_key) = win
-            road, agents_k, wa = _admit_candidates(
-                road, agents._replace(inserted=inserted), network, time,
-                physics, w_ids, w_key, cand_dest=w_dest,
-                update_inserted=True, stamp_count=count0, compact=compact,
-            )
-            inserted = agents_k.inserted
-            bi, bo, bd, tail, queued, adv_k, sat, start = append_blocked(
-                bi, bo, bd, tail, queued, win, wa
+            (road, inserted, queued, qids, qdest, qhead, qcount, adv_k, sat,
+             start) = window_pass(
+                road, inserted, queued, qids, qdest, qhead, qcount, off
             )
             contiguous = start == off
             adv = jnp.where(adv_open & contiguous, adv + adv_k, adv)
             adv_open = adv_open & contiguous & (adv_k == W)
-            return (road, inserted, queued, bi, bo, bd, tail, start, sat,
-                    adv, adv_open, extra + 1.0)
+            return (road, inserted, queued, qids, qdest, qhead, qcount,
+                    start, sat, adv, adv_open, extra + 1.0)
 
-        (road, inserted, queued, bl_ids_new, bl_origin_new, bl_dest_new,
-         tail, _start, _sat, adv0, _open, extra) = jax.lax.while_loop(
+        (road, inserted, queued, qids, qdest, qhead, qcount, _start, _sat,
+         adv0, _open, extra) = jax.lax.while_loop(
             cond_fn, body_fn,
-            (road, inserted, queued, bl_ids_new, bl_origin_new, bl_dest_new,
-             tail, start0, sat0, adv0, adv0 == W, extra),
+            (road, inserted, queued, qids, qdest, qhead, qcount, start0,
+             sat0, adv0, adv0 == W, extra),
         )
 
     new_ptr = jnp.minimum(start0 + adv0, A).astype(jnp.int32)
-    backlog = backlog._replace(
-        ids=bl_ids_new, origin=bl_origin_new, dest=bl_dest_new, tail=tail,
-        queued=queued,
-    )
+    backlog = backlog._replace(qids=qids, qdest=qdest, qhead=qhead,
+                               qcount=qcount, queued=queued)
     return road, agents._replace(inserted=inserted), backlog, new_ptr, extra

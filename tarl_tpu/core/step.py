@@ -91,7 +91,18 @@ def init_sim_state(
             raise ValueError(
                 "insert_backlog requires sorted_population and insert_window"
             )
-        backlog = init_backlog_state(sim.insert_backlog, agents.num_agents)
+        if policy is not None and (
+            policy.entry is not None or policy.entry_lookup is not None
+        ):
+            raise ValueError(
+                "insert_backlog requires the selected_road[origin] entry "
+                "rule (per-SRC queue invariant); this policy supplies "
+                "per-agent entry roads — use insert_escalate instead"
+            )
+        backlog = init_backlog_state(
+            sim.insert_backlog, agents.num_agents,
+            network.num_intersections,
+        )
     if next_hop is None:
         if policy is not None and policy.table_init is not None:
             next_hop = policy.table_init(network)
@@ -135,7 +146,8 @@ def reset_sim_state(state: SimState, start_time) -> SimState:
         choice_count=jnp.zeros((), jnp.int32),
         insert_ptr=jnp.zeros((), jnp.int32),
         backlog=None if state.backlog is None else init_backlog_state(
-            state.backlog.capacity, state.agents.num_agents
+            state.backlog.capacity, state.agents.num_agents,
+            state.backlog.qids.shape[0],
         ),
     )
 
@@ -172,11 +184,14 @@ def tick(
         if sim.insert_backlog is not None and backlog is not None:
             from .insert import insert_agents_backlogged
 
+            assert entry_fn is None, (
+                "insert_backlog needs the selected_road[origin] entry rule"
+            )
             road, agents, backlog, insert_ptr, sat = (
                 insert_agents_backlogged(
                     state.road, state.agents, backlog, state.selected_road,
                     network, t, state.insert_ptr, sim.insert_window, physics,
-                    entry_lookup=entry_fn, escalate=sim.insert_escalate,
+                    escalate=sim.insert_escalate,
                     compact=sim.insert_compact,
                 )
             )

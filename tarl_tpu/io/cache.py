@@ -25,7 +25,7 @@ _NET_STATIC_TUPLES = ("in_roll_shift_t", "out_roll_shift_t")
 # Bump when the Network/AgentState array schema changes; mismatched caches
 # are rebuilt from XML (the reference's torch.load would deserialize stale
 # objects silently).
-CACHE_VERSION = 9
+CACHE_VERSION = 10
 
 
 def save_network(network: Network, path: str) -> None:

@@ -97,14 +97,24 @@ def equilibrium_report(
     The UE/SO flows are solved with the on-device MSA assignment
     (algorithms.msa.solve_msa) under user and marginal costs respectively.
     """
-    from ..algorithms.msa import build_od_demand, solve_msa
+    from ..algorithms.msa import build_od_demand, solve_assignment
 
     od_o, od_d, od_vol = build_od_demand(agents, network.num_nodes)
-    ue = solve_msa(network, od_o, od_d, od_vol, msa=msa)
-    so = solve_msa(network, od_o, od_d, od_vol, msa=msa, system_optimal=True)
+    ue = solve_assignment(network, od_o, od_d, od_vol, msa=msa)
+    so = solve_assignment(network, od_o, od_d, od_vol, msa=msa,
+                          system_optimal=True)
     t_ue = tstt_from_flows(ue.flow, network.free_flow, network.max_flow, msa)
     t_so = tstt_from_flows(so.flow, network.free_flow, network.max_flow, msa)
     gap = nash_gap(agents, road, network, physics)
+    converged_ue = bool(ue.converged)
+    converged_so = bool(so.converged)
+    if not (converged_ue and converged_so):
+        which = "UE" if not converged_ue else "SO"
+        print(
+            f"⚠️  | equilibrium_report: {which} assignment did NOT converge "
+            f"within {msa.max_iter} iterations (method={msa.method}); "
+            "PoA/Nash figures below are computed from the unconverged flows"
+        )
     return {
         "tstt_simulated": float(tstt(agents, time)),
         "tstt_ue": float(t_ue),
@@ -112,6 +122,11 @@ def equilibrium_report(
         "price_of_anarchy": float(price_of_anarchy(t_ue, t_so)),
         "nash_gap": float(gap["nash_gap"]),
         "relative_nash_gap": float(gap["relative_gap"]),
+        "assignment_method": msa.method,
         "msa_iterations_ue": int(ue.iterations),
         "msa_gap_ue": float(ue.gap),
+        "rel_gap_ue": float(ue.rel_gap),
+        "rel_gap_so": float(so.rel_gap),
+        "converged_ue": converged_ue,
+        "converged_so": converged_so,
     }

@@ -370,6 +370,13 @@ def primal_delta_buckets(
         if x.shape == (i_n,) and (np.any(x != x[0]) or np.any(y != y[0])):
             candidates.append(("yx", np.lexsort((x, y))))
             candidates.append(("xy", np.lexsort((y, x))))
+            # Polar (radius-group, angle) — linearizes ring-and-spoke
+            # metros the row-major orders scramble (network.polar_rank;
+            # roll_friendly_road_order uses the same rank for roads).
+            from ..network import polar_rank
+
+            prank = polar_rank(x, y)
+            candidates.append(("polar", np.argsort(prank)))
 
     best = None
     for name, order in candidates:

@@ -209,46 +209,56 @@ def init_agent_state(
 
 
 class BacklogState(NamedTuple):
-    """Persistent compacted set of DUE-but-capacity-blocked insertion
-    candidates (core.insert.insert_agents_backlogged).
+    """Per-SRC ring queues of DUE-but-capacity-blocked insertion candidates
+    (core.insert.insert_agents_backlogged).
 
     The reference re-scans the whole population every tick, so an agent
     blocked by a full entry road keeps re-bidding — with a fresh
     ``SELECTED_ROAD`` read — until admitted (agents/base.py:247-299).  The
-    windowed insert reproduces that by pinning its pointer on blocked
-    agents and escalating over them (~5 full window passes/tick at the
-    official peak).  This structure instead carries the blocked set
-    explicitly: ids in ascending order (= departure order for a sorted
-    population), with origin/dest denormalized so the per-tick re-bid costs
-    one entry-road lookup instead of a window re-scan.  ``A`` (the
-    population size) is the hole sentinel; admitted entries become holes in
-    place and ``tail`` marks the first free append slot (appends keep
-    ascending order because newly blocked ids always exceed everything
-    queued — the window pointer is monotone).  Compaction squeezes holes
-    out only when the tail nears capacity (lax.cond, rare).
+    windowed insert reproduces those semantics by pinning its pointer on
+    blocked agents and escalating over them, which at a demand-OVERSATURATED
+    peak (the official bench holds ~35k due-but-blocked agents by hour two)
+    degenerates to ~15 full window passes per tick.
+
+    The structural fact that makes an efficient exact carry possible: with
+    the reference's entry rule ``entry = SELECTED_ROAD[origin]``, a road can
+    only ever be bid by its tail intersection's SRC node (the SRC's choice
+    edges are exactly that intersection's outgoing roads), and every blocked
+    agent at one SRC bids the SAME road each tick.  So the blocked set lives
+    in one FIFO ring per SRC, in ascending-id (= departure) order:
+
+    * the per-tick re-bid of the WHOLE backlog costs one ``selected_road``
+      row read per SRC — no per-agent gathers;
+    * admission rank within a road IS the queue position — no rank
+      computation;
+    * a drain pass pops ``min(qcount, remaining)`` from each queue front
+      into the road FIFO — a handful of [S]-indexed scatters.
+
+    Queue ids per SRC ascend (appends come from the monotone window
+    pointer), so queue order = the reference's stable candidate order.
+    ``queued`` marks ever-enqueued agents (window candidacy filter; never
+    cleared — admission sets ``inserted``, which supersedes it).
     """
 
-    ids: jnp.ndarray     # int32[B] — agent ids ascending; A = hole
-    origin: jnp.ndarray  # int32[B] — SRC node per entry (0 for holes)
-    dest: jnp.ndarray    # int32[B] — DEST node per entry (0 for holes)
-    tail: jnp.ndarray    # int32[] — first free append slot
-    # Ever-enqueued flag: window candidacy is ~inserted & ~queued, so a
-    # clamped window near the population end never double-bids an agent the
-    # backlog already owns.  Never cleared (admission sets `inserted`,
-    # which supersedes it).
+    qids: jnp.ndarray    # int32[S, Q] — agent ids (ring; 0 = empty slot)
+    qdest: jnp.ndarray   # int32[S, Q] — DEST node per entry
+    qhead: jnp.ndarray   # int32[S] — physical index of the queue front
+    qcount: jnp.ndarray  # int32[S]
     queued: jnp.ndarray  # bool[A]
 
     @property
     def capacity(self) -> int:
-        return self.ids.shape[0]
+        """Per-SRC queue depth Q."""
+        return self.qids.shape[1]
 
 
-def init_backlog_state(capacity: int, num_agents: int) -> BacklogState:
+def init_backlog_state(capacity: int, num_agents: int,
+                       num_srcs: int) -> BacklogState:
     return BacklogState(
-        ids=jnp.full((capacity,), num_agents, dtype=jnp.int32),
-        origin=jnp.zeros((capacity,), dtype=jnp.int32),
-        dest=jnp.zeros((capacity,), dtype=jnp.int32),
-        tail=jnp.zeros((), jnp.int32),
+        qids=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
+        qdest=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
+        qhead=jnp.zeros((num_srcs,), dtype=jnp.int32),
+        qcount=jnp.zeros((num_srcs,), dtype=jnp.int32),
         queued=jnp.zeros((num_agents,), dtype=bool),
     )
 

@@ -1,14 +1,13 @@
-"""Persistent blocked-candidate backlog (core.insert.insert_agents_backlogged)
+"""Per-SRC blocked-candidate queues (core.insert.insert_agents_backlogged)
 and compacted admission scatters (SimConfig.insert_compact).
 
 The backlog path must be BITWISE-identical to the unbounded whole-population
 insert (reference semantics: every due agent re-bids each tick with a fresh
-entry-road read, agents/base.py:247-299) — including under backlog overflow
-(live blocked set > capacity), hole compaction, and window escalation.
+entry-road read, agents/base.py:247-299) — including under queue overflow
+(per-SRC blocked set > Q slots, which pins the pointer and escalates).
 """
 import os
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -16,15 +15,15 @@ from tarl_tpu.config import SimConfig
 from tarl_tpu.core.step import Policy, init_sim_state, run_episode
 from tarl_tpu.io.matsim import load_network, load_population
 from tarl_tpu.io.scenarios import grid_scenario
-from tarl_tpu.routing.policies import make_shortest_path_choice, random_choice
+from tarl_tpu.routing.policies import random_choice
 from tarl_tpu.state import sort_agents_by_departure
 
 
 @pytest.fixture(scope="module")
 def saturated(tmp_path_factory):
     """4x4 grid with a 60 s / 5000-agent departure burst: road capacities
-    block thousands of entrants, so the backlog fills, OVERFLOWS its 256
-    slots (pointer pins + escalation), and compacts — all paths exercised."""
+    block thousands of entrants, so the SRC queues fill deep — the
+    oversaturated regime the backlog exists for."""
     root = str(tmp_path_factory.mktemp("backlog_scen"))
     base = grid_scenario(root, "BLGrid4", rows=4, cols=4, num_agents=5000,
                          peak_start=6 * 3600, peak_spread=60)
@@ -52,54 +51,50 @@ def _assert_bitwise(fa, fb):
                                   np.asarray(fb.agents.inserted))
 
 
-@pytest.mark.parametrize("polname", ["random", "sp"])
-def test_backlog_bitwise_exact_under_overflow(saturated, polname):
+@pytest.mark.parametrize("q_depth", [512, 24])
+def test_backlog_bitwise_exact(saturated, q_depth):
+    """Bitwise equality vs whole-population insert — at a roomy depth (the
+    production regime) AND at a tiny depth that overflows per-SRC queues
+    (pointer pinning + escalation keep exactness)."""
     net, agents = saturated
-    if polname == "random":
-        policy = Policy(choice=random_choice)
-    else:
-        policy = Policy(
-            choice=make_shortest_path_choice(),
-            entry=lambda s, n: s.next_hop[s.agents.origin, s.agents.dest],
-            needs_next_hop=True,
-        )
+    policy = Policy(choice=random_choice)
     steps = 1800
     sim_bl = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
                        insert_window=64, sorted_population=True,
-                       insert_backlog=256, record_road_optimality=False)
+                       insert_backlog=q_depth, record_road_optimality=False)
     sim_ex = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
                        insert_window=None, record_road_optimality=False)
     fa, _ = _episode(net, agents, sim_bl, policy, steps)
     fb, _ = _episode(net, agents, sim_ex, policy, steps)
     _assert_bitwise(fa, fb)
-    # The stress must actually stress: backlog fills to capacity.
-    live = int((np.asarray(fa.backlog.ids) < agents.num_agents).sum())
-    assert fa.backlog is not None
-    assert live >= 0  # holes compacted away by episode end is fine
 
 
-def test_backlog_engages_and_overflows(saturated):
-    """Mid-episode the live backlog must hit capacity (the overflow branch
-    is really exercised) and escalation passes must fire."""
+def test_backlog_engages(saturated):
+    """Mid-episode the queues must hold thousands of blocked agents (the
+    structure is really carrying the oversaturated peak, not escalating
+    over it) and the escalation counter must stay at zero."""
     net, agents = saturated
     policy = Policy(choice=random_choice)
+    # Window above the ~83/tick departure burst: saturation never fires, so
+    # any extra pass would mean the queues failed to absorb the blocked set.
     sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 600,
-                    insert_window=64, sorted_population=True,
-                    insert_backlog=256, record_road_optimality=False)
+                    insert_window=256, sorted_population=True,
+                    insert_backlog=512, record_road_optimality=False)
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     live_max, extra_max = 0, 0.0
     for _ in range(6):
         state, logs = run_episode(state, net, policy, 100, sim=sim)
-        live = int((np.asarray(state.backlog.ids) < agents.num_agents).sum())
-        live_max = max(live_max, live)
-        extra_max = max(extra_max, float(np.asarray(logs.window_saturated).max()))
-    assert live_max == 256          # overflowed: pointer-pinning exercised
-    assert extra_max > 0            # escalation fired on the overflow
+        live_max = max(live_max, int(np.asarray(state.backlog.qcount).sum()))
+        extra_max = max(
+            extra_max, float(np.asarray(logs.window_saturated).max())
+        )
+    assert live_max > 1000
+    assert extra_max == 0.0
 
 
 def test_backlog_queued_flag_consistency(saturated):
     """Queue membership == queued & ~inserted; every live entry is a real,
-    due, uninserted agent in ascending-id order."""
+    due, uninserted agent in ascending-id FIFO order per SRC."""
     net, agents = saturated
     A = agents.num_agents
     policy = Policy(choice=random_choice)
@@ -108,20 +103,29 @@ def test_backlog_queued_flag_consistency(saturated):
                     insert_backlog=512, record_road_optimality=False)
     state = init_sim_state(net, agents, sim=sim, policy=policy)
     state, _ = run_episode(state, net, policy, 400, sim=sim)
-    ids = np.asarray(state.backlog.ids)
-    live = ids[ids < A]
+    bl = state.backlog
+    qids = np.asarray(bl.qids)
+    qhead = np.asarray(bl.qhead)
+    qcount = np.asarray(bl.qcount)
+    S, Q = qids.shape
+    live = []
+    for s in range(S):
+        idx = (qhead[s] + np.arange(qcount[s])) % Q
+        entries = qids[s, idx]
+        assert np.all(np.diff(entries) > 0)   # per-SRC ascending id order
+        live.extend(entries.tolist())
+    live = np.asarray(sorted(live))
     inserted = np.asarray(state.agents.inserted)
     queued = np.asarray(state.backlog.queued)
     dep = np.asarray(state.agents.departure)
     t = float(np.asarray(state.time))
-    assert np.all(~inserted[live])            # live entries not yet admitted
-    assert np.all(queued[live])               # and flagged
-    assert np.all(dep[live] < t)              # all due
-    assert np.all(np.diff(live) > 0)          # ascending id order (holes ok)
-    # in-queue set == queued & ~inserted
+    assert live.size > 0
+    assert np.all(~inserted[live])
+    assert np.all(queued[live])
+    assert np.all(dep[live] < t)
     in_queue = queued & ~inserted
     assert set(np.nonzero(in_queue)[0].tolist()) == set(live.tolist())
-    # conservation: on-network == queue occupancy of roads
+    # conservation: on-network == road occupancy
     assert int(np.asarray(state.road.count).sum()) == int(
         np.asarray(state.agents.on_way).sum()
     )
@@ -143,17 +147,26 @@ def test_insert_compact_bitwise(saturated):
     _assert_bitwise(fa, fb)
 
 
-def test_backlog_requires_sorted_window():
+def test_backlog_config_validation():
     from tarl_tpu.state import init_agent_state
-
-    agents = init_agent_state([0], [1], [1.0])
     import tarl_tpu.core.step as step
 
-    class FakeNet:  # init_sim_state touches these before validation
-        num_roads, nmax = 1, 4
+    agents = init_agent_state([0], [1], [1.0])
+
+    class FakeNet:
+        num_roads, nmax, num_intersections = 1, 4, 1
 
     with pytest.raises(ValueError, match="insert_backlog requires"):
         step.init_sim_state(
             FakeNet(), agents,
             sim=SimConfig(insert_backlog=64, insert_window=None),
+        )
+    # Per-agent entry policies break the one-road-per-SRC invariant.
+    pol = step.Policy(choice=random_choice, entry=lambda s, n: None)
+    with pytest.raises(ValueError, match="selected_road\\[origin\\]"):
+        step.init_sim_state(
+            FakeNet(), agents,
+            sim=SimConfig(insert_backlog=64, insert_window=64,
+                          sorted_population=True),
+            policy=pol,
         )
