@@ -79,18 +79,21 @@ class SimConfig:
     # pays one while-loop predicate.  With sorted_population this is
     # bitwise-equal to ``insert_agents`` (tests/test_agents.py).
     insert_escalate: bool = True
-    # Per-SRC blocked-candidate queue depth (core.insert.
-    # insert_agents_backlogged).  None = off.  With a value Q (requires
-    # sorted_population + insert_window + the selected_road[origin] entry
-    # rule), due-but-capacity-blocked agents move into [S, Q] FIFO rings
-    # (one per SRC node) that re-bid every tick with a FRESH entry-road
-    # read (the reference's whole-population re-scan semantics,
-    # agents/base.py:247-299) while the window pointer advances past them
-    # — exact insertion then costs O(S + W) per tick instead of the ~15
-    # escalation window passes a demand-oversaturated peak otherwise
-    # forces.  Bitwise-identical to the unbounded whole-population scan;
-    # if one SRC's queue overflows Q, the pointer pins on the overflow and
-    # escalation preserves exactness (slower, never wrong).
+    # Per-SRC candidate queue depth (core.insert.insert_agents_backlogged).
+    # None = off.  With a value Q (requires sorted_population +
+    # insert_window + the selected_road[origin] entry rule), every due
+    # agent flows through [S, Q] FIFO rings (one per SRC node) fed by the
+    # monotone departure frontier; the queues re-bid every tick with a
+    # FRESH entry-road read (the reference's whole-population re-scan
+    # semantics, agents/base.py:247-299) and a drain loop admits queue
+    # prefixes straight into the road FIFOs — exact insertion at O(S + W)
+    # per tick instead of the ~15 escalation window passes a demand-
+    # oversaturated peak otherwise forces.  Bitwise-identical to the
+    # unbounded whole-population scan WHILE no SRC queue overflows Q
+    # (TickLog.window_saturated counts overflow stalls; all-zero == exact);
+    # size Q to the scenario's per-SRC peak backlog.  insert_window sets
+    # the frontier slice width (64 suffices unless >64 agents become due
+    # in one tick, which just triggers exact re-passes).
     insert_backlog: int | None = None
     # Compact the insert-phase FIFO scatters to at most this many indices
     # per tick (the withdraw_compact trick on the admission side):

@@ -518,57 +518,63 @@ def insert_agents_backlogged(
     selected_road: jnp.ndarray,
     network: Network,
     time: jnp.ndarray,
-    ptr: jnp.ndarray,        # int32[] — first agent id - 1 still pending
+    ptr: jnp.ndarray,        # int32[] — agents 1..ptr already enqueued
     window: int,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     escalate: bool = True,
-    compact: int | str | None = "auto",
+    compact: int | str | None = "auto",  # unused; kept for call symmetry
     pop_width: int | None = None,
 ):
-    """Exact insertion with per-SRC blocked-candidate queues.
+    """Exact insertion via per-SRC candidate queues and a departure frontier.
 
     The reference re-scans the WHOLE population every tick, so an agent
     blocked by a full entry road keeps re-bidding — with a fresh
     ``SELECTED_ROAD`` read — until capacity frees (agents/base.py:247-299).
     :func:`insert_agents_windowed` reproduces those semantics by pinning
     the window pointer on blocked agents and escalating over them, which at
-    a demand-OVERSATURATED peak (the official bench carries ~35k due-but-
+    a demand-OVERSATURATED peak (the official bench carries ~20-35k due-but-
     blocked agents by hour two) degenerates to ~15 full window passes/tick.
 
     Key structural fact (state.BacklogState docstring): with the entry rule
     ``entry = SELECTED_ROAD[origin]``, a road is only ever bid by its tail
-    SRC node, and all blocked agents at one SRC bid the SAME road each tick.
-    So the blocked set lives in one FIFO ring per SRC in ascending-id
-    order, and the exact per-tick re-bid costs
+    SRC node, and all candidates at one SRC bid the SAME road each tick.
+    So EVERY due agent — blocked or not — flows through one FIFO ring per
+    SRC in ascending-id order:
 
-    * one ``selected_road`` row per SRC (the whole backlog's fresh entry
-      evaluation — the reference's stochastic re-bid semantics preserved);
-    * a DRAIN loop popping ``min(qcount, remaining, P)`` entries per SRC
-      from the queue front straight into the road FIFOs (admission rank IS
-      the queue position — no rank computation), repeated while any queue
-      still faces spare capacity (one pass in steady state: capacity frees
-      by at most withdraw_depth + 1 per road per tick);
-    * one standard window pass whose capacity-blocked candidates append to
-      their SRC's queue tail, freeing the window pointer to advance.
+    1. **Frontier appends**: the departure-sorted population has a monotone
+       due frontier; each tick the next ``window``-wide slice past ``ptr``
+       is scanned, its due prefix appended to the SRC queues (two
+       F-index scatters), and ``ptr`` advances — extra passes via a
+       while_loop when more than ``window`` agents become due in one tick.
+       No admission logic, no per-candidate road reads, no re-examination.
+    2. **Drain**: pops ``min(qcount, remaining, P)`` entries per SRC from
+       the queue front straight into the road FIFOs — admission rank IS
+       the queue position — repeated while any queue still faces spare
+       capacity (one pass in steady state: capacity frees by at most
+       withdraw_depth + 1 per road per tick).  The whole backlog's fresh
+       entry evaluation costs one ``selected_road`` row per SRC.
 
     BITWISE-EXACT vs the whole-population :func:`insert_agents`: per-road
-    candidate order is (queue front -> queue tail -> window in id order) =
-    ascending agent id = the reference's stable candidate order for a
-    departure-sorted population; drain + window admissions telescope to the
-    single-pass prefix (slots use live counts, departure stamps use the
-    tick-start occupancy snapshot, matching base.py:313-325).
+    candidates are exactly the SRC queue front-to-back = ascending agent
+    id = the reference's stable candidate order for a departure-sorted
+    population, admitted as a capacity prefix with live-count slots and
+    tick-start-occupancy departure stamps (base.py:313-325).  An agent
+    due and admissible the tick it departs IS admitted that tick (appends
+    run before the drain).
 
     REQUIRES ``sorted_population`` and the ``selected_road[origin]`` entry
     rule (policies with per-agent entry roads break the one-road-per-SRC
     invariant; ``tick`` falls back to the windowed path for those).
 
-    Queue overflow never breaks exactness: the kept set is a prefix of each
-    SRC's blocked candidates, the window pointer pins on the first dropped
-    agent, and escalation passes cover the rest.
+    The ONE bounded deviation: if an SRC queue overflows its Q slots, the
+    frontier pins on the first unqueued agent and later agents (of every
+    SRC) wait extra ticks — the same deviation class as the bounded
+    window, flagged by the returned ``monitor`` (count of overflow stalls
+    this tick; an all-zero run is bitwise reference-exact).  Size Q to the
+    scenario (per-SRC peak backlog); the official bench's deepest queue
+    holds ~3k of A=50k agents at Q=8192.
 
-    Returns ``(road, agents, backlog, new_ptr, monitor)``; ``monitor``
-    (float32[]) counts extra escalation window passes (0 = drain + one
-    window pass sufficed).
+    Returns ``(road, agents, backlog, new_ptr, monitor)``.
     """
     import os
 
@@ -576,9 +582,8 @@ def insert_agents_backlogged(
     Nmax = road.nmax
     A = agents.num_agents
     S, Q = backlog.qids.shape
-    W = min(window, A - 1)
-    limit = A - 1 - W
-    pos_w = jnp.arange(W, dtype=jnp.int32)
+    F = min(window, A - 1)
+    pos_f = jnp.arange(F, dtype=jnp.int32)
     if pop_width is None:
         pop_width = int(os.environ.get("TARL_BACKLOG_POP", "4"))
     P = pop_width
@@ -591,8 +596,61 @@ def insert_agents_backlogged(
     cap_f = network.capacity
     buf = physics.congestion_buffer
 
-    # Per-SRC departure stamp of this tick (tick-start occupancy), shared by
-    # every drain pass — the reference stamps the whole insert from it.
+    # --- 1. frontier appends ------------------------------------------------
+    def append_pass(c):
+        qids, qdest, qcount, ptr, _sat, overflow = c
+        lo = jnp.minimum(ptr + 1, A - F).astype(jnp.int32)
+        skip = ptr + 1 - lo          # clamped-slice prefix already consumed
+        ids = lo + pos_f
+        dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, F)
+        origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, F)
+        dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, F)
+        fresh = pos_f >= skip
+        due = (dep <= time) & fresh
+        o = jnp.clip((origin - R) // 2, 0, S - 1)
+        # Append rank among earlier due same-SRC slice entries (everything
+        # earlier than the stall point is appended, so this is the queue
+        # position offset).
+        same = (
+            (o[None, :] == o[:, None])
+            & due[None, :]
+            & (pos_f[None, :] < pos_f[:, None])
+        )
+        rank = jnp.sum(same, axis=1).astype(jnp.int32)
+        qpos = qcount[o] + rank
+        roomok = qpos < Q
+        consumable = (~fresh) | (due & roomok)
+        adv = jnp.min(jnp.where(consumable, F, pos_f))
+        band = due & roomok & (pos_f < adv)
+        rows = jnp.where(band, o, S)                 # S -> dropped
+        col = (backlog.qhead[o] + qpos) % Q
+        qids = qids.at[rows, col].set(ids, mode="drop")
+        qdest = qdest.at[rows, col].set(dest, mode="drop")
+        qcount = qcount.at[rows].add(1, mode="drop")
+        new_ptr = (lo - 1 + adv).astype(jnp.int32)
+        # Full slice consumed -> more agents may be due (re-pass); a stall
+        # on a DUE agent is a queue overflow (bounded deviation active).
+        sat = (adv == F) & (new_ptr < A - 1)
+        due_at_stop = jnp.sum(
+            jnp.where(pos_f == adv, due & ~roomok, False)
+        )
+        return qids, qdest, qcount, new_ptr, sat, \
+            overflow + due_at_stop.astype(jnp.float32)
+
+    state0 = append_pass((
+        backlog.qids, backlog.qdest, backlog.qcount, ptr.astype(jnp.int32),
+        jnp.bool_(True), jnp.zeros((), jnp.float32),
+    ))
+    if escalate:
+        qids, qdest, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
+            lambda c: c[4], append_pass, state0
+        )
+    else:
+        qids, qdest, qcount, new_ptr, _sat, overflow = state0
+
+    # --- 2. drain: queue front -> road FIFOs --------------------------------
+    # Per-SRC departure stamp of this tick (tick-start occupancy, the
+    # reference's stamp-before-the-whole-insert, base.py:313-325).
     c0_g = count0[g_safe].astype(jnp.float32)
     tt_g = jnp.maximum(
         network.free_flow[g_safe],
@@ -609,18 +667,18 @@ def insert_agents_backlogged(
         ).astype(jnp.int32)
 
     def drain_cond(c):
-        fids, farr, fdep, fdst, count, qhead, qcount, ins = c
-        return jnp.any(gvalid & (qcount > 0) & (_remaining(count) > 0))
+        fids, farr, fdep, fdst, count, qhead, qc, ins = c
+        return jnp.any(gvalid & (qc > 0) & (_remaining(count) > 0))
 
     def drain_body(c):
-        fids, farr, fdep, fdst, count, qhead, qcount, ins = c
+        fids, farr, fdep, fdst, count, qhead, qc, ins = c
         cnt_g = count[g_safe]
         rem = _remaining(count)
-        take = jnp.clip(jnp.minimum(qcount, rem), 0, P)
+        take = jnp.clip(jnp.minimum(qc, rem), 0, P)
         take = jnp.where(gvalid, take, 0)
         phys = (qhead[:, None] + pcol) % Q             # [S, P]
-        ids_p = jnp.take_along_axis(backlog.qids, phys, axis=1)
-        dst_p = jnp.take_along_axis(backlog.qdest, phys, axis=1)
+        ids_p = jnp.take_along_axis(qids, phys, axis=1)
+        dst_p = jnp.take_along_axis(qdest, phys, axis=1)
         active = pcol < take[:, None]
         slot = (head_g[:, None] + cnt_g[:, None] + pcol) % Nmax
         rows = jnp.where(active, g_safe[:, None], R)   # R -> dropped
@@ -637,113 +695,19 @@ def insert_agents_backlogged(
         )
         ins = ins.at[jnp.where(active, ids_p, A)].set(1, mode="drop")
         qhead = (qhead + take) % Q
-        qcount = qcount - take
-        return fids, farr, fdep, fdst, count, qhead, qcount, ins
+        qc = qc - take
+        return fids, farr, fdep, fdst, count, qhead, qc, ins
 
     fids, farr, fdep, fdst, count, qhead, qcount, ins = jax.lax.while_loop(
         drain_cond, drain_body,
         (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
-         road.fifo_dest, road.count, backlog.qhead, backlog.qcount,
+         road.fifo_dest, road.count, backlog.qhead, qcount,
          jnp.zeros((A,), jnp.int32)),
     )
     road = road._replace(fifo_ids=fids, fifo_arrival=farr,
                          fifo_departure=fdep, fifo_dest=fdst, count=count)
     inserted = agents.inserted | (ins > 0)
-    qids, qdest = backlog.qids, backlog.qdest
-    queued = backlog.queued
-
-    # --- window pass (+ escalation): blocked candidates append to their
-    # SRC queue tail; pointer advances past everything due -----------------
-    def window_pass(road, inserted, queued, qids, qdest, qhead, qcount, off):
-        start = jnp.minimum(off, limit).astype(jnp.int32)
-        lo = start + 1
-        win_ids = lo + pos_w
-        win_dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, W)
-        win_origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, W)
-        win_dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, W)
-        win_inserted = jax.lax.dynamic_slice_in_dim(inserted, lo, W)
-        win_queued = jax.lax.dynamic_slice_in_dim(queued, lo, W)
-        ready = (win_dep <= time) & ~win_inserted & ~win_queued
-        win_entry = selected_road[win_origin]
-        win_key = jnp.where(
-            ready & (win_entry >= 0) & (win_entry < R), win_entry, R
-        ).astype(jnp.int32)
-
-        road, agents2, admitted = _admit_candidates(
-            road, agents._replace(inserted=inserted), network, time,
-            physics, win_ids, win_key, cand_dest=win_dest,
-            update_inserted=False, stamp_count=count0, compact=compact,
-        )
-        inserted = jax.lax.dynamic_update_slice_in_dim(
-            inserted, win_inserted | admitted, lo, axis=0
-        )
-
-        blocked = ready & (win_key < R) & ~admitted
-        o = (win_origin - R) // 2                      # SRC ordinal
-        o_safe = jnp.clip(o, 0, S - 1)
-        same_o = (
-            (o_safe[None, :] == o_safe[:, None])
-            & blocked[None, :]
-            & (pos_w[None, :] < pos_w[:, None])
-        )
-        brank = jnp.sum(same_o, axis=1).astype(jnp.int32)
-        qpos = qcount[o_safe] + brank
-        kept = blocked & (qpos < Q)
-        rows_q = jnp.where(kept, o_safe, S)            # S -> dropped
-        col_q = (qhead[o_safe] + qpos) % Q
-        qids = qids.at[rows_q, col_q].set(win_ids, mode="drop")
-        qdest = qdest.at[rows_q, col_q].set(win_dest, mode="drop")
-        qcount = qcount.at[jnp.where(kept, o_safe, S)].add(1, mode="drop")
-        queued = jax.lax.dynamic_update_slice_in_dim(
-            queued, win_queued | kept, lo, axis=0
-        )
-
-        settled = win_inserted | win_queued | admitted | kept
-        adv = jnp.min(jnp.where(settled, W, pos_w))
-        sat = win_dep[W - 1] <= time
-        return (road, inserted, queued, qids, qdest, qhead, qcount, adv,
-                sat, start)
-
-    (road, inserted, queued, qids, qdest, qhead, qcount, adv0, sat0,
-     start0) = window_pass(
-        road, inserted, queued, qids, qdest, qhead, qcount,
-        ptr.astype(jnp.int32),
-    )
-
-    extra = jnp.zeros((), jnp.float32)
-    if escalate:
-        # Window saturation (> W NEW departures in one tick once the queues
-        # absorb the blocked set — rare) keeps the exactness guarantee via
-        # extra window passes at ptr + k*W (insert_agents_windowed
-        # escalation semantics; the queues need no second look — the drain
-        # already ran to quiescence against current capacity).
-        def cond_fn(c):
-            (_road, _ins, _q, _qi, _qd, _qh, _qc, start, sat, _adv, _open,
-             _extra) = c
-            return sat & (start < limit)
-
-        def body_fn(c):
-            (road, inserted, queued, qids, qdest, qhead, qcount, start_prev,
-             _sat, adv, adv_open, extra) = c
-            off = start_prev + W
-            (road, inserted, queued, qids, qdest, qhead, qcount, adv_k, sat,
-             start) = window_pass(
-                road, inserted, queued, qids, qdest, qhead, qcount, off
-            )
-            contiguous = start == off
-            adv = jnp.where(adv_open & contiguous, adv + adv_k, adv)
-            adv_open = adv_open & contiguous & (adv_k == W)
-            return (road, inserted, queued, qids, qdest, qhead, qcount,
-                    start, sat, adv, adv_open, extra + 1.0)
-
-        (road, inserted, queued, qids, qdest, qhead, qcount, _start, _sat,
-         adv0, _open, extra) = jax.lax.while_loop(
-            cond_fn, body_fn,
-            (road, inserted, queued, qids, qdest, qhead, qcount, start0,
-             sat0, adv0, adv0 == W, extra),
-        )
-
-    new_ptr = jnp.minimum(start0 + adv0, A).astype(jnp.int32)
     backlog = backlog._replace(qids=qids, qdest=qdest, qhead=qhead,
-                               qcount=qcount, queued=queued)
-    return road, agents._replace(inserted=inserted), backlog, new_ptr, extra
+                               qcount=qcount)
+    return (road, agents._replace(inserted=inserted), backlog, new_ptr,
+            overflow)

@@ -65,6 +65,33 @@ from ..state import MetricState, SimState, TickLog
 AXIS = "shard"
 
 
+def _block_roll_read(mat, shift, sel_blk, exc_blk, block0, rl: int, R: int):
+    """Roll-plan evaluation of ``mat[:, tab[k, v]]`` for the LOCAL column
+    block ``v in [block0, block0 + rl)`` (core.roll_gather.roll_gather's
+    per-shard form).
+
+    The plan's offsets are global mod R, so each bucket's read is one
+    R-periodic dynamic slice of the doubled replicated source at
+    ``(block0 + shift_b) % R`` — index-free and shared across slots —
+    followed by per-slot selects; exceptions come from ``exc_blk``, the
+    caller's block slice of the replicated ``[K, C, Rp]`` exception overlay
+    (one small scatter per tick).  Bitwise-identical to the per-slot
+    ``mat[:, u_k]`` gathers it replaces (the ops XLA's serial ~7 ns/index
+    emitter makes tick-dominating at metro scale).
+
+    ``mat``: [C, R] replicated; ``sel_blk``: [K, rl]; returns [K, C, rl].
+    """
+    B = int(shift.shape[0])
+    mat2 = jnp.concatenate([mat, mat], axis=1)          # [C, 2R]
+    out = exc_blk
+    C = mat.shape[0]
+    for b in range(B):
+        start = (block0 + shift[b]) % R
+        rolled = jax.lax.dynamic_slice(mat2, (0, start), (C, rl))
+        out = jnp.where((sel_blk == b)[:, None, :], rolled[None], out)
+    return out
+
+
 def make_road_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
@@ -161,6 +188,27 @@ def run_episode_shard_map(
     in_src_p = _padcols(network.in_src_tab, 0)
     in_ok_p = _padcols(network.in_edge_ok, False)
     in_logit_p = _padcols(network.in_logit_tab, 0.0)
+
+    # r3 fast paths on the shard (VERDICT r3 #3): when the network carries
+    # roll plans and the size clears the same gate as the serial core, the
+    # per-slot pack/head gathers and the confirm pop scatter are evaluated
+    # as per-bucket block slices of the replicated full arrays
+    # (_block_roll_read) — each shard runs the same roll formulation the
+    # single chip does, bitwise-identical values.
+    from ..core import roll_gather as _rg
+
+    use_roll_in = _rg.roll_enabled(
+        getattr(network, "in_roll_shift", None)
+    ) and R >= _rg.MIN_ROADS
+    use_roll_out = _rg.roll_enabled(
+        getattr(network, "out_roll_shift", None)
+    ) and R >= _rg.MIN_ROADS
+    if use_roll_in:
+        in_sel_p = _padcols(network.in_roll_sel, 0)
+    if use_roll_out:
+        out_sel_p = _padcols(network.out_roll_sel, 0)
+        out_ok_p = _padcols(network.out_edge_ok, False)
+        KOUT = network.out_dst_tab.shape[0]
 
     if primal:
         from ..routing.policies import _maybe_delta_buckets
@@ -613,9 +661,33 @@ def run_episode_shard_map(
             jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32), 0.0
         )
         gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
+        if use_roll_in:
+            # Roll-plan evaluation of pack/head-id/head-dest at each in-slot
+            # (the three gathers share one plan, like core.direction).
+            mat_in = jnp.stack(
+                [pack[:R], head_id_g[:R], head_dest_g[:R]]
+            ).astype(jnp.int32)                                   # [3, R]
+            exc_vals = mat_in[:, network.in_roll_exc_src]         # [3, E]
+            overlay = jnp.zeros((KIN, 3, Rp), jnp.int32)
+            if network.in_roll_exc_src.shape[0]:
+                overlay = overlay.at[
+                    network.in_roll_exc_k, :, network.in_roll_exc_v
+                ].set(exc_vals.T)
+            sel_blk = jax.lax.dynamic_slice(
+                in_sel_p, (0, block0), (KIN, rl)
+            )
+            exc_blk = jax.lax.dynamic_slice(
+                overlay, (0, 0, block0), (KIN, 3, rl)
+            )
+            rolled_in = _block_roll_read(
+                mat_in, network.in_roll_shift, sel_blk, exc_blk,
+                block0, rl, R,
+            )                                                     # [KIN,3,rl]
         best = jnp.full((rl,), -jnp.inf, jnp.float32)
         win_slot = jnp.zeros((rl,), jnp.int32)
         accept = jnp.zeros((rl,), bool)
+        chosen_id = jnp.zeros((rl,), jnp.int32)
+        chosen_dest = jnp.zeros((rl,), jnp.int32)
         u_slices = []
         for k in range(KIN):
             u_k = jax.lax.dynamic_slice_in_dim(
@@ -628,7 +700,7 @@ def run_episode_shard_map(
             logit_k = jax.lax.dynamic_slice_in_dim(
                 in_logit_p[k], block0, rl
             )
-            p_k = pack[u_k]
+            p_k = rolled_in[k, 0] if use_roll_in else pack[u_k]
             dep_ok = (p_k & 1) > 0
             nonempty = (p_k & 2) > 0
             stuck = (p_k & 4) > 0
@@ -645,15 +717,21 @@ def run_episode_shard_map(
             take = s_k > best
             best = jnp.where(take, s_k, best)
             win_slot = jnp.where(take, k, win_slot)
+            if use_roll_in:
+                chosen_id = jnp.where(take, rolled_in[k, 1], chosen_id)
+                chosen_dest = jnp.where(take, rolled_in[k, 2], chosen_dest)
             accept = accept | take
 
         win_u = jnp.zeros((rl,), jnp.int32)
         for k in range(KIN):
             win_u = jnp.where(win_slot == k, u_slices[k], win_u)
         win_u = jnp.where(accept, win_u, Rp)
-        chosen = jnp.where(
-            accept, head_id_g[jnp.minimum(win_u, Rp - 1)], 0
-        )
+        if use_roll_in:
+            chosen = jnp.where(accept, chosen_id, 0)
+        else:
+            chosen = jnp.where(
+                accept, head_id_g[jnp.minimum(win_u, Rp - 1)], 0
+            )
         accept = chosen != 0  # sentinel guard (direction_mpnn.py:194)
         win_u = jnp.where(accept, win_u, Rp)
 
@@ -668,18 +746,49 @@ def run_episode_shard_map(
         fifo_dep = road.fifo_departure.at[rows2, slot2].set(
             t + tt2, mode="drop"
         )
-        fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(
-            jnp.where(accept, head_dest_g[jnp.minimum(win_u, Rp - 1)], 0),
-            mode="drop",
-        )
+        if use_roll_in:
+            dest_v = jnp.where(accept, chosen_dest, 0)
+        else:
+            dest_v = jnp.where(
+                accept, head_dest_g[jnp.minimum(win_u, Rp - 1)], 0
+            )
+        fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(dest_v, mode="drop")
         new_count = road.count + accept.astype(jnp.int32)
 
         # response: tell the winning upstream's shard to pop (all_gather)
         winners_g = jax.lax.all_gather(
             jnp.where(accept, win_u, Rp), AXIS, tiled=True
         )  # [Rp]
-        pops_full = jnp.zeros((Rp + 1,), bool).at[winners_g].set(True)
-        popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
+        if use_roll_out:
+            # Roll the winner record to each road's out-slots and compare
+            # against the road's own index (core.response confirm roll) —
+            # the [Rp]-index pop scatter becomes a few block slices.
+            win_mat = winners_g[:R][None, :]                      # [1, R]
+            exc_w = win_mat[:, network.out_roll_exc_src]          # [1, E]
+            overlay_w = jnp.zeros((KOUT, 1, Rp), jnp.int32)
+            if network.out_roll_exc_src.shape[0]:
+                overlay_w = overlay_w.at[
+                    network.out_roll_exc_k, :, network.out_roll_exc_v
+                ].set(exc_w.T)
+            osel_blk = jax.lax.dynamic_slice(
+                out_sel_p, (0, block0), (KOUT, rl)
+            )
+            oexc_blk = jax.lax.dynamic_slice(
+                overlay_w, (0, 0, block0), (KOUT, 1, rl)
+            )
+            w_rows = _block_roll_read(
+                win_mat, network.out_roll_shift, osel_blk, oexc_blk,
+                block0, rl, R,
+            )[:, 0]                                               # [KOUT, rl]
+            popped = jnp.zeros((rl,), bool)
+            for k in range(KOUT):
+                ook_k = jax.lax.dynamic_slice_in_dim(
+                    out_ok_p[k], block0, rl
+                )
+                popped = popped | (ook_k & (w_rows[k] == v_global))
+        else:
+            pops_full = jnp.zeros((Rp + 1,), bool).at[winners_g].set(True)
+            popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
         road = road._replace(
             fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
             fifo_dest=fifo_dst2,

@@ -224,8 +224,8 @@ class BacklogState(NamedTuple):
     the reference's entry rule ``entry = SELECTED_ROAD[origin]``, a road can
     only ever be bid by its tail intersection's SRC node (the SRC's choice
     edges are exactly that intersection's outgoing roads), and every blocked
-    agent at one SRC bids the SAME road each tick.  So the blocked set lives
-    in one FIFO ring per SRC, in ascending-id (= departure) order:
+    agent at one SRC bids the SAME road each tick.  So EVERY due agent flows
+    through one FIFO ring per SRC, in ascending-id (= departure) order:
 
     * the per-tick re-bid of the WHOLE backlog costs one ``selected_road``
       row read per SRC — no per-agent gathers;
@@ -234,17 +234,14 @@ class BacklogState(NamedTuple):
     * a drain pass pops ``min(qcount, remaining)`` from each queue front
       into the road FIFO — a handful of [S]-indexed scatters.
 
-    Queue ids per SRC ascend (appends come from the monotone window
-    pointer), so queue order = the reference's stable candidate order.
-    ``queued`` marks ever-enqueued agents (window candidacy filter; never
-    cleared — admission sets ``inserted``, which supersedes it).
+    Queue ids per SRC ascend (appends come from the monotone departure
+    frontier), so queue order = the reference's stable candidate order.
     """
 
     qids: jnp.ndarray    # int32[S, Q] — agent ids (ring; 0 = empty slot)
     qdest: jnp.ndarray   # int32[S, Q] — DEST node per entry
     qhead: jnp.ndarray   # int32[S] — physical index of the queue front
     qcount: jnp.ndarray  # int32[S]
-    queued: jnp.ndarray  # bool[A]
 
     @property
     def capacity(self) -> int:
@@ -254,12 +251,12 @@ class BacklogState(NamedTuple):
 
 def init_backlog_state(capacity: int, num_agents: int,
                        num_srcs: int) -> BacklogState:
+    del num_agents  # shape-free since the frontier design (kept for API)
     return BacklogState(
         qids=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
         qdest=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
         qhead=jnp.zeros((num_srcs,), dtype=jnp.int32),
         qcount=jnp.zeros((num_srcs,), dtype=jnp.int32),
-        queued=jnp.zeros((num_agents,), dtype=bool),
     )
 
 

@@ -520,3 +520,63 @@ def test_shard_map_inline_padding_matches_unsharded(tmp_path):
             err_msg=algo,
         )
         assert int(np.asarray(sm_final.agents.done)[1:].sum()) > 0
+
+
+def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
+    """VERDICT r3 #3: the shard body routes the in-slot pack/head reads and
+    the confirm pop through the roll plan (block slices of the replicated
+    arrays) when the network carries one — forced here on Grid4x4 like
+    tests/test_roll_gather, pinned bitwise against BOTH the unsharded run
+    and the non-roll shard path."""
+    from tarl_tpu.core import roll_gather
+    from tarl_tpu.core.roll_gather import build_roll_plan
+
+    net, agents = setup
+    monkeypatch.setattr(roll_gather, "MIN_ROADS", 0)
+    # max_buckets=2 leaves a genuine exception tail (exercises the overlay).
+    in_plan = build_roll_plan(
+        np.asarray(net.in_src_tab), np.asarray(net.in_edge_ok),
+        min_roads=0, max_exc_frac=1.0, min_count=1, max_buckets=2,
+    )
+    out_plan = build_roll_plan(
+        np.asarray(net.out_dst_tab), np.asarray(net.out_edge_ok),
+        min_roads=0, max_exc_frac=1.0, min_count=1,
+    )
+    assert in_plan[0].shape[0] > 0 and out_plan[0].shape[0] > 0
+    assert in_plan[2].shape[0] > 0, "want a nonempty exception tail"
+    net_roll = net.replace(
+        in_roll_shift=jnp.asarray(in_plan[0]),
+        in_roll_sel=jnp.asarray(in_plan[1]),
+        in_roll_exc_src=jnp.asarray(in_plan[2]),
+        in_roll_exc_k=jnp.asarray(in_plan[3]),
+        in_roll_exc_v=jnp.asarray(in_plan[4]),
+        out_roll_shift=jnp.asarray(out_plan[0]),
+        out_roll_sel=jnp.asarray(out_plan[1]),
+        out_roll_exc_src=jnp.asarray(out_plan[2]),
+        out_roll_exc_k=jnp.asarray(out_plan[3]),
+        out_roll_exc_v=jnp.asarray(out_plan[4]),
+        in_roll_shift_t=tuple(int(s) for s in in_plan[0]),
+        out_roll_shift_t=tuple(int(s) for s in out_plan[0]),
+    )
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 300)
+    state, policy = _state(net, agents, sim)
+
+    ref_final, _ = run_episode(state, net, policy, 300, sim=sim)
+    mesh = make_road_mesh(8)
+    roll_final, _ = run_episode_shard_map(
+        state, net_roll, policy, 300, mesh, sim=sim
+    )
+    plain_final, _ = run_episode_shard_map(
+        state, net, policy, 300, mesh, sim=sim
+    )
+    for ref in (ref_final, plain_final):
+        np.testing.assert_array_equal(
+            np.asarray(ref.agents.arrival),
+            np.asarray(roll_final.agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.road.fifo_ids), np.asarray(roll_final.road.fifo_ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.road.count), np.asarray(roll_final.road.count)
+        )
