@@ -524,6 +524,7 @@ def insert_agents_backlogged(
     escalate: bool = True,
     compact: int | str | None = "auto",  # unused; kept for call symmetry
     pop_width: int | None = None,
+    update_inserted: bool = True,
 ):
     """Exact insertion via per-SRC candidate queues and a departure frontier.
 
@@ -581,7 +582,7 @@ def insert_agents_backlogged(
     R = road.num_roads
     Nmax = road.nmax
     A = agents.num_agents
-    S, Q = backlog.qids.shape
+    S, Q, _ = backlog.qpack.shape
     F = min(window, A - 1)
     pos_f = jnp.arange(F, dtype=jnp.int32)
     if pop_width is None:
@@ -597,14 +598,28 @@ def insert_agents_backlogged(
     buf = physics.congestion_buffer
 
     # --- 1. frontier appends ------------------------------------------------
+    # One packed [A, 3] row table (dep/origin/dest) — loop-invariant when
+    # run_episode keeps the static agent columns out of the scan carry, so
+    # the stack hoists and each pass reads ONE dynamic slice instead of
+    # three (int columns round-trip exactly through f32 for A, N < 2^24).
+    static_tab = jnp.stack(
+        [
+            agents.departure,
+            agents.origin.astype(jnp.float32),
+            agents.dest.astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
     def append_pass(c):
-        qids, qdest, qcount, ptr, _sat, overflow = c
+        qpack, qcount, ptr, _sat, overflow = c
         lo = jnp.minimum(ptr + 1, A - F).astype(jnp.int32)
         skip = ptr + 1 - lo          # clamped-slice prefix already consumed
         ids = lo + pos_f
-        dep = jax.lax.dynamic_slice_in_dim(agents.departure, lo, F)
-        origin = jax.lax.dynamic_slice_in_dim(agents.origin, lo, F)
-        dest = jax.lax.dynamic_slice_in_dim(agents.dest, lo, F)
+        win = jax.lax.dynamic_slice(static_tab, (lo, 0), (F, 3))
+        dep = win[:, 0]
+        origin = win[:, 1].astype(jnp.int32)
+        dest = win[:, 2].astype(jnp.int32)
         fresh = pos_f >= skip
         due = (dep <= time) & fresh
         o = jnp.clip((origin - R) // 2, 0, S - 1)
@@ -624,8 +639,9 @@ def insert_agents_backlogged(
         band = due & roomok & (pos_f < adv)
         rows = jnp.where(band, o, S)                 # S -> dropped
         col = (backlog.qhead[o] + qpos) % Q
-        qids = qids.at[rows, col].set(ids, mode="drop")
-        qdest = qdest.at[rows, col].set(dest, mode="drop")
+        qpack = qpack.at[rows, col].set(
+            jnp.stack([ids, dest], axis=-1), mode="drop"
+        )
         qcount = qcount.at[rows].add(1, mode="drop")
         new_ptr = (lo - 1 + adv).astype(jnp.int32)
         # Full slice consumed -> more agents may be due (re-pass); a stall
@@ -634,19 +650,19 @@ def insert_agents_backlogged(
         due_at_stop = jnp.sum(
             jnp.where(pos_f == adv, due & ~roomok, False)
         )
-        return qids, qdest, qcount, new_ptr, sat, \
+        return qpack, qcount, new_ptr, sat, \
             overflow + due_at_stop.astype(jnp.float32)
 
     state0 = append_pass((
-        backlog.qids, backlog.qdest, backlog.qcount, ptr.astype(jnp.int32),
+        backlog.qpack, backlog.qcount, ptr.astype(jnp.int32),
         jnp.bool_(True), jnp.zeros((), jnp.float32),
     ))
     if escalate:
-        qids, qdest, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
-            lambda c: c[4], append_pass, state0
+        qpack, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
+            lambda c: c[3], append_pass, state0
         )
     else:
-        qids, qdest, qcount, new_ptr, _sat, overflow = state0
+        qpack, qcount, new_ptr, _sat, overflow = state0
 
     # --- 2. drain: queue front -> road FIFOs --------------------------------
     # Per-SRC departure stamp of this tick (tick-start occupancy, the
@@ -677,8 +693,9 @@ def insert_agents_backlogged(
         take = jnp.clip(jnp.minimum(qc, rem), 0, P)
         take = jnp.where(gvalid, take, 0)
         phys = (qhead[:, None] + pcol) % Q             # [S, P]
-        ids_p = jnp.take_along_axis(qids, phys, axis=1)
-        dst_p = jnp.take_along_axis(qdest, phys, axis=1)
+        pk = jnp.take_along_axis(qpack, phys[:, :, None], axis=1)  # [S,P,2]
+        ids_p = pk[..., 0]
+        dst_p = pk[..., 1]
         active = pcol < take[:, None]
         slot = (head_g[:, None] + cnt_g[:, None] + pcol) % Nmax
         rows = jnp.where(active, g_safe[:, None], R)   # R -> dropped
@@ -690,24 +707,46 @@ def insert_agents_backlogged(
             jnp.broadcast_to(dep_stamp_g[:, None], (S, P)), mode="drop"
         )
         fdst = fdst.at[rows, slot].set(dst_p, mode="drop")
+        if update_inserted:
+            ins = ins.at[jnp.where(active, ids_p, A)].set(1, mode="drop")
         count = count.at[jnp.where(take > 0, g_safe, R)].add(
             take, mode="drop"
         )
-        ins = ins.at[jnp.where(active, ids_p, A)].set(1, mode="drop")
         qhead = (qhead + take) % Q
         qc = qc - take
         return fids, farr, fdep, fdst, count, qhead, qc, ins
 
+    ins0 = jnp.zeros((A if update_inserted else 1,), jnp.int32)
     fids, farr, fdep, fdst, count, qhead, qcount, ins = jax.lax.while_loop(
         drain_cond, drain_body,
         (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
-         road.fifo_dest, road.count, backlog.qhead, qcount,
-         jnp.zeros((A,), jnp.int32)),
+         road.fifo_dest, road.count, backlog.qhead, qcount, ins0),
     )
     road = road._replace(fifo_ids=fids, fifo_arrival=farr,
                          fifo_departure=fdep, fifo_dest=fdst, count=count)
-    inserted = agents.inserted | (ins > 0)
-    backlog = backlog._replace(qids=qids, qdest=qdest, qhead=qhead,
-                               qcount=qcount)
-    return (road, agents._replace(inserted=inserted), backlog, new_ptr,
-            overflow)
+    if update_inserted:
+        agents = agents._replace(inserted=agents.inserted | (ins > 0))
+    # else: the flag is maintained LAZILY — nothing inside the backlog tick
+    # reads it (readiness is the frontier + queue membership; withdraw
+    # stamps arrival; metrics use road.count) — and the episode drivers
+    # reconstruct it exactly via `reconstruct_inserted` after the scan.
+    backlog = backlog._replace(qpack=qpack, qhead=qhead, qcount=qcount)
+    return road, agents, backlog, new_ptr, overflow
+
+
+def reconstruct_inserted(agents: AgentState, backlog, ptr) -> AgentState:
+    """Closed form of the inserted flag under backlog insertion:
+    ``inserted[i] == (1 <= i <= ptr) & (i not in any SRC queue)`` — every
+    frontier-consumed agent was either popped onto the network (inserted)
+    or still waits in its SRC queue.  Exact and idempotent; episode
+    drivers call it once per scan instead of scattering the flag per tick.
+    """
+    A = agents.num_agents
+    S, Q, _ = backlog.qpack.shape
+    iota = jnp.arange(A, dtype=jnp.int32)
+    base = (iota >= 1) & (iota <= ptr)
+    qpos = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    in_ring = ((qpos - backlog.qhead[:, None]) % Q) < backlog.qcount[:, None]
+    ids = jnp.where(in_ring, backlog.qids, A)
+    inq = jnp.zeros((A,), jnp.int32).at[ids.reshape(-1)].set(1, mode="drop")
+    return agents._replace(inserted=base & (inq == 0))

@@ -159,6 +159,7 @@ def tick(
     sim: SimConfig = DEFAULT_SIM,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     choice_fn=None,
+    lazy_inserted: bool = False,
 ) -> tuple[SimState, TickLog]:
     """One simulation tick in the classical order insert -> withdraw ->
     choice -> core (transportation_simulator.py:294-324), followed by the
@@ -166,7 +167,13 @@ def tick(
 
     ``choice_fn`` overrides ``policy.choice`` (same signature); used by
     :func:`run_episode_periodic` to swap in the refresh/lookup phase
-    variants without rebuilding the Policy (which is a static jit arg)."""
+    variants without rebuilding the Policy (which is a static jit arg).
+
+    ``lazy_inserted`` (backlog mode only): skip the per-tick inserted-flag
+    scatter — nothing inside the backlog tick reads the flag, and the
+    episode drivers reconstruct it exactly once per scan
+    (core.insert.reconstruct_inserted).  Standalone tick() keeps the flag
+    live by default."""
     t = state.time
 
     # --- insert (agents/base.py:244-331) ---
@@ -193,6 +200,7 @@ def tick(
                     network, t, state.insert_ptr, sim.insert_window, physics,
                     escalate=sim.insert_escalate,
                     compact=sim.insert_compact,
+                    update_inserted=not lazy_inserted,
                 )
             )
         else:
@@ -379,12 +387,22 @@ def run_episode(
                 s.time, s.key, s.metrics, s.next_hop, s.choice_count,
                 s.insert_ptr, s.backlog)
 
+    lazy = sim.insert_backlog is not None and state.backlog is not None
+
     def body(carry, _):
-        s, log = tick(assemble(carry), network, policy, sim, physics)
+        s, log = tick(assemble(carry), network, policy, sim, physics,
+                      lazy_inserted=lazy)
         return disassemble(s), log
 
     carry, logs = jax.lax.scan(body, disassemble(state), length=num_steps)
-    return assemble(carry), logs
+    final = assemble(carry)
+    if lazy:
+        from .insert import reconstruct_inserted
+
+        final = final._replace(agents=reconstruct_inserted(
+            final.agents, final.backlog, final.insert_ptr
+        ))
+    return final, logs
 
 
 @functools.partial(

@@ -238,23 +238,32 @@ class BacklogState(NamedTuple):
     frontier), so queue order = the reference's stable candidate order.
     """
 
-    qids: jnp.ndarray    # int32[S, Q] — agent ids (ring; 0 = empty slot)
-    qdest: jnp.ndarray   # int32[S, Q] — DEST node per entry
+    # (agent id, DEST node) interleaved in one array so the drain's peek is
+    # ONE take_along_axis and the append is ONE scatter (the insert phase is
+    # launch-bound; every merged op is ~4 us/tick on the v5e).
+    qpack: jnp.ndarray   # int32[S, Q, 2] — ring; id 0 = empty slot
     qhead: jnp.ndarray   # int32[S] — physical index of the queue front
     qcount: jnp.ndarray  # int32[S]
 
     @property
     def capacity(self) -> int:
         """Per-SRC queue depth Q."""
-        return self.qids.shape[1]
+        return self.qpack.shape[1]
+
+    @property
+    def qids(self) -> jnp.ndarray:
+        return self.qpack[..., 0]
+
+    @property
+    def qdest(self) -> jnp.ndarray:
+        return self.qpack[..., 1]
 
 
 def init_backlog_state(capacity: int, num_agents: int,
                        num_srcs: int) -> BacklogState:
     del num_agents  # shape-free since the frontier design (kept for API)
     return BacklogState(
-        qids=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
-        qdest=jnp.zeros((num_srcs, capacity), dtype=jnp.int32),
+        qpack=jnp.zeros((num_srcs, capacity, 2), dtype=jnp.int32),
         qhead=jnp.zeros((num_srcs,), dtype=jnp.int32),
         qcount=jnp.zeros((num_srcs,), dtype=jnp.int32),
     )
