@@ -125,21 +125,29 @@ def main() -> None:
                 withdraw_escalate=False,
             )
         policy = Policy(choice=random_choice)
-        state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
 
-        # One chunk size -> one compile; first chunk is the warmup.
+        # One chunk size -> one compile.  WARM PASS: the whole episode once
+        # (excludes compile AND the tunnel's per-invocation ramp — measured
+        # on this link, repeated invocations of one executable speed up
+        # ~20% over the first minutes: 0.175 -> 0.141 ms/tick on identical
+        # chunks); the TIMED pass re-runs the identical episode from a
+        # fresh init.
         chunk = CHUNK
         num_chunks = max(SIM_SECONDS // TIMESTEP // chunk, 2)
-        state, _ = run_episode(state, net, policy, chunk, sim=sim_cfg)
-        jax.block_until_ready(state.road.count)
-
-        t0 = time.time()
-        final = state
+        state = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
         overflow = 0.0
-        for _ in range(num_chunks - 1):
-            final, logs = run_episode(final, net, policy, chunk, sim=sim_cfg)
+        for _ in range(num_chunks):
+            state, logs = run_episode(state, net, policy, chunk, sim=sim_cfg)
             if exact:
                 overflow += float(logs.window_saturated.sum())
+        jax.block_until_ready(state.road.count)
+
+        final = init_sim_state(net, agents, sim=sim_cfg, policy=policy)
+        final, _ = run_episode(final, net, policy, chunk, sim=sim_cfg)
+        jax.block_until_ready(final.road.count)
+        t0 = time.time()
+        for _ in range(num_chunks - 1):
+            final, logs = run_episode(final, net, policy, chunk, sim=sim_cfg)
         jax.block_until_ready(final.road.count)
         wall = time.time() - t0
 

@@ -124,25 +124,36 @@ def run_episode_shard_map(
         "shard_map episode supports the random, shortest-path and learned "
         "(make_learned_choice) policies"
     )
+    strict = routing.strict_compat
+    if strict:
+        assert not primal and policy.needs_next_hop, (
+            "strict_compat under shard_map requires the dual backend policy"
+        )
+    primal_dests = None
     if primal:
-        # The replicated refresh below unpacks the ALL-PAIRS primal buffer
-        # (dist[I, I] ++ cost[R] ++ next_road[I, I]); a dest-restricted
-        # policy from make_primal_dest_parts also sets table_init but packs
-        # dist[I, D] — reject it here rather than fail with an opaque
-        # reshape error (or, on a size collision, silently misroute).
+        # Either the ALL-PAIRS primal buffer (dist[I, I] ++ cost[R] ++
+        # next_road[I, I]) or the dest-restricted dist[I, D] form from
+        # make_primal_dest_parts (its table_init carries the destination
+        # list); the replicated refresh/lookup below mirror whichever the
+        # policy was built with.
         from ..routing.policies import primal_buf_size
 
         i_n = network.num_intersections
-        expect = primal_buf_size(i_n, i_n, network.num_roads)
+        dest_np = getattr(policy.table_init, "dest_list", None)
+        if dest_np is not None:
+            primal_dests = jnp.asarray(dest_np, jnp.int32)
+            d_n = int(dest_np.shape[0])
+            _dcol_np = np.zeros((i_n,), np.int32)
+            _dcol_np[np.asarray(dest_np)] = np.arange(d_n, dtype=np.int32)
+            primal_dcol = jnp.asarray(_dcol_np)
+        else:
+            d_n = i_n
+        expect = primal_buf_size(i_n, d_n, network.num_roads)
         assert state.next_hop.size == expect, (
-            f"shard_map primal routing needs the all-pairs buffer "
-            f"(dist[I,I] ++ cost[R] ++ next_road[I,I], size {expect}); got "
-            f"size {state.next_hop.size} — dest-restricted primal tables "
-            "are not supported under shard_map"
+            f"shard_map primal routing: buffer size {state.next_hop.size} "
+            f"does not match dist[I,{d_n}] ++ cost[R] ++ next_road[I,{d_n}] "
+            f"(expected {expect})"
         )
-    assert not routing.strict_compat, (
-        "strict-compat routing is not supported under shard_map"
-    )
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
@@ -303,7 +314,24 @@ def run_episode_shard_map(
         # ---- insert (replicated candidate math, local scatter) ----------
         _, _, _, count_g, head_g, _ = halo(road)
         ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
-        if primal:
+        if primal and primal_dests is not None:
+            # Dest-restricted entry lookup (make_primal_dest_parts.
+            # entry_lookup, replicated): dist[I, D] columns by dest index.
+            from ..routing.policies import (
+                _dest_inter,
+                _primal_unpack,
+                _road_lookup,
+            )
+
+            from_i = jnp.clip(
+                (agents.origin - R) // 2, 0, network.num_intersections - 1
+            )
+            _, _, road_tab = _primal_unpack(
+                st.next_hop, network.num_intersections, d_n, R
+            )
+            dcol_a = primal_dcol[_dest_inter(network, agents.dest)]
+            entry = _road_lookup(road_tab, from_i, dcol_a)
+        elif primal:
             # Per-agent entry roads from the primal scratch (replicated;
             # primal_entry_lookup equivalent).
             from ..routing.policies import _dest_inter, _primal_argmin_road
@@ -314,10 +342,13 @@ def run_episode_shard_map(
             entry = _primal_argmin_road(  # one element gather per agent
                 st.next_hop, network, from_i, _dest_inter(network, agents.dest)
             )
-        elif shortest:
+        elif shortest and not strict:
             # Per-agent entry roads (shortest_path_entry, replicated).
             entry = st.next_hop[agents.origin, agents.dest]
         else:
+            # Random policy — and strict_compat, whose entrants follow the
+            # origin SRC node's SELECTED_ROAD (the dummy-driven reference
+            # rule, base.py:573-579).
             entry = st.selected_road[agents.origin]
         valid = (entry >= 0) & (entry < R)
         road_key = jnp.where(ready & valid, entry, R).astype(jnp.int32)
@@ -546,6 +577,53 @@ def run_episode_shard_map(
             )
 
             sel = st.selected_road.at[:R].set(sel_roads).at[R:].set(sel_virt)
+        elif primal and primal_dests is not None:
+            # Replicated DEST-RESTRICTED refresh + lookups, mirroring
+            # make_primal_dest_parts (costs from the halo counts; anchor
+            # columns are the destination list).
+            from ..routing.bellman_ford import BIG, primal_relax_next_roads
+            from ..routing.policies import (
+                _dest_inter,
+                _maybe_epilogue_tables,
+                _primal_pack,
+                _primal_unpack,
+                _road_lookup,
+            )
+
+            i_n = network.num_intersections
+            _pb = (_pb_shifts, _pb_slot, _pb_perm, _pb_inv)
+            _epi = _maybe_epilogue_tables(network, _pb)
+
+            def refresh_pd(_):
+                cost = _halo_road_costs(count_g)
+                prev_dist, prev_cost, _ = _primal_unpack(
+                    st.next_hop, i_n, d_n, R
+                )
+                ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
+                dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
+                anchor = (jnp.arange(i_n, dtype=jnp.int32)[:, None]
+                          == primal_dests[None, :])
+                dist, road_t = primal_relax_next_roads(
+                    cost, network.inter_out_road, network.inter_out_ok,
+                    network.road_to, jnp.where(anchor, 0.0, dist0),
+                    routing.max_bf_iters, buckets=_pb, epi_tables=_epi,
+                )
+                return _primal_pack(dist, cost, road_t)
+
+            do_refresh = st.choice_count % routing.refresh_rate == 0
+            buf = jax.lax.cond(
+                do_refresh, refresh_pd, lambda _: st.next_hop, operand=None
+            )
+            _, _, road_tab = _primal_unpack(buf, i_n, d_n, R)
+            dcol_h = primal_dcol[
+                _dest_inter(network, head_dest_g[:R])
+            ]
+            sel_roads = _road_lookup(road_tab, network.road_to, dcol_h)
+            sel = st.selected_road.at[:R].set(sel_roads)
+            key = st.key
+            st = st._replace(
+                next_hop=buf, choice_count=st.choice_count + 1
+            )
         elif primal:
             # Replicated primal refresh + lookups, mirroring
             # make_shortest_path_choice_primal (costs from the halo counts).
@@ -594,6 +672,53 @@ def run_episode_shard_map(
             key = st.key
             st = st._replace(
                 next_hop=buf, choice_count=st.choice_count + 1
+            )
+        elif strict:
+            # Replicated STRICT-COMPAT refresh + lookup
+            # (routing.policies.make_shortest_path_choice strict branch):
+            # the reference's edge-cost form from the halo'd counts, and
+            # SELECTED_ROAD written for ALL nodes via their FIFO head — the
+            # dummy agent 0 for SRC/DEST nodes (base.py:541-584).
+            from ..routing.bellman_ford import all_pairs_next_hop
+
+            n_nodes = network.num_nodes
+
+            def refresh_s(_):
+                def padn(x):
+                    return jnp.zeros((n_nodes,), jnp.float32).at[:R].set(x)
+
+                ffn = padn(network.free_flow)
+                capn = padn(network.capacity)
+                ccn = padn(network.congestion_constant)
+                cntn = padn(count_g[:R].astype(jnp.float32))
+                u, v = network.full_src, network.full_dst
+                w = jnp.maximum(
+                    ffn[u],
+                    ccn[v] / (
+                        capn[u] + physics.congestion_softening - cntn[u]
+                    ),
+                )
+                _, nh = all_pairs_next_hop(
+                    network.full_src, network.full_dst,
+                    jnp.zeros((n_nodes,), jnp.float32), n_nodes,
+                    max_iters=routing.max_bf_iters, edge_cost=w,
+                )
+                return nh
+
+            do_refresh = st.choice_count % routing.refresh_rate == 0
+            next_hop = jax.lax.cond(
+                do_refresh, refresh_s, lambda _: st.next_hop, operand=None
+            )
+            head_all = jnp.zeros((n_nodes,), jnp.int32).at[:R].set(
+                head_id_g[:R]
+            )
+            dests = agents.dest[head_all]
+            sel = next_hop[
+                jnp.arange(n_nodes, dtype=jnp.int32), dests
+            ].astype(jnp.int32)
+            key = st.key
+            st = st._replace(
+                next_hop=next_hop, choice_count=st.choice_count + 1
             )
         elif shortest:
             from ..routing.bellman_ford import all_pairs_next_hop_nbr

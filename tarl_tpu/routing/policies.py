@@ -512,6 +512,11 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         dcol = col_of(network)[_dest_inter(network, dest)]
         return _road_lookup(road_tab, from_i, dcol)
 
+    # Metadata for parallel drivers (shard_map_episode): the destination
+    # list identifies the dist[I, D] buffer layout so the replicated
+    # refresh/lookup can be mirrored shard-side.
+    table_init.dest_list = dest_np
+    choice.dest_list = dest_np
     return choice, entry_lookup, table_init
 
 
