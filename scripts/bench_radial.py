@@ -63,6 +63,11 @@ def main() -> None:
     routing = RoutingConfig(refresh_rate=10, max_bf_iters=8, backend="primal")
     sim = SimConfig(timestep=1, start_time=6 * 3600,
                     record_road_optimality=False,
+                    # Bounded-entry mode like bench.py's sp row (the zoned
+                    # policy's per-agent entry roads are incompatible with
+                    # the per-SRC exact backlog; default-on escalation over
+                    # this oversaturated peak costs ~10 ms/tick here).
+                    insert_escalate=False, withdraw_escalate=False,
                     insert_window=1024, withdraw_depth=2,
                     sorted_population=True)
     kwargs = {}

@@ -55,6 +55,10 @@ def main() -> None:
     routing = RoutingConfig(refresh_rate=10, max_bf_iters=8, backend="primal")
     sim = SimConfig(
         timestep=1, start_time=6 * 3600, record_road_optimality=False,
+        # Bounded-entry mode like bench.py's sp row (per-agent entry roads
+        # are incompatible with the per-SRC exact backlog, and default-on
+        # escalation over an oversaturated peak adds many window passes).
+        insert_escalate=False, withdraw_escalate=False,
         insert_window=4096, withdraw_depth=8,
     )
     if ZONES:

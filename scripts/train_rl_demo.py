@@ -99,6 +99,11 @@ def main(argv=None):
                          "of the greedy one")
     ap.add_argument("--suffix", default="",
                     help="Extra artifact-directory suffix")
+    ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
+                    help="EMA-smooth the eval/selection weights (e.g. "
+                         "0.995): the anti-churn device — the FINAL EMA "
+                         "iterate should track the best snapshot instead "
+                         "of oscillating (VERDICT r3 #9)")
     args = ap.parse_args(argv)
     scen = args.scenario
     iters = args.iterations or ITERATIONS[scen]
@@ -162,12 +167,29 @@ def main(argv=None):
         stochastic_eval_samples=3,  # de-noise the selection metric
         track_best=("eval_stochastic/avg_travel_time"
                     if args.track_stochastic else "eval/avg_travel_time"),
+        ema_decay=args.ema,
     )
     train_s = time.time() - t0
     print(f"trained {iters} iterations in {train_s:.0f}s", flush=True)
 
     table["mpnn_trained_greedy"] = eval_policy(ts.params)
     table["mpnn_trained_stochastic"] = eval_policy(ts.params, key=3, det=False)
+    if args.ema:
+        from tarl_tpu.rl.checkpoint import restore_checkpoint as _restore
+
+        ema_restored = _restore(
+            os.path.join(ckpt_dir, "final_ema"),
+            template={"params": ts.params, "opt_state": ts.opt_state,
+                      "iteration": 0},
+        )
+        table["mpnn_final_ema_greedy"] = eval_policy(ema_restored["params"])
+        table["mpnn_final_ema_stochastic"] = eval_policy(
+            ema_restored["params"], key=3, det=False
+        )
+        print(f"{'mpnn final EMA(gr)':18}: {table['mpnn_final_ema_greedy']}",
+              flush=True)
+        print(f"{'mpnn final EMA(st)':18}: "
+              f"{table['mpnn_final_ema_stochastic']}", flush=True)
     print(f"{'mpnn trained':18}: {table['mpnn_trained_greedy']}", flush=True)
     print(f"{'mpnn trained (st)':18}: {table['mpnn_trained_stochastic']}",
           flush=True)
@@ -200,7 +222,8 @@ def main(argv=None):
         "train_seconds": round(train_s, 1),
         "hyperparameters": {**hp, "prior_scale": PRIOR_SCALE,
                             "extra_obs": args.extra_obs,
-                            "track_stochastic": args.track_stochastic},
+                            "track_stochastic": args.track_stochastic,
+                            "ema_decay": args.ema},
         "eval_steps": eval_steps,
         "table": table,
     }
@@ -213,7 +236,8 @@ def main(argv=None):
     tr = table[headline]
     # The best-eval snapshot supersedes the last iterate when it wins on
     # travel time (rl.trainer track_best).
-    for cand in ("mpnn_best_greedy", "mpnn_best_stochastic"):
+    for cand in ("mpnn_best_greedy", "mpnn_best_stochastic",
+                 "mpnn_final_ema_greedy", "mpnn_final_ema_stochastic"):
         if cand in table and (table[cand]["avg_travel_time_s"]
                               < tr["avg_travel_time_s"]):
             headline, tr = cand, table[cand]

@@ -87,11 +87,20 @@ def ppo_train(
     resume: bool = False,
     verbose: bool = True,
     track_best: Optional[str] = None,
+    ema_decay: Optional[float] = None,
 ) -> TrainState:
     """Train for ``num_iterations`` PPO iterations.
 
     Mirrors the reference trainer's surface (collect/update/log/eval/save,
     rl/ppo_trainer.py:129-160) with real mid-training resume.
+
+    ``ema_decay`` (e.g. 0.995) maintains an exponential moving average of
+    the params and runs every eval (and the best-snapshot selection) on the
+    EMA weights — the anti-churn device for policies whose FINAL iterates
+    oscillate after converging (measured on Bottleneck at entropy 0.01: raw
+    final iterate 332 s vs 68.8 s at the selected snapshot; VERDICT r3 #9).
+    The training trajectory itself is untouched (updates always apply to
+    the raw params).
 
     ``track_best`` names an eval scalar to MINIMIZE — deterministic
     (``"eval/avg_travel_time"``) or, with ``stochastic_eval=True``,
@@ -133,9 +142,17 @@ def ppo_train(
     eval_steps = eval_steps or rl.rollout_steps
     best_metric = None
 
+    ema_params = ts.params if ema_decay else None
+    if ema_decay:
+        _ema_step = jax.jit(lambda e, p: jax.tree.map(
+            lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p
+        ))
+
     t0 = _time.time()
     for it in range(start_iter, num_iterations):
         ts, metrics = ppo.train_iteration(ts)
+        if ema_decay:
+            ema_params = _ema_step(ema_params, ts.params)
         step = (it + 1) * rl.rollout_steps
         scalars = {
             "loss/objective": metrics.loss_objective,
@@ -199,9 +216,10 @@ def ppo_train(
                 n_samples = 1 if det else max(1, stochastic_eval_samples)
                 t_eval = _time.time()
                 acc: dict = {}
+                eval_params = ema_params if ema_decay else ts.params
                 for s in range(n_samples):
                     eval_env, rewards, dones, logs = ppo.eval_rollout(
-                        ts.params, sim_state,
+                        eval_params, sim_state,
                         jax.random.PRNGKey(it + s * 7919), eval_steps,
                         deterministic=det,
                     )
@@ -250,7 +268,7 @@ def ppo_train(
                         best_metric = v
                         save_checkpoint(
                             os.path.join(checkpoint_dir, "best"),
-                            ts.params, ts.opt_state, it + 1,
+                            eval_params, ts.opt_state, it + 1,
                         )
                         with open(os.path.join(checkpoint_dir,
                                                "best.json"), "w") as f:
@@ -294,5 +312,13 @@ def ppo_train(
             os.path.join(checkpoint_dir, f"ckpt_{num_iterations}"),
             ts.params, ts.opt_state, num_iterations,
         )
+        if ema_decay:
+            # The deployable FINAL iterate under EMA smoothing (its
+            # stochastic eval should track the selected best snapshot —
+            # the anti-churn guarantee VERDICT r3 #9 asked for).
+            save_checkpoint(
+                os.path.join(checkpoint_dir, "final_ema"),
+                ema_params, ts.opt_state, num_iterations,
+            )
     logger.close()
     return ts

@@ -563,7 +563,7 @@ def _multisweep_nr_pallas(dist, w_cols, road_cols, slot_cols, shifts: tuple,
         out_shape=(jax.ShapeDtypeStruct((i_n, d_p), jnp.float32),
                    jax.ShapeDtypeStruct((i_n, d_p), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_MULTISWEEP_VMEM_BYTES
+            vmem_limit_bytes=_multisweep_vmem()
         ),
     )(w_cols, road_cols, slot_cols, dist)
 
@@ -623,19 +623,15 @@ def _epilogue_rep_tables(road_cost, out_r_p, ok_p, b_slot_p, b_pad: int):
     return w, road, slot
 
 
-def _multisweep_nr_ok(i_n: int, num_deltas: int, iters: int) -> bool:
-    """TPU gate for the fused relax+next-road kernel (TARL_MULTISWEEP_NR=0
-    opts out).  Same preconditions as :func:`_multisweep_ok` with headroom
-    for the epilogue's three extra column tiles and two rep tables."""
+def _multisweep_nr_tile(i_n: int, num_deltas: int, iters: int) -> int | None:
+    """Tile for the fused relax+next-road kernel (TARL_MULTISWEEP_NR=0 opts
+    out), or None.  Same preconditions as :func:`_multisweep_tile` with
+    headroom for the epilogue's extra column tiles and rep tables."""
     import os
 
     if os.environ.get("TARL_MULTISWEEP_NR", "1") != "1":
-        return False
-    if not _multisweep_ok(i_n, num_deltas, iters):
-        return False
-    need = (num_deltas + 8) * 4 * i_n * _sweep_tile_d() \
-        + 3 * 4 * i_n * _round_up_lane(num_deltas)
-    return need <= _MULTISWEEP_VMEM_BYTES
+        return None
+    return _multisweep_tile(i_n, num_deltas, iters, extra_cols=8, extra_w=3)
 
 
 def primal_relax_next_roads(
@@ -662,9 +658,12 @@ def primal_relax_next_roads(
     i_n = inter_out_road.shape[0]
     if max_iters is None:
         max_iters = i_n - 1
-    if (buckets is not None and buckets[0] is not None
-            and epi_tables is not None
-            and _multisweep_nr_ok(i_n, len(buckets[0]), max_iters)):
+    nr_tile = (
+        _multisweep_nr_tile(i_n, len(buckets[0]), max_iters)
+        if (buckets is not None and buckets[0] is not None
+            and epi_tables is not None) else None
+    )
+    if nr_tile is not None:
         deltas, _, perm, inv = buckets
         out_r_p, ok_p, b_slot_p = epi_tables
         b_n = len(deltas)
@@ -673,7 +672,7 @@ def primal_relax_next_roads(
             road_cost, out_r_p, ok_p, b_slot_p, b_pad
         )
         d = dist0.shape[1]
-        tile_d = _sweep_tile_d()
+        tile_d = nr_tile
         # Pad to a multiple of the COLUMN TILE, not just the 128 lane: the
         # grid is d_p // tile_d, so a lane-only pad would leave the last
         # partial tile unprocessed (and d_p < tile_d would launch nothing).
@@ -724,7 +723,7 @@ def _multisweep_pallas(dist, w_cols, shifts: tuple, num_sweeps: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((i_n, d_p), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_MULTISWEEP_VMEM_BYTES
+            vmem_limit_bytes=_multisweep_vmem()
         ),
     )(w_cols, dist)
 
@@ -812,30 +811,51 @@ def _round_up(x: int, m: int) -> int:
 # The unrolled static-shift sweep materializes one rotated temporary per
 # delta bucket (Mosaic does not collapse their live ranges), so the scoped
 # budget scales with num_deltas; v5e VMEM is 128 MB.
+# TARL_MULTISWEEP_VMEM_MB overrides (on-chip headroom experiments).
 _MULTISWEEP_VMEM_BYTES = 100 * 1024 * 1024
 
 
-def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
-    """Default-on TPU gate for the static-shift multi-sweep kernel
-    (TARL_MULTISWEEP=0 opts out — e.g. to A/B against the gather sweep).
-    Requires a bounded static sweep count (refresh caps; the uncapped
+def _multisweep_vmem() -> int:
+    import os
+
+    mb = os.environ.get("TARL_MULTISWEEP_VMEM_MB")
+    return int(mb) * 1024 * 1024 if mb else _MULTISWEEP_VMEM_BYTES
+
+
+def _multisweep_tile(i_n: int, num_deltas: int, iters: int,
+                     extra_cols: int = 4, extra_w: int = 1) -> int | None:
+    """Widest viable column tile for the static-shift multi-sweep kernel, or
+    None (gate declined — gather fallback).  TARL_MULTISWEEP=0 opts out;
+    requires a bounded static sweep count (refresh caps; the uncapped
     diameter-bound init keeps the early-exiting gather loop) and sublane
-    alignment of the source axis."""
+    alignment of the source axis.  Tries the TARL_SWEEP_TILE_D override
+    first, then 256 (the measured Grid64 winner), then the minimum lane
+    width 128 — bucket-rich irregular networks (the radial metro's 20
+    offsets) only fit the scoped-VMEM stack at 128."""
     import os
 
     if os.environ.get("TARL_MULTISWEEP", "1") != "1":
-        return False
+        return None
     if jax.default_backend() != "tpu":
-        return False
+        return None
     if iters > 16 or i_n % 8 != 0:
-        return False
-    # (num_deltas + 4) column tiles (in/out/carry + per-delta rotates) + w.
-    # Uses the env-aware tile width so a TARL_SWEEP_TILE_D override is
-    # gate-checked too (a 512 override used to sail past the gate and OOM
-    # the 100 MB scoped-VMEM stack at I=4096).
-    need = (num_deltas + 4) * 4 * i_n * _sweep_tile_d() \
-        + 4 * i_n * _round_up_lane(num_deltas)
-    return need <= _MULTISWEEP_VMEM_BYTES
+        return None
+    cap = _multisweep_vmem()
+    tiles = [256, 128]
+    if os.environ.get("TARL_SWEEP_TILE_D"):
+        tiles.insert(0, _sweep_tile_d())
+    for tile in tiles:
+        # (num_deltas + extra) column tiles (in/out/carry + per-delta
+        # rotates [+ epilogue]) + the w (and rep) columns.
+        need = (num_deltas + extra_cols) * 4 * i_n * tile \
+            + extra_w * 4 * i_n * _round_up_lane(num_deltas)
+        if need <= cap:
+            return tile
+    return None
+
+
+def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
+    return _multisweep_tile(i_n, num_deltas, iters) is not None
 
 
 def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
@@ -858,7 +878,11 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         # distinct offsets, e.g. the radial metro) means NO bucketing.
         buckets = None if shifts_b is None else (shifts_b, slot_b)
 
-    if buckets is not None and _multisweep_ok(i_n, len(buckets[0]), iters):
+    ms_tile = (
+        _multisweep_tile(i_n, len(buckets[0]), iters)
+        if buckets is not None else None
+    )
+    if ms_tile is not None:
         # Static-shift multi-sweep kernel: the whole capped refresh is ONE
         # kernel launch reading and writing the table once (see
         # _multisweep_kernel_body).  Outcome-identical to the early-exiting
@@ -875,7 +899,7 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
             w_flat.reshape(b_n, i_n).T
         )
         d = dist0.shape[1]
-        tile_d = _sweep_tile_d()
+        tile_d = ms_tile
         # Tile-multiple pad (not lane-only): grid = d_p // tile_d.
         d_p = _round_up(d, tile_d)
         dist_p = (dist0 if d_p == d
