@@ -114,6 +114,13 @@ def init_sim_state(
             )
         else:
             next_hop = jnp.zeros((1, 1), dtype=jnp.int32)
+    # Incremental-lookup scratch for shortest-path policies: -1 == stale
+    # (the first lookup takes the full pass through its over-budget cond).
+    sel_dest = None
+    if policy is not None and (
+        policy.needs_next_hop or policy.table_init is not None
+    ):
+        sel_dest = jnp.full((network.num_roads,), -1, jnp.int32)
     return SimState(
         road=init_road_state(network.num_roads, network.nmax),
         agents=agents,
@@ -126,6 +133,7 @@ def init_sim_state(
         insert_order=jnp.argsort(agents.departure, stable=True).astype(jnp.int32),
         insert_ptr=jnp.zeros((), jnp.int32),
         backlog=backlog,
+        sel_dest=sel_dest,
     )
 
 
@@ -147,7 +155,10 @@ def reset_sim_state(state: SimState, start_time) -> SimState:
         insert_ptr=jnp.zeros((), jnp.int32),
         backlog=None if state.backlog is None else init_backlog_state(
             state.backlog.capacity, state.agents.num_agents,
-            state.backlog.qids.shape[0],
+            state.backlog.qpack.shape[0],
+        ),
+        sel_dest=None if state.sel_dest is None else jnp.full_like(
+            state.sel_dest, -1
         ),
     )
 
@@ -367,7 +378,7 @@ def run_episode(
 
     def assemble(carry) -> SimState:
         (road, arrival, inserted, selected_road, time, key, metrics,
-         next_hop, choice_count, insert_ptr, backlog) = carry
+         next_hop, choice_count, insert_ptr, backlog, sel_dest) = carry
         return SimState(
             road=road,
             agents=ag._replace(arrival=arrival, inserted=inserted),
@@ -380,12 +391,13 @@ def run_episode(
             insert_order=order_const,
             insert_ptr=insert_ptr,
             backlog=backlog,
+            sel_dest=sel_dest,
         )
 
     def disassemble(s: SimState):
         return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
                 s.time, s.key, s.metrics, s.next_hop, s.choice_count,
-                s.insert_ptr, s.backlog)
+                s.insert_ptr, s.backlog, s.sel_dest)
 
     lazy = sim.insert_backlog is not None and state.backlog is not None
 
@@ -456,7 +468,7 @@ def run_episode_periodic(
 
     def assemble(carry, next_hop) -> SimState:
         (road, arrival, inserted, selected_road, time, key, metrics,
-         choice_count, insert_ptr, backlog) = carry
+         choice_count, insert_ptr, backlog, sel_dest) = carry
         return SimState(
             road=road,
             agents=ag._replace(arrival=arrival, inserted=inserted),
@@ -469,16 +481,29 @@ def run_episode_periodic(
             insert_order=order_const,
             insert_ptr=insert_ptr,
             backlog=backlog,
+            sel_dest=sel_dest,
         )
 
     def disassemble(s: SimState):
         return (s.road, s.agents.arrival, s.agents.inserted, s.selected_road,
                 s.time, s.key, s.metrics, s.choice_count, s.insert_ptr,
-                s.backlog)
+                s.backlog, s.sel_dest)
+
+    import inspect
+
+    _lookup_takes_full = "force_full" in inspect.signature(
+        policy.lookup
+    ).parameters
 
     def refresh_choice(s: SimState, net: Network):
         buf = policy.refresh(s, net)
-        return policy.lookup(s, net, buf)._replace(next_hop=buf), None
+        # A fresh table invalidates every cached selection: the incremental
+        # lookup must take its full pass on refresh ticks.
+        if _lookup_takes_full:
+            s2 = policy.lookup(s, net, buf, force_full=True)
+        else:
+            s2 = policy.lookup(s, net, buf)
+        return s2._replace(next_hop=buf), None
 
     def outer(carry, _):
         nh, rest = carry

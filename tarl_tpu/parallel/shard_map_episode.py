@@ -264,6 +264,9 @@ def run_episode_shard_map(
         choice_count=P(),
         insert_order=P(),
         insert_ptr=P(),
+        # Incremental-lookup scratch rides replicated and untouched (the
+        # shard tick does its own replicated lookups); None when absent.
+        sel_dest=None if state.sel_dest is None else P(),
     )
     log_spec = TickLog(departures=P(), arrivals=P(), on_way=P(), time=P(),
                        road_delta_tt=P(), window_saturated=P())

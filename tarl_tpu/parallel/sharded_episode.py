@@ -89,6 +89,9 @@ def shard_sim_state(state: SimState, mesh: Mesh) -> SimState:
         choice_count=jax.device_put(state.choice_count, repl),
         insert_order=jax.device_put(state.insert_order, agent_s),
         insert_ptr=jax.device_put(state.insert_ptr, repl),
+        sel_dest=None if state.sel_dest is None else jax.device_put(
+            state.sel_dest, repl
+        ),
     )
 
 

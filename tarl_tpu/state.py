@@ -318,6 +318,14 @@ class SimState(NamedTuple):
     # Persistent blocked-candidate set (SimConfig.insert_backlog); None when
     # the feature is off.
     backlog: BacklogState | None = None
+    # Incremental shortest-path lookup scratch (routing.policies): the head
+    # DEST each road's SELECTED_ROAD was last computed for.  sel is a pure
+    # function of (routing table, head dest), so per tick only roads whose
+    # head dest changed need the table gathers — at metro scale those
+    # unsorted [R] gathers are the whole lookup cost (Grid256: 6.1 of
+    # 11.7 ms/tick).  int32[R]; a [1] placeholder when unused; -1 = stale
+    # (forces recomputation).
+    sel_dest: jnp.ndarray | None = None
 
 
 class TickLog(NamedTuple):

@@ -118,3 +118,51 @@ def test_polar_buckets_on_radial(radial):
     deltas, slot, perm, inv = buckets
     assert len(deltas) <= 32
     assert perm is not None  # a non-identity order won
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_incremental_lookup_bitwise(tmp_path, monkeypatch, periodic):
+    """routing.policies._incremental_sel_roads: recomputing SELECTED_ROAD
+    only for roads whose head dest changed is bitwise-identical to the full
+    per-tick pass (sel is a pure function of table x head dest), including
+    over-budget overflow ticks and refresh invalidation — on both episode
+    drivers."""
+    from tarl_tpu.io.scenarios import grid_scenario
+    from tarl_tpu.routing import policies as pol
+    from tarl_tpu.simulator import make_policy
+    from tarl_tpu.core.step import run_episode, run_episode_periodic
+
+    base = grid_scenario(str(tmp_path), "IncGrid", rows=6, cols=6,
+                         num_agents=800, peak_start=6 * 3600,
+                         peak_spread=300)
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    steps = 600
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + steps,
+                    record_road_optimality=False)
+    routing = RoutingConfig(refresh_rate=10, max_bf_iters=16,
+                            backend="primal")
+
+    def run(min_roads, budget):
+        monkeypatch.setattr(pol, "_LOOKUP_MIN_ROADS", min_roads)
+        monkeypatch.setattr(pol, "_LOOKUP_BUDGET", budget)
+        policy = make_policy("dijkstra", routing, network=net)
+        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        runner = run_episode_periodic if (
+            periodic and policy.periodic_rate
+            and steps % policy.periodic_rate == 0
+        ) else run_episode
+        final, _ = runner(state, net, policy, steps, sim=sim)
+        return final
+
+    full = run(10**9, 256)          # incremental disabled: full every tick
+    inc = run(0, 4)                 # tiny budget: inc + overflow both fire
+    np.testing.assert_array_equal(np.asarray(full.selected_road),
+                                  np.asarray(inc.selected_road))
+    np.testing.assert_array_equal(np.asarray(full.agents.arrival),
+                                  np.asarray(inc.agents.arrival))
+    np.testing.assert_array_equal(np.asarray(full.road.fifo_ids),
+                                  np.asarray(inc.road.fifo_ids))
+    assert int(np.asarray(inc.agents.done)[1:].sum()) > 0
