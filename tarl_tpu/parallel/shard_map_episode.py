@@ -146,14 +146,26 @@ def run_episode_shard_map(
             _dcol_np = np.zeros((i_n,), np.int32)
             _dcol_np[np.asarray(dest_np)] = np.arange(d_n, dtype=np.int32)
             primal_dcol = jnp.asarray(_dcol_np)
+            # Zoned layout (make_primal_dest_parts.pack_z): dist ++ cost ++
+            # next_road ++ nr_by_road[R, D].
+            expect = 2 * i_n * d_n + network.num_roads * (1 + d_n)
         else:
             d_n = i_n
-        expect = primal_buf_size(i_n, d_n, network.num_roads)
+            expect = primal_buf_size(i_n, d_n, network.num_roads)
         assert state.next_hop.size == expect, (
             f"shard_map primal routing: buffer size {state.next_hop.size} "
-            f"does not match dist[I,{d_n}] ++ cost[R] ++ next_road[I,{d_n}] "
-            f"(expected {expect})"
+            f"does not match the policy's layout (expected {expect})"
         )
+
+        def _unpack_z(buf):
+            R_ = network.num_roads
+            dist = buf[: i_n * d_n].reshape(i_n, d_n)
+            cost = buf[i_n * d_n: i_n * d_n + R_]
+            road_t = buf[i_n * d_n + R_: 2 * i_n * d_n + R_].reshape(
+                i_n, d_n
+            )
+            nr = buf[2 * i_n * d_n + R_:].reshape(R_, d_n)
+            return dist, cost, road_t, nr
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
@@ -320,18 +332,12 @@ def run_episode_shard_map(
         if primal and primal_dests is not None:
             # Dest-restricted entry lookup (make_primal_dest_parts.
             # entry_lookup, replicated): dist[I, D] columns by dest index.
-            from ..routing.policies import (
-                _dest_inter,
-                _primal_unpack,
-                _road_lookup,
-            )
+            from ..routing.policies import _dest_inter, _road_lookup
 
             from_i = jnp.clip(
                 (agents.origin - R) // 2, 0, network.num_intersections - 1
             )
-            _, _, road_tab = _primal_unpack(
-                st.next_hop, network.num_intersections, d_n, R
-            )
+            _, _, road_tab, _ = _unpack_z(st.next_hop)
             dcol_a = primal_dcol[_dest_inter(network, agents.dest)]
             entry = _road_lookup(road_tab, from_i, dcol_a)
         elif primal:
@@ -588,8 +594,6 @@ def run_episode_shard_map(
             from ..routing.policies import (
                 _dest_inter,
                 _maybe_epilogue_tables,
-                _primal_pack,
-                _primal_unpack,
                 _road_lookup,
             )
 
@@ -599,9 +603,7 @@ def run_episode_shard_map(
 
             def refresh_pd(_):
                 cost = _halo_road_costs(count_g)
-                prev_dist, prev_cost, _ = _primal_unpack(
-                    st.next_hop, i_n, d_n, R
-                )
+                prev_dist, prev_cost, _, _ = _unpack_z(st.next_hop)
                 ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
                 dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
                 anchor = (jnp.arange(i_n, dtype=jnp.int32)[:, None]
@@ -611,13 +613,16 @@ def run_episode_shard_map(
                     network.road_to, jnp.where(anchor, 0.0, dist0),
                     routing.max_bf_iters, buckets=_pb, epi_tables=_epi,
                 )
-                return _primal_pack(dist, cost, road_t)
+                nr = road_t[network.road_to]
+                return jnp.concatenate(
+                    [dist.ravel(), cost, road_t.ravel(), nr.ravel()]
+                )
 
             do_refresh = st.choice_count % routing.refresh_rate == 0
             buf = jax.lax.cond(
                 do_refresh, refresh_pd, lambda _: st.next_hop, operand=None
             )
-            _, _, road_tab = _primal_unpack(buf, i_n, d_n, R)
+            _, _, road_tab, _ = _unpack_z(buf)
             dcol_h = primal_dcol[
                 _dest_inter(network, head_dest_g[:R])
             ]

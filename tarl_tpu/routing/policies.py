@@ -509,6 +509,26 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
         col[dest_np] = np.arange(d_n, dtype=np.int32)
         return jnp.asarray(col)
 
+    def pack_z(dist, cost, road_tab, network):
+        """Zoned buffer layout: ``dist[I, D] ++ cost[R] ++ next_road[I, D]
+        ++ nr_by_road[R, D]`` — the last block is the per-ROAD next-road
+        table (``next_road[road_to]``) materialized ONCE PER REFRESH (one
+        [R]-indexed row gather), so the per-tick lookup needs no gathers at
+        all (see lookup_fn's one-hot pass)."""
+        nr_by_road = road_tab[network.road_to]
+        return jnp.concatenate(
+            [dist.ravel(), cost, road_tab.ravel(), nr_by_road.ravel()]
+        )
+
+    def unpack_z(buf, network):
+        i_n = network.num_intersections
+        R = network.num_roads
+        dist = buf[: i_n * d_n].reshape(i_n, d_n)
+        cost = buf[i_n * d_n: i_n * d_n + R]
+        road_tab = buf[i_n * d_n + R: 2 * i_n * d_n + R].reshape(i_n, d_n)
+        nr_by_road = buf[2 * i_n * d_n + R:].reshape(R, d_n)
+        return dist, cost, road_tab, nr_by_road
+
     def table_init(network):
         # The free-flow table must be EXACT (it anchors every warm-started
         # refresh); only refreshes honor routing.max_bf_iters.
@@ -524,7 +544,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             dist, network.free_flow, network.inter_out_road,
             network.inter_out_ok, network.road_to,
         )
-        return _primal_pack(dist, network.free_flow, road)
+        return pack_z(dist, network.free_flow, road, network)
 
     road_cost_fn = _road_cost_fn(routing)
     buckets = _maybe_delta_buckets(network)
@@ -536,9 +556,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
 
         i_n = network.num_intersections
         cost = road_cost_fn(state.road, network, physics)
-        prev_dist, prev_cost, _ = _primal_unpack(
-            state.next_hop, i_n, d_n, network.num_roads
-        )
+        prev_dist, prev_cost, _, _ = unpack_z(state.next_hop, network)
         ratio = jnp.max(cost / jnp.maximum(prev_cost, 1e-6))
         dist0 = jnp.minimum(prev_dist * jnp.maximum(ratio, 1.0), BIG)
         anchor = (jnp.arange(i_n, dtype=jnp.int32)[:, None]
@@ -548,30 +566,30 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             network.road_to, jnp.where(anchor, 0.0, dist0),
             routing.max_bf_iters, buckets=buckets, epi_tables=epi,
         )
-        return _primal_pack(dist, cost, road)
+        return pack_z(dist, cost, road, network)
 
     def lookup_fn(state: SimState, network: Network, buf,
                   force_full=False):
-        i_n = network.num_intersections
-        _, _, road_tab = _primal_unpack(buf, i_n, d_n, network.num_roads)
-        dcol_tab = col_of(network)
-        dests = state.road.head_dests()
-        sel_roads, sd = _incremental_sel_roads(
-            state, network, dests,
-            lambda d: _road_lookup(
-                road_tab, network.road_to,
-                dcol_tab[_dest_inter(network, d)],
-            ),
-            lambda rows, d: _road_lookup(
-                road_tab, network.road_to[rows],
-                dcol_tab[_dest_inter(network, d)],
-            ),
-            force_full,
-        )
+        del force_full  # the one-hot pass IS the cheap full pass
+        # Gather-free per-tick lookup: destinations take only the D zone
+        # values, so sel = one fused [R, D] one-hot compare+select+sum over
+        # the refresh-time nr_by_road block — replacing three unsorted [R]
+        # gathers that dominated the metro tick (Grid256/2M: lookup 6.1 of
+        # 11.7 ms; ~7 ns/index serial emitter).  Destinations outside the
+        # zone list (only the dummy agent's) read column 0, matching the
+        # old dcol-default — bitwise-identical sel.
+        _, _, _, nr_by_road = unpack_z(buf, network)
+        dest_i = _dest_inter(network, state.road.head_dests())   # [R]
+        hit = dest_i[:, None] == dest_list[None, :]              # [R, D]
+        no_hit = ~jnp.any(hit, axis=1)
+        col0 = jnp.arange(d_n, dtype=jnp.int32)[None, :] == 0
+        hit = hit | (no_hit[:, None] & col0)
+        sel_roads = jnp.sum(
+            jnp.where(hit, nr_by_road, 0.0), axis=1
+        ).astype(jnp.int32)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
-        kw = {} if sd is None else {"sel_dest": sd}
         return state._replace(
-            selected_road=sel, choice_count=state.choice_count + 1, **kw,
+            selected_road=sel, choice_count=state.choice_count + 1,
         )
 
     def choice(state: SimState, network: Network):
@@ -600,9 +618,7 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
             (origin - network.num_roads) // 2, 0,
             network.num_intersections - 1,
         )
-        _, _, road_tab = _primal_unpack(
-            state.next_hop, network.num_intersections, d_n, network.num_roads
-        )
+        _, _, road_tab, _ = unpack_z(state.next_hop, network)
         dcol = col_of(network)[_dest_inter(network, dest)]
         return _road_lookup(road_tab, from_i, dcol)
 
