@@ -52,11 +52,18 @@ RL = dict(rollout_steps=512, minibatch_size=128, num_epochs=4,
 RL_OVERRIDES = {
     "Bottleneck": dict(reward_mode="system", gamma=0.997, gae_lambda=0.95,
                        entropy_coef=0.03),
+    # The TPU north-star run (docs/LEARNING.md): 5k agents, the
+    # prior-equipped policy starts at the classical optimum and training
+    # must preserve it.  Run on the chip: `cd /root/repo && python
+    # scripts/train_rl_demo.py Grid8x8` (default env).
+    "Grid8x8": dict(rollout_steps=256, num_epochs=5),
 }
 STOCHASTIC_HEADLINE = {"Bottleneck"}
 PRIOR_SCALE = 30.0
-EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 5000}
-ITERATIONS = {"Braess": 1000, "Easy": 600, "Bottleneck": 1500}
+EVAL_STEPS = {"Braess": 9000, "Easy": 15000, "Bottleneck": 5000,
+              "Grid8x8": 12000}
+ITERATIONS = {"Braess": 1000, "Easy": 600, "Bottleneck": 1500,
+              "Grid8x8": 600}
 # In-training eval length for the best-snapshot tracker: long enough that
 # every agent finishes (Bottleneck: last departure 06:10 + ~90 s travel),
 # else the selection metric is biased toward policies that serve EARLY
@@ -83,7 +90,7 @@ def metrics_from(agents, road, t, net) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("scenario", nargs="?", default="Braess",
-                    choices=["Braess", "Easy", "Bottleneck"])
+                    choices=["Braess", "Easy", "Bottleneck", "Grid8x8"])
     ap.add_argument("--iterations", type=int, default=0)
     ap.add_argument("--out", default="runs/learning")
     ap.add_argument("--data-root", default="data")

@@ -147,8 +147,11 @@ def run_episode_shard_map(
             _dcol_np[np.asarray(dest_np)] = np.arange(d_n, dtype=np.int32)
             primal_dcol = jnp.asarray(_dcol_np)
             # Zoned layout (make_primal_dest_parts.pack_z): dist ++ cost ++
-            # next_road ++ nr_by_road[R, D].
-            expect = 2 * i_n * d_n + network.num_roads * (1 + d_n)
+            # next_road ++ f32-bitcast(k_tab[R, Dp] int8), Dp = round4(D).
+            from ..routing.policies import _round4 as _r4
+
+            d_p = _r4(d_n)
+            expect = 2 * i_n * d_n + network.num_roads * (1 + d_p // 4)
         else:
             d_n = i_n
             expect = primal_buf_size(i_n, d_n, network.num_roads)
@@ -164,8 +167,8 @@ def run_episode_shard_map(
             road_t = buf[i_n * d_n + R_: 2 * i_n * d_n + R_].reshape(
                 i_n, d_n
             )
-            nr = buf[2 * i_n * d_n + R_:].reshape(R_, d_n)
-            return dist, cost, road_t, nr
+            kblk = buf[2 * i_n * d_n + R_:]  # packed int8 k-table (unused)
+            return dist, cost, road_t, kblk
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
@@ -613,9 +616,12 @@ def run_episode_shard_map(
                     network.road_to, jnp.where(anchor, 0.0, dist0),
                     routing.max_bf_iters, buckets=_pb, epi_tables=_epi,
                 )
-                nr = road_t[network.road_to]
+                from ..routing.policies import _pack_k, _zone_k_tab
+
+                k_tab = _zone_k_tab(road_t, network, d_n)
                 return jnp.concatenate(
-                    [dist.ravel(), cost, road_t.ravel(), nr.ravel()]
+                    [dist.ravel(), cost, road_t.ravel(),
+                     _pack_k(k_tab).ravel()]
                 )
 
             do_refresh = st.choice_count % routing.refresh_rate == 0

@@ -483,6 +483,82 @@ def make_shortest_path_choice_primal(
     return choice
 
 
+def _round4(n: int) -> int:
+    return ((n + 3) // 4) * 4
+
+
+def _zone_k_tab(road_tab, network: Network, d_n: int):
+    """Compress the refresh-time next-road table to int8 out-edge SLOT
+    indices per ROAD: ``k_tab[r, d] = k`` s.t. ``inter_out_road[road_to[r],
+    k] == next_road[road_to[r], d]`` (first valid match; sentinel K for
+    unreachable).  Shape [R, Dp] with the dest axis padded to a multiple of
+    4 so the int8 block bitcasts into the flat f32 routing scratch.
+
+    Refresh-cadence work only (one [I, D]xK compare sweep + one [R]-row
+    gather); the payoff is the per-tick one-hot lookup reading 1 byte/entry
+    instead of 4 (see _zone_onehot_sel)."""
+    k_n = network.inter_out_road.shape[1]
+    assert k_n < 127, "int8 slot index: out-degree bound exceeds int8"
+    k_i = jnp.full(road_tab.shape, k_n, jnp.int8)           # [I, D]
+    for k in range(k_n - 1, -1, -1):
+        m = (network.inter_out_ok[:, k][:, None]
+             & (road_tab == network.inter_out_road[:, k]
+                .astype(jnp.float32)[:, None]))
+        k_i = jnp.where(m, jnp.int8(k), k_i)
+    k_i = jnp.where(road_tab < 0.0, jnp.int8(k_n), k_i)
+    k_tab = k_i[network.road_to]                            # [R, D]
+    dp = _round4(d_n)
+    if dp != d_n:
+        k_tab = jnp.concatenate(
+            [k_tab,
+             jnp.full((k_tab.shape[0], dp - d_n), k_n, jnp.int8)], axis=1
+        )
+    return k_tab
+
+
+def _pack_k(k_tab):
+    """int8[R, Dp] -> float32[R, Dp // 4] by bitcast (Dp % 4 == 0)."""
+    r, dp = k_tab.shape
+    return jax.lax.bitcast_convert_type(
+        k_tab.reshape(r, dp // 4, 4), jnp.float32
+    )
+
+
+def _unpack_k(flat, r: int, dp: int):
+    """float32[R * Dp / 4] -> int8[R, Dp] (inverse of _pack_k)."""
+    return jax.lax.bitcast_convert_type(
+        flat.reshape(r, dp // 4), jnp.int8
+    ).reshape(r, dp)
+
+
+def _zone_onehot_sel(k_tab, dest_i, dest_list, network: Network):
+    """Gather-free per-tick zoned lookup: one fused [R, Dp] one-hot
+    compare+select+sum over the int8 k-table, then a K-way select through
+    the static ``inter_out_road[road_to]`` rows (loop-invariant — XLA
+    hoists it out of the episode scan).  Destinations outside the zone list
+    (only the dummy agent's) read column 0; sentinel K maps to -1
+    (unreachable) — bitwise-identical to the f32 road-id one-hot."""
+    d_n = int(dest_list.shape[0])
+    dp = k_tab.shape[1]
+    dlp = dest_list
+    if dp != d_n:
+        dlp = jnp.concatenate(
+            [dest_list, jnp.full((dp - d_n,), -2, jnp.int32)]
+        )
+    hit = dest_i[:, None] == dlp[None, :]                   # [R, Dp]
+    no_hit = ~jnp.any(hit, axis=1)
+    col0 = jnp.arange(dp, dtype=jnp.int32)[None, :] == 0
+    hit = hit | (no_hit[:, None] & col0)
+    k = jnp.sum(jnp.where(hit, k_tab, jnp.int8(0)), axis=1,
+                dtype=jnp.int8)                             # [R]
+    out_r = network.inter_out_road[network.road_to]         # static [R, K]
+    k_n = out_r.shape[1]
+    sel = jnp.full(k.shape, -1, jnp.int32)
+    for j in range(k_n):
+        sel = jnp.where(k == jnp.int8(j), out_r[:, j], sel)
+    return sel
+
+
 def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING,
                            physics: PhysicsConfig = DEFAULT_PHYSICS,
                            network: Optional[Network] = None):
@@ -511,23 +587,25 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
 
     def pack_z(dist, cost, road_tab, network):
         """Zoned buffer layout: ``dist[I, D] ++ cost[R] ++ next_road[I, D]
-        ++ nr_by_road[R, D]`` — the last block is the per-ROAD next-road
-        table (``next_road[road_to]``) materialized ONCE PER REFRESH (one
-        [R]-indexed row gather), so the per-tick lookup needs no gathers at
-        all (see lookup_fn's one-hot pass)."""
-        nr_by_road = road_tab[network.road_to]
+        ++ f32-bitcast(k_tab[R, Dp] int8)`` — the last block is the per-ROAD
+        next-road table compressed to the out-edge SLOT index (int8;
+        materialized ONCE PER REFRESH), so the per-tick one-hot lookup reads
+        a quarter of the bytes the road-id form did (the metro tick is
+        bandwidth-bound on this pass — Grid256/2M: 2.76 ms at f32 ids)."""
+        k_tab = _zone_k_tab(road_tab, network, d_n)
         return jnp.concatenate(
-            [dist.ravel(), cost, road_tab.ravel(), nr_by_road.ravel()]
+            [dist.ravel(), cost, road_tab.ravel(), _pack_k(k_tab).ravel()]
         )
 
     def unpack_z(buf, network):
         i_n = network.num_intersections
         R = network.num_roads
+        dp = _round4(d_n)
         dist = buf[: i_n * d_n].reshape(i_n, d_n)
         cost = buf[i_n * d_n: i_n * d_n + R]
         road_tab = buf[i_n * d_n + R: 2 * i_n * d_n + R].reshape(i_n, d_n)
-        nr_by_road = buf[2 * i_n * d_n + R:].reshape(R, d_n)
-        return dist, cost, road_tab, nr_by_road
+        k_tab = _unpack_k(buf[2 * i_n * d_n + R:], R, dp)
+        return dist, cost, road_tab, k_tab
 
     def table_init(network):
         # The free-flow table must be EXACT (it anchors every warm-started
@@ -572,21 +650,16 @@ def make_primal_dest_parts(dest_inters, routing: RoutingConfig = DEFAULT_ROUTING
                   force_full=False):
         del force_full  # the one-hot pass IS the cheap full pass
         # Gather-free per-tick lookup: destinations take only the D zone
-        # values, so sel = one fused [R, D] one-hot compare+select+sum over
-        # the refresh-time nr_by_road block — replacing three unsorted [R]
+        # values, so sel = one fused [R, Dp] one-hot compare+select+sum over
+        # the refresh-time int8 k-table — replacing three unsorted [R]
         # gathers that dominated the metro tick (Grid256/2M: lookup 6.1 of
-        # 11.7 ms; ~7 ns/index serial emitter).  Destinations outside the
-        # zone list (only the dummy agent's) read column 0, matching the
-        # old dcol-default — bitwise-identical sel.
-        _, _, _, nr_by_road = unpack_z(buf, network)
+        # 11.7 ms; ~7 ns/index serial emitter), at a quarter of the f32
+        # road-id form's bytes.  Destinations outside the zone list (only
+        # the dummy agent's) read column 0, matching the old dcol-default —
+        # bitwise-identical sel.
+        _, _, _, k_tab = unpack_z(buf, network)
         dest_i = _dest_inter(network, state.road.head_dests())   # [R]
-        hit = dest_i[:, None] == dest_list[None, :]              # [R, D]
-        no_hit = ~jnp.any(hit, axis=1)
-        col0 = jnp.arange(d_n, dtype=jnp.int32)[None, :] == 0
-        hit = hit | (no_hit[:, None] & col0)
-        sel_roads = jnp.sum(
-            jnp.where(hit, nr_by_road, 0.0), axis=1
-        ).astype(jnp.int32)
+        sel_roads = _zone_onehot_sel(k_tab, dest_i, dest_list, network)
         sel = state.selected_road.at[: network.num_roads].set(sel_roads)
         return state._replace(
             selected_road=sel, choice_count=state.choice_count + 1,
