@@ -6,7 +6,11 @@ PYTEST_ENV = env -u PALLAS_AXON_POOL_IPS PYTHONPATH= JAX_PLATFORMS=cpu
 run:
 	python main.py --algo dijkstra --scenario Easy --mode eval --start-end-time 21600 28800
 
-# Fast set (<5 min): everything except the @pytest.mark.slow learning demos.
+# Fast set: everything except @pytest.mark.slow (learning demos, the >=20 s
+# equality/parity heavies — run those via test-all).  Measured on a 1-CPU
+# host (r4): 291 s warm / 704 s cold — the first run pays XLA:CPU compiles
+# into the persistent cache tests/conftest.py keeps under .cache/jax
+# (TARL_TEST_JAX_CACHE_DIR overrides; empty disables).
 test:
 	$(PYTEST_ENV) python -m pytest --ff -m "not slow" tests
 

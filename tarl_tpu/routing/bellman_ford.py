@@ -18,6 +18,7 @@ congested traversal time of the target road — and document the deviation.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -956,11 +957,15 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         return out if inv is None else out[inv]
 
     if buckets is not None and jax.default_backend() == "tpu" and \
-            not _pallas_sweep_ok(i_n, len(buckets[0])):
-        # Measured on the v5e: BOTH delta formulations lose to the gather
-        # sweep on TPU (XLA rolls re-read HBM per delta: 38 vs 14 ms per
-        # 8-sweep refresh; the Pallas kernel is VPU-bound: 30 ms) — ignore
-        # the buckets unless the kernel is explicitly opted in.
+            not _pallas_sweep_ok(i_n, len(buckets[0])) and \
+            os.environ.get("TARL_XLA_ROLL_SWEEP", "0") != "1":
+        # Measured on the v5e at Grid64 ALL-PAIRS (D = I = 4096): both
+        # delta formulations lose to the gather sweep on TPU (XLA rolls
+        # re-read HBM per delta: 38 vs 14 ms per 8-sweep refresh; the
+        # Pallas kernel is VPU-bound: 30 ms) — ignore the buckets unless
+        # the kernel or the roll path (TARL_XLA_ROLL_SWEEP=1, for narrow
+        # zoned tables where the multisweep kernel's VMEM gate declines)
+        # is explicitly opted in.
         buckets = None
 
     if buckets is not None:

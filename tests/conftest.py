@@ -32,4 +32,19 @@ assert _jax.default_backend() == "cpu", (
     "tests must run on host CPU; axon backend still active"
 )
 
+# Persistent XLA compilation cache (VERDICT r3 #8): the suite is dominated
+# by XLA:CPU compiles of episode/train programs (10-100 s each), and most
+# tests recompile identical programs run-over-run.  Cache serialized
+# executables under .cache/jax so every run after the first skips them
+# (pytest --ff makes warm re-runs the common case).  Override the location
+# with TARL_TEST_JAX_CACHE_DIR; set it empty to disable.
+_cache_dir = os.environ.get(
+    "TARL_TEST_JAX_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax"),
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 

@@ -696,8 +696,8 @@ class TestPeriodicEpisode:
     split."""
 
     @pytest.mark.parametrize("backend,dest_restricted", [
-        ("primal", False),
-        ("primal", True),
+        pytest.param("primal", False, marks=pytest.mark.slow),
+        pytest.param("primal", True, marks=pytest.mark.slow),
         ("dual", False),
     ])
     def test_periodic_matches_plain(self, backend, dest_restricted):

@@ -139,6 +139,7 @@ def test_star_junction_high_degree():
     assert done > n_agents // 2, f"random walk should deliver most: {done}"
 
 
+@pytest.mark.slow
 def test_radial_metro_scenario_shortest_path():
     """The ring-and-spoke radial generator (io.scenarios.radial_scenario) —
     a NON-grid network with irregular turn-graph deltas (ring wrap + centre

@@ -40,6 +40,7 @@ def warm(tmp_path_factory):
     return _force_plan(net), state
 
 
+@pytest.mark.slow
 def test_fused_winner_bitwise(warm, monkeypatch):
     monkeypatch.setenv("TARL_FUSED_WINNER_INTERPRET", "1")
     from tarl_tpu.core.fused_winner import direction_confirm_fused
@@ -79,6 +80,7 @@ def test_fused_winner_bitwise(warm, monkeypatch):
     assert int(np.asarray(road_a.count).sum()) > 0
 
 
+@pytest.mark.slow
 def test_fused_winner_tiled_bitwise(warm, monkeypatch):
     """The grid-tiled form (rolls hoisted to XLA, columnwise kernels) must
     match the XLA path bitwise too — run with a 128-lane tile so the grid
@@ -119,6 +121,7 @@ def test_fused_winner_tiled_bitwise(warm, monkeypatch):
     assert int(np.asarray(road_a.count).sum()) > 0
 
 
+@pytest.mark.slow
 def test_fused_winner_tiled_episode_through_tick(tmp_path, monkeypatch):
     """run_episode takes the TILED branch when the single-block VMEM gate
     declines (monkeypatched to 0) — bitwise-equal to the kernel-free run."""

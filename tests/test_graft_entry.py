@@ -8,7 +8,9 @@ the success line.
 """
 import os
 import sys
+import pytest
 
+@pytest.mark.slow
 def test_dryrun_multichip_is_green(capfd):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as g

@@ -37,6 +37,7 @@ def test_mesh_shapes():
     assert mesh.shape["sp"] == 1
 
 
+@pytest.mark.slow
 def test_batched_ppo_train_step(setup):
     net, state = setup
     assert jax.device_count() == 8, "conftest must force an 8-device CPU mesh"

@@ -228,6 +228,7 @@ class TestCheckpoint:
 
 
 class TestTrainerShell:
+    @pytest.mark.slow
     def test_ppo_train_logs_equilibrium_and_episode_vc(self, setup, tmp_path):
         """ppo_train writes eval/relative_nash_gap + eval/tstt and the
         episode-averaged (not snapshot) V/C scalars to metrics.csv
@@ -259,6 +260,7 @@ class TestTrainerShell:
                 if r.get("eval/relative_nash_gap") not in (None, "")]
         assert vals and all(np.isfinite(v) for v in vals)
 
+    @pytest.mark.slow
     def test_track_best_stochastic_scalar(self, setup, tmp_path):
         """track_best matches tag-prefixed scalars: an eval_stochastic/...
         target selects on the stochastic pass (the Bottleneck mixing demo

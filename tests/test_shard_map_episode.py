@@ -209,6 +209,7 @@ def test_shard_map_primal_backend_matches_unsharded(setup):
     assert int(sm_final.agents.done[1:].sum()) > 0, "some trips must finish"
 
 
+@pytest.mark.slow
 def test_shard_map_learned_policy_matches_unsharded(setup):
     """VERDICT r2 #1: the learned MPNN policy forward runs EDGE-SHARDED
     inside the shard_map episode (per-block slot columns + replicated
@@ -258,6 +259,7 @@ def test_shard_map_learned_policy_matches_unsharded(setup):
         assert not sm_final.road.count.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_shard_map_transformer_policy_matches_unsharded(setup):
     """Attention policies (GTConv aggregation) run SPATIALLY SHARDED too:
     the slot-twin trunk (models/transformer/slot_forward.py) computes each
@@ -471,6 +473,7 @@ def test_shard_map_padded_network(tmp_path):
     assert int(np.asarray(sm_final.agents.done)[1:].sum()) > 0
 
 
+@pytest.mark.slow
 def test_shard_map_inline_padding_matches_unsharded(tmp_path):
     """A raw network with R % shards != 0 runs under shard_map DIRECTLY:
     run_episode_shard_map pads the road axis internally with inert rows

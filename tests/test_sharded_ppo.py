@@ -55,6 +55,7 @@ def _tree_allclose(a, b, rtol=2e-5, atol=1e-6):
     )
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_unsharded(setup):
     net, ppo, ts = setup
     mesh = make_node_mesh(8)

@@ -226,6 +226,7 @@ class TestMetricInvariants:
         assert on_net == on_way  # every queued id has ON_WAY set and vice versa
 
 
+@pytest.mark.slow
 def test_marginal_cost_routing_beats_travel_time_routing(tmp_path):
     """System-optimal (marginal-cost) routing: on the Bottleneck scenario
     the travel-time next-hop table oscillates between the two good routes
