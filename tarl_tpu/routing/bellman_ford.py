@@ -957,16 +957,24 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         return out if inv is None else out[inv]
 
     if buckets is not None and jax.default_backend() == "tpu" and \
-            not _pallas_sweep_ok(i_n, len(buckets[0])) and \
-            os.environ.get("TARL_XLA_ROLL_SWEEP", "0") != "1":
-        # Measured on the v5e at Grid64 ALL-PAIRS (D = I = 4096): both
-        # delta formulations lose to the gather sweep on TPU (XLA rolls
-        # re-read HBM per delta: 38 vs 14 ms per 8-sweep refresh; the
-        # Pallas kernel is VPU-bound: 30 ms) — ignore the buckets unless
-        # the kernel or the roll path (TARL_XLA_ROLL_SWEEP=1, for narrow
-        # zoned tables where the multisweep kernel's VMEM gate declines)
-        # is explicitly opted in.
-        buckets = None
+            not _pallas_sweep_ok(i_n, len(buckets[0])):
+        # Fallback choice when the multisweep kernel's VMEM gate declined
+        # (e.g. Grid256: I=65k needs a 134 MB resident stack).  Measured on
+        # the v5e at Grid64 ALL-PAIRS (D = I = 4096): both delta
+        # formulations lose to the gather sweep (XLA rolls re-read HBM per
+        # delta: 38 vs 14 ms per 8-sweep refresh; the dynamic-shift Pallas
+        # kernel is VPU-bound: 30 ms).  But on NARROW zoned tables the
+        # rolls WIN in production — Grid256/2M zoned sp full run 7.42 ->
+        # 6.79 ms/tick (the roll sweeps pipeline with the rest of the
+        # refresh where the serial gather emitter cannot), even though the
+        # standalone refresh times ~flat (28.8 vs 29.6 ms).  Default: rolls
+        # for D <= 1024 columns, gather otherwise; TARL_XLA_ROLL_SWEEP=1/0
+        # forces.
+        env = os.environ.get("TARL_XLA_ROLL_SWEEP")
+        use_rolls = (env == "1" if env in ("0", "1")
+                     else dist0.shape[1] <= 1024)
+        if not use_rolls:
+            buckets = None
 
     if buckets is not None:
         # Delta-bucketed sweep: one jnp.roll per distinct index offset
