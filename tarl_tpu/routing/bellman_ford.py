@@ -483,6 +483,164 @@ def _multisweep_kernel_body(w_ref, dist_ref, out_ref, *, shifts, num_sweeps):
     out_ref[...] = final
 
 
+def _multisweep_rb_kernel_body(w_ref, dist_ref, out_ref, *, shifts,
+                               num_sweeps, halo):
+    """Row-blocked :func:`_multisweep_kernel_body`: the block sees a
+    ``[W = B + 2*halo, T]`` window of the source axis; rolls wrap within
+    the window, whose contaminated margin never reaches the interior
+    (see :func:`_rowblock_plan`).  Writes the interior B rows."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_all = w_ref[0]            # [W, B_pad]
+    block = out_ref.shape[1]
+
+    def sweep(tile):
+        new = tile
+        for b, sh in enumerate(shifts):
+            new = jnp.minimum(new, w_all[:, b:b + 1] + pltpu.roll(tile, sh, 0))
+        return new
+
+    def cond(c):
+        i, tile, changed = c
+        return changed & (i < num_sweeps)
+
+    def body(c):
+        i, tile, _ = c
+        new = sweep(tile)
+        return i + 1, new, jnp.any(new < tile)
+
+    _, final, _ = jax.lax.while_loop(
+        cond, body, (0, dist_ref[0], jnp.bool_(True))
+    )
+    out_ref[0] = final[halo:halo + block]
+
+
+def _multisweep_nr_rb_kernel_body(w_ref, road_ref, slot_ref, dist_ref,
+                                  out_dist_ref, out_road_ref, *,
+                                  shifts, num_sweeps, halo):
+    """Row-blocked :func:`_multisweep_nr_kernel_body` (the halo budgets one
+    extra propagation step for the next-road epilogue's rotates)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_all = w_ref[0]
+    road_all = road_ref[0]
+    slot_all = slot_ref[0]
+    block = out_dist_ref.shape[1]
+
+    def sweep(tile):
+        new = tile
+        for b, sh in enumerate(shifts):
+            new = jnp.minimum(new, w_all[:, b:b + 1] + pltpu.roll(tile, sh, 0))
+        return new
+
+    def cond(c):
+        i, tile, changed = c
+        return changed & (i < num_sweeps)
+
+    def body(c):
+        i, tile, _ = c
+        new = sweep(tile)
+        return i + 1, new, jnp.any(new < tile)
+
+    _, final, _ = jax.lax.while_loop(
+        cond, body, (0, dist_ref[0], jnp.bool_(True))
+    )
+    out_dist_ref[0] = final[halo:halo + block]
+
+    big = float(BIG)
+    best = jnp.full(final.shape, big, jnp.float32)
+    road = jnp.full(final.shape, -1.0, jnp.float32)
+    bslot = jnp.full(final.shape, 1e9, jnp.float32)
+    for b, sh in enumerate(shifts):
+        cand = w_all[:, b:b + 1] + pltpu.roll(final, sh, 0)
+        sl = jnp.broadcast_to(slot_all[:, b:b + 1], final.shape)
+        take = (cand < best) | ((cand == best) & (sl < bslot))
+        best = jnp.where(take, cand, best)
+        road = jnp.where(take, jnp.broadcast_to(road_all[:, b:b + 1],
+                                                final.shape), road)
+        bslot = jnp.where(take, sl, bslot)
+    nr = jnp.where(best < big, road, -1.0)
+    out_road_ref[0] = nr[halo:halo + block]
+
+
+def _window_shifts(deltas, i_n: int, w: int) -> tuple:
+    """Window-local roll amounts: row r reads window[r + d_eff] where
+    d_eff is the signed cyclic displacement of each delta."""
+    out = []
+    for d in deltas:
+        d_eff = int(d) if int(d) <= i_n // 2 else int(d) - i_n
+        out.append((w - d_eff) % w)
+    return tuple(out)
+
+
+def _multisweep_pallas_rowblock(dist, w_cols, deltas, num_sweeps: int,
+                                plan: tuple):
+    """Row-blocked multisweep launch: dist [I, Dp] -> relaxed [I, Dp]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block, h, tile_d = plan
+    i_n, d_p = dist.shape
+    nb = i_n // block
+    w = block + 2 * h
+    b_pad = w_cols.shape[1]
+    dist_w = _row_windows(dist, block, h)      # [nb, W, Dp]
+    w_w = _row_windows(w_cols, block, h)       # [nb, W, B_pad]
+    out = pl.pallas_call(
+        partial(_multisweep_rb_kernel_body,
+                shifts=_window_shifts(deltas, i_n, w),
+                num_sweeps=num_sweeps, halo=h),
+        grid=(nb, d_p // tile_d),
+        in_specs=[
+            pl.BlockSpec((1, w, b_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, tile_d), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, tile_d), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, block, d_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_multisweep_vmem()
+        ),
+    )(w_w, dist_w)
+    return out.reshape(i_n, d_p)
+
+
+def _multisweep_nr_pallas_rowblock(dist, w_cols, road_cols, slot_cols,
+                                   deltas, num_sweeps: int, plan: tuple):
+    """Row-blocked fused relax+next-road launch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block, h, tile_d = plan
+    i_n, d_p = dist.shape
+    nb = i_n // block
+    w = block + 2 * h
+    b_pad = w_cols.shape[1]
+    small = pl.BlockSpec((1, w, b_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((1, w, tile_d), lambda i, j: (i, 0, j),
+                        memory_space=pltpu.VMEM)
+    otile = pl.BlockSpec((1, block, tile_d), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    dist_o, road_o = pl.pallas_call(
+        partial(_multisweep_nr_rb_kernel_body,
+                shifts=_window_shifts(deltas, i_n, w),
+                num_sweeps=num_sweeps, halo=h),
+        grid=(nb, d_p // tile_d),
+        in_specs=[small, small, small, tile],
+        out_specs=(otile, otile),
+        out_shape=(jax.ShapeDtypeStruct((nb, block, d_p), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, block, d_p), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_multisweep_vmem()
+        ),
+    )(_row_windows(w_cols, block, h), _row_windows(road_cols, block, h),
+      _row_windows(slot_cols, block, h), _row_windows(dist, block, h))
+    return dist_o.reshape(i_n, d_p), road_o.reshape(i_n, d_p)
+
+
 def _multisweep_nr_kernel_body(w_ref, road_ref, slot_ref, dist_ref,
                                out_dist_ref, out_road_ref, *,
                                shifts, num_sweeps):
@@ -659,12 +817,18 @@ def primal_relax_next_roads(
     i_n = inter_out_road.shape[0]
     if max_iters is None:
         max_iters = i_n - 1
-    nr_tile = (
-        _multisweep_nr_tile(i_n, len(buckets[0]), max_iters)
-        if (buckets is not None and buckets[0] is not None
-            and epi_tables is not None) else None
-    )
-    if nr_tile is not None:
+    have_buckets = (buckets is not None and buckets[0] is not None
+                    and epi_tables is not None)
+    nr_tile = (_multisweep_nr_tile(i_n, len(buckets[0]), max_iters)
+               if have_buckets else None)
+    rb_plan = None
+    if nr_tile is None and have_buckets and \
+            os.environ.get("TARL_MULTISWEEP_NR", "1") == "1":
+        # Full-resident form declined (source axis outgrows the scoped
+        # VMEM stack): try the row-blocked window form (_rowblock_plan).
+        rb_plan = _rowblock_plan(i_n, buckets[0], max_iters,
+                                 extra_cols=8, extra_w=3)
+    if nr_tile is not None or rb_plan is not None:
         deltas, _, perm, inv = buckets
         out_r_p, ok_p, b_slot_p = epi_tables
         b_n = len(deltas)
@@ -673,7 +837,7 @@ def primal_relax_next_roads(
             road_cost, out_r_p, ok_p, b_slot_p, b_pad
         )
         d = dist0.shape[1]
-        tile_d = nr_tile
+        tile_d = nr_tile if nr_tile is not None else rb_plan[2]
         # Pad to a multiple of the COLUMN TILE, not just the 128 lane: the
         # grid is d_p // tile_d, so a lane-only pad would leave the last
         # partial tile unprocessed (and d_p < tile_d would launch nothing).
@@ -682,11 +846,17 @@ def primal_relax_next_roads(
         if d_p != d:
             dist_p = jnp.pad(dist_p, ((0, 0), (0, d_p - d)),
                              constant_values=BIG)
-        shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
-        dist_o, road_o = _multisweep_nr_pallas(
-            dist_p, w_cols, road_cols, slot_cols, shifts, max_iters,
-            tile_d
-        )
+        if nr_tile is not None:
+            shifts = tuple((i_n - int(dd)) % i_n for dd in deltas)
+            dist_o, road_o = _multisweep_nr_pallas(
+                dist_p, w_cols, road_cols, slot_cols, shifts, max_iters,
+                tile_d
+            )
+        else:
+            dist_o, road_o = _multisweep_nr_pallas_rowblock(
+                dist_p, w_cols, road_cols, slot_cols, deltas, max_iters,
+                rb_plan
+            )
         dist_o = dist_o[:, :d]
         road_o = road_o[:, :d]
         if inv is not None:
@@ -859,6 +1029,59 @@ def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
     return _multisweep_tile(i_n, num_deltas, iters) is not None
 
 
+def _rowblock_plan(i_n: int, deltas, iters: int, extra_cols: int = 4,
+                   extra_w: int = 1) -> tuple | None:
+    """Row-blocked multisweep plan ``(B, h, tile)`` or None.
+
+    When the full-resident kernel's VMEM gate declines (the source axis
+    alone outgrows the scoped stack — Grid256: I=65k needs 134 MB), the
+    sweep can still run as ONE kernel launch per (row block, column tile)
+    by windowing the source axis with a halo of ``h = (iters + 1) *
+    max_cyclic_offset`` rows: min-plus contamination from the window
+    edges (wrapped pltpu.roll garbage) advances at most ``max_offset``
+    rows per sweep, so the interior B rows stay bitwise-exact for all
+    ``iters`` sweeps plus the next-road epilogue (the +1).  Early exit
+    stays exact: a window fixpoint pins the interior to the global
+    fixpoint values (clean-zone induction).  Requires I % B == 0 — padded
+    rows would break the cyclic offsets.
+    """
+    if os.environ.get("TARL_MULTISWEEP_ROWBLOCK", "1") != "1":
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    if iters > 16 or i_n % 8 != 0:
+        return None
+    d_eff = [int(d) if int(d) <= i_n // 2 else int(d) - i_n for d in deltas]
+    max_d = max(abs(d) for d in d_eff) if d_eff else 0
+    if max_d == 0:
+        return None
+    h = _round_up((iters + 1) * max_d, 8)
+    cap = _multisweep_vmem()
+    b_pad = _round_up_lane(len(deltas))
+    for block in (8192, 16384, 4096):
+        if i_n % block != 0 or i_n // block < 2 or h > block // 2:
+            continue
+        w = block + 2 * h
+        for tile in (256, 128):
+            need = (len(deltas) + extra_cols) * 4 * w * tile \
+                + extra_w * 4 * w * b_pad
+            if need <= cap:
+                return block, h, tile
+    return None
+
+
+def _row_windows(x, block: int, h: int):
+    """[I, C] -> [I // block, block + 2h, C] overlapping cyclic windows
+    (static concat of slices — no gathers)."""
+    i_n = x.shape[0]
+    padded = jnp.concatenate([x[i_n - h:], x, x[:h]], axis=0)
+    nb = i_n // block
+    return jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(padded, b * block, block + 2 * h, 0)
+         for b in range(nb)], axis=0
+    )
+
+
 def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
                   iters, buckets=None):
     i_n = inter_out_road.shape[0]
@@ -883,6 +1106,30 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
         _multisweep_tile(i_n, len(buckets[0]), iters)
         if buckets is not None else None
     )
+    if ms_tile is None and buckets is not None and \
+            os.environ.get("TARL_MULTISWEEP", "1") == "1":
+        rb = _rowblock_plan(i_n, buckets[0], iters)
+        if rb is not None:
+            deltas, slot_of_road = buckets
+            if perm is not None:
+                dist0 = dist0[perm]
+            b_n = len(deltas)
+            b_pad = _round_up_lane(b_n)
+            w_flat = jnp.full((b_n * i_n + 1,), BIG).at[slot_of_road].min(
+                road_cost
+            )[: b_n * i_n]
+            w_cols = jnp.full((i_n, b_pad), BIG).at[:, :b_n].set(
+                w_flat.reshape(b_n, i_n).T
+            )
+            d = dist0.shape[1]
+            d_p = _round_up(d, rb[2])
+            dist_p = (dist0 if d_p == d
+                      else jnp.pad(dist0, ((0, 0), (0, d_p - d)),
+                                   constant_values=BIG))
+            dist_p = _multisweep_pallas_rowblock(dist_p, w_cols, deltas,
+                                                 iters, rb)
+            out = dist_p[:, :d]
+            return out if inv is None else out[inv]
     if ms_tile is not None:
         # Static-shift multi-sweep kernel: the whole capped refresh is ONE
         # kernel launch reading and writing the table once (see

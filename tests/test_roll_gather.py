@@ -317,10 +317,58 @@ def test_multisweep_tile_pad_covers_all_columns(monkeypatch):
         buckets = (deltas, jnp.asarray(slot_of_road, jnp.int32), None, None)
         ref = bf._primal_relax(dist0, road_cost, dummy_out, None, None,
                                iters, buckets=buckets)
-        monkeypatch.setenv("TARL_SWEEP_TILE_D", "256")
-        monkeypatch.setattr(bf, "_multisweep_ok", lambda *a: True)
+        # Patch the TILE gate (not _multisweep_ok — _primal_relax calls
+        # _multisweep_tile directly; the gate is backend-gated off on CPU).
+        monkeypatch.setattr(bf, "_multisweep_tile", lambda *a, **k: 256)
         with pltpu.force_tpu_interpret_mode():
             got = bf._primal_relax(dist0, road_cost, dummy_out, None, None,
                                    iters, buckets=buckets)
         monkeypatch.undo()
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_rowblock_multisweep_bitwise():
+    """Row-blocked multisweep (bellman_ford._multisweep_pallas_rowblock and
+    the fused next-road form): window halo h = (iters + 1) * max_offset
+    contains the rolls' wraparound contamination, so the interior rows are
+    bitwise-equal to the full-resident kernel — including at a halo that
+    exactly meets the bound and with negative effective offsets."""
+    from jax.experimental.pallas import tpu as pltpu
+    from tarl_tpu.routing import bellman_ford as bf
+
+    i_n = 64
+    deltas = (1, i_n - 1, 4, i_n - 4)   # d_eff = +1, -1, +4, -4
+    iters = 3
+    block, h = 16, (iters + 1) * 4      # exactly the containment bound
+    rng = np.random.default_rng(11)
+    b_n = len(deltas)
+    b_pad = 128
+    w_cols = jnp.full((i_n, b_pad), bf.BIG, jnp.float32).at[:, :b_n].set(
+        jnp.asarray(rng.uniform(1.0, 9.0, (i_n, b_n)), jnp.float32)
+    )
+    d_p = 256
+    dist0 = jnp.asarray(rng.uniform(0.0, 50.0, (i_n, d_p)), jnp.float32)
+    dist0 = dist0.at[rng.integers(0, i_n, 8), rng.integers(0, d_p, 8)].set(0.0)
+
+    shifts_full = tuple((i_n - d) % i_n for d in deltas)
+    with pltpu.force_tpu_interpret_mode():
+        full = bf._multisweep_pallas(dist0, w_cols, shifts_full, iters, 128)
+        rb = bf._multisweep_pallas_rowblock(dist0, w_cols, deltas, iters,
+                                            (block, h, 128))
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(rb))
+
+    road_cols = jnp.full((i_n, b_pad), -1.0, jnp.float32).at[:, :b_n].set(
+        jnp.asarray(rng.integers(0, 99, (i_n, b_n)), jnp.float32)
+    )
+    slot_cols = jnp.full((i_n, b_pad), 1e9, jnp.float32).at[:, :b_n].set(
+        jnp.asarray(rng.integers(0, 4, (i_n, b_n)), jnp.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        fd, fr = bf._multisweep_nr_pallas(dist0, w_cols, road_cols,
+                                          slot_cols, shifts_full, iters, 128)
+        rd, rr = bf._multisweep_nr_pallas_rowblock(
+            dist0, w_cols, road_cols, slot_cols, deltas, iters,
+            (block, h, 128)
+        )
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(rd))
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(rr))
