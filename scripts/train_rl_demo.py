@@ -111,6 +111,11 @@ def main(argv=None):
                          "0.995): the anti-churn device — the FINAL EMA "
                          "iterate should track the best snapshot instead "
                          "of oscillating (VERDICT r3 #9)")
+    ap.add_argument("--lr-anneal", type=float, default=None, metavar="FRAC",
+                    help="Cosine-anneal the lr to 0 over the final FRAC of "
+                         "training (e.g. 0.4): the policy freezes in the "
+                         "mid-training equilibrium instead of churning at "
+                         "full step size after convergence (VERDICT r3 #9)")
     args = ap.parse_args(argv)
     scen = args.scenario
     iters = args.iterations or ITERATIONS[scen]
@@ -145,6 +150,13 @@ def main(argv=None):
     hp = {**RL, **RL_OVERRIDES.get(scen, {})}
     if args.entropy_coef is not None:
         hp["entropy_coef"] = args.entropy_coef
+    if args.lr_anneal:
+        upd_per_iter = hp["num_epochs"] * -(
+            -hp["rollout_steps"] // hp["minibatch_size"]
+        )
+        total_upd = iters * upd_per_iter
+        hp["lr_anneal_updates"] = int(total_upd * args.lr_anneal)
+        hp["lr_anneal_start"] = total_upd - hp["lr_anneal_updates"]
     rl = RLConfig(**hp, extra_obs=args.extra_obs)
     pnet = MPNNPolicyNet(
         num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,

@@ -184,6 +184,17 @@ class RLConfig:
     gae_lambda: float = 0.95
     clip_epsilon: float = 0.2
     learning_rate: float = 1e-3
+    # Terminal lr annealing (VERDICT r3 #9 — stabilize the final iterate):
+    # when ``lr_anneal_updates`` is set, the lr holds ``learning_rate`` for
+    # ``lr_anneal_start`` optimizer updates then cosine-decays to
+    # ``lr_anneal_floor * learning_rate`` over the next
+    # ``lr_anneal_updates`` updates (updates = iterations * num_epochs *
+    # ceil(rollout_steps / minibatch_size)).  The policy freezes where the
+    # mid-training equilibrium sits instead of churning at full step size
+    # after convergence.
+    lr_anneal_updates: int | None = None
+    lr_anneal_start: int = 0
+    lr_anneal_floor: float = 0.0
     entropy_coef: float = 0.0
     value_coef: float = 1.0
     rollout_steps: int = 32

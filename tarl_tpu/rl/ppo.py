@@ -104,7 +104,21 @@ class PPO:
         self.sim_cfg = sim_cfg
         self.physics = physics
         self.value_uses_graph = value_uses_graph
-        tx = optimizer or optax.adam(rl.learning_rate)
+        if optimizer is not None:
+            tx = optimizer
+        elif rl.lr_anneal_updates:
+            # Terminal cosine lr anneal (config.RLConfig docstring): hold,
+            # then decay to floor over the final lr_anneal_updates updates.
+            lr = optax.join_schedules(
+                [optax.constant_schedule(rl.learning_rate),
+                 optax.cosine_decay_schedule(
+                     rl.learning_rate, rl.lr_anneal_updates,
+                     alpha=rl.lr_anneal_floor)],
+                [max(rl.lr_anneal_start, 0)],
+            )
+            tx = optax.adam(lr)
+        else:
+            tx = optax.adam(rl.learning_rate)
         if rl.max_grad_norm is not None:
             tx = optax.chain(optax.clip_by_global_norm(rl.max_grad_norm), tx)
         self.tx = tx
