@@ -78,6 +78,105 @@ def _out_tables_with_ids(network):
     return ok, dst_tab, attr_tab, eid
 
 
+def node_sharded_loss_fn(ppo, S: int, kf: int, tab_ok, tab_dst, tab_attr,
+                         act_tab, x, time, old_lp, adv, ret, axis: str = AXIS):
+    """Build ``loss_fn(params) -> (total_local, aux)`` for the node-sharded
+    clipped-PPO loss.  MUST be called INSIDE a ``shard_map`` over ``axis``
+    whose operands are this shard's node-column block of the slot-major
+    tables (``tab_*[KF, nb]``, ``act_tab[mb, KF, nb]``); ``x/time/old_lp/
+    adv/ret`` are the replicated minibatch.  Gradients of ``total_local``,
+    psum'd over ``axis``, equal ``jax.grad(PPO._loss)`` to float tolerance
+    (see module docstring for the stop_gradient psum routing).
+
+    Shared by :class:`ShardedPPO` (update-only sharding) and
+    :class:`~tarl_tpu.parallel.spatial_ppo.SpatialPPO` (the fully
+    spatially-sharded training iteration).
+    ``aux = (total, loss_obj, loss_critic, loss_entropy, approx_kl,
+    clip_fraction)``.
+    """
+    nb = tab_ok.shape[1]
+    blk0 = jax.lax.axis_index(axis) * nb
+    cols = blk0 + jnp.arange(nb, dtype=jnp.int32)
+    src_flat = jnp.broadcast_to(cols[None, :], (kf, nb)).reshape(-1)
+    dst_flat = tab_dst.reshape(-1)
+    attr_flat = tab_attr.reshape(-1, 1)
+
+    def loss_fn(params):
+        def one(x_t, act_t):
+            if ppo._policy_dist is not None:
+                flat = ppo.policy_net.apply(
+                    params["policy"], x_t, attr_flat, src_flat,
+                    dst_flat, ppo._policy_dist,
+                )
+            else:
+                flat = ppo.policy_net.apply(
+                    params["policy"], x_t, attr_flat, src_flat,
+                    dst_flat,
+                )
+            logits = jnp.where(tab_ok, flat.reshape(kf, nb), -jnp.inf)
+            has_edge = jnp.any(tab_ok, axis=0)
+            m = jnp.max(logits, axis=0)
+            m_safe = jnp.where(has_edge, m, 0.0)
+            lse = m_safe + jnp.log(
+                jnp.sum(jnp.exp(logits - m_safe[None, :]), axis=0)
+                + jnp.where(has_edge, 0.0, 1.0)  # empty: log(1)=0
+            )
+            lp_edge = logits - lse[None, :]
+            act = act_t & tab_ok
+            lp_loc = jnp.sum(jnp.where(act, lp_edge, 0.0))
+            p = jnp.where(tab_ok, jnp.exp(lp_edge), 0.0)
+            ent_loc = jnp.sum(jnp.where(p > 0, -p * lp_edge, 0.0))
+            return lp_loc, ent_loc
+
+        lp_loc, ent_loc = jax.vmap(one)(x, act_tab)
+        # Global sums whose VALUE is the psum but whose gradient
+        # flows only through the shard's own partial (coefficient
+        # exactly 1), so the final grad psum reassembles the full
+        # gradient independent of psum's transpose convention.
+        lp_glob = jax.lax.psum(lp_loc, axis)
+        new_lp = lp_loc + jax.lax.stop_gradient(lp_glob - lp_loc)
+        ent_glob = jax.lax.psum(ent_loc, axis)
+        entropy = ent_loc + jax.lax.stop_gradient(ent_glob - ent_loc)
+
+        log_ratio = new_lp - old_lp
+        ratio = jnp.exp(log_ratio)
+        eps = ppo.rl.clip_epsilon
+        obj = jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1.0 - eps, 1.0 + eps) * adv,
+        )
+        loss_obj = -jnp.mean(obj)
+        values = jax.vmap(
+            lambda x_t, t: ppo._value(params["value"], x_t, t)
+        )(x, time)
+        loss_critic = jnp.mean((values - ret) ** 2)
+        loss_entropy = -jnp.mean(entropy)
+        # Per-shard grad shares: policy/entropy terms flow through
+        # the LOCAL sums (psum transpose hands each shard its
+        # additive share); the critic path is replicated, so /S
+        # makes the final grad psum exact.
+        total_local = (
+            loss_obj
+            + ppo.rl.value_coef * loss_critic / S
+            + ppo.rl.entropy_coef * loss_entropy
+        )
+        total = (
+            loss_obj
+            + ppo.rl.value_coef * loss_critic
+            + ppo.rl.entropy_coef * loss_entropy
+        )
+        approx_kl = jnp.mean((ratio - 1.0) - log_ratio)
+        clip_frac = jnp.mean(
+            (jnp.abs(ratio - 1.0) > eps).astype(jnp.float32)
+        )
+        return total_local, (
+            total, loss_obj, loss_critic, loss_entropy, approx_kl,
+            clip_frac,
+        )
+
+    return loss_fn
+
+
 class ShardedPPO:
     """Node-sharded gradient steps for an existing :class:`PPO` instance.
 
@@ -123,90 +222,10 @@ class ShardedPPO:
 
         def body(params, tab_ok, tab_dst, tab_attr, act_tab, x, time,
                  old_lp, adv, ret):
-            nb = tab_ok.shape[1]
-            blk0 = jax.lax.axis_index(AXIS) * nb
-            cols = blk0 + jnp.arange(nb, dtype=jnp.int32)
-            src_flat = jnp.broadcast_to(
-                cols[None, :], (self._kf, nb)
-            ).reshape(-1)
-            dst_flat = tab_dst.reshape(-1)
-            attr_flat = tab_attr.reshape(-1, 1)
-
-            def loss_fn(params):
-                def one(x_t, act_t):
-                    if ppo._policy_dist is not None:
-                        flat = ppo.policy_net.apply(
-                            params["policy"], x_t, attr_flat, src_flat,
-                            dst_flat, ppo._policy_dist,
-                        )
-                    else:
-                        flat = ppo.policy_net.apply(
-                            params["policy"], x_t, attr_flat, src_flat,
-                            dst_flat,
-                        )
-                    logits = jnp.where(
-                        tab_ok, flat.reshape(self._kf, nb), -jnp.inf
-                    )
-                    has_edge = jnp.any(tab_ok, axis=0)
-                    m = jnp.max(logits, axis=0)
-                    m_safe = jnp.where(has_edge, m, 0.0)
-                    lse = m_safe + jnp.log(
-                        jnp.sum(jnp.exp(logits - m_safe[None, :]), axis=0)
-                        + jnp.where(has_edge, 0.0, 1.0)  # empty: log(1)=0
-                    )
-                    lp_edge = logits - lse[None, :]
-                    act = act_t & tab_ok
-                    lp_loc = jnp.sum(jnp.where(act, lp_edge, 0.0))
-                    p = jnp.where(tab_ok, jnp.exp(lp_edge), 0.0)
-                    ent_loc = jnp.sum(jnp.where(p > 0, -p * lp_edge, 0.0))
-                    return lp_loc, ent_loc
-
-                lp_loc, ent_loc = jax.vmap(one)(x, act_tab)
-                # Global sums whose VALUE is the psum but whose gradient
-                # flows only through the shard's own partial (coefficient
-                # exactly 1), so the final grad psum reassembles the full
-                # gradient independent of psum's transpose convention.
-                lp_glob = jax.lax.psum(lp_loc, AXIS)
-                new_lp = lp_loc + jax.lax.stop_gradient(lp_glob - lp_loc)
-                ent_glob = jax.lax.psum(ent_loc, AXIS)
-                entropy = ent_loc + jax.lax.stop_gradient(ent_glob - ent_loc)
-
-                log_ratio = new_lp - old_lp
-                ratio = jnp.exp(log_ratio)
-                eps = ppo.rl.clip_epsilon
-                obj = jnp.minimum(
-                    ratio * adv,
-                    jnp.clip(ratio, 1.0 - eps, 1.0 + eps) * adv,
-                )
-                loss_obj = -jnp.mean(obj)
-                values = jax.vmap(
-                    lambda x_t, t: ppo._value(params["value"], x_t, t)
-                )(x, time)
-                loss_critic = jnp.mean((values - ret) ** 2)
-                loss_entropy = -jnp.mean(entropy)
-                # Per-shard grad shares: policy/entropy terms flow through
-                # the LOCAL sums (psum transpose hands each shard its
-                # additive share); the critic path is replicated, so /S
-                # makes the final grad psum exact.
-                total_local = (
-                    loss_obj
-                    + ppo.rl.value_coef * loss_critic / self.S
-                    + ppo.rl.entropy_coef * loss_entropy
-                )
-                total = (
-                    loss_obj
-                    + ppo.rl.value_coef * loss_critic
-                    + ppo.rl.entropy_coef * loss_entropy
-                )
-                approx_kl = jnp.mean((ratio - 1.0) - log_ratio)
-                clip_frac = jnp.mean(
-                    (jnp.abs(ratio - 1.0) > eps).astype(jnp.float32)
-                )
-                return total_local, (
-                    total, loss_obj, loss_critic, loss_entropy, approx_kl,
-                    clip_frac,
-                )
-
+            loss_fn = node_sharded_loss_fn(
+                ppo, self.S, self._kf, tab_ok, tab_dst, tab_attr,
+                act_tab, x, time, old_lp, adv, ret,
+            )
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params
             )
