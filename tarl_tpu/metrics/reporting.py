@@ -81,6 +81,27 @@ def plot_road_optimality(values: list, output_dir: Optional[str] = "data/outputs
     return _savefig(fig, output_dir, "road_optimality.png")
 
 
+def plot_road_optimality_columns(times_s: np.ndarray, cols: dict,
+                                 output_dir: Optional[str] = "data/outputs"):
+    """Column-oriented twin of :func:`plot_road_optimality` for the sparse
+    per-tick store (big networks): ``cols`` maps road id -> [T] series, so
+    the dense [T, R] matrix is never materialized (ts.py:453-514)."""
+    if not cols or not np.asarray(times_s).size:
+        print("No road optimality data available for plotting.")
+        return None
+    times = np.asarray(times_s) / 3600.0
+    fig, ax = plt.subplots(figsize=(12, 6))
+    for rid, series in cols.items():
+        ax.plot(times, np.asarray(series), label=f"Road {rid}")
+    ax.set_xlabel("Time (h)")
+    ax.set_ylabel("Delta Travel Time (s) — sum over outgoing edges")
+    ax.set_title("Road Optimality (Aggregated by Source Road) Over Time")
+    if len(cols) <= 20:
+        ax.legend()
+    fig.tight_layout()
+    return _savefig(fig, output_dir, "road_optimality.png")
+
+
 def plot_computation_time(timers, output_dir: str = "data/outputs"):
     """Phase-time pie chart (ts.py:516-561)."""
     times = [

@@ -89,23 +89,42 @@ class Runner:
         n_ticks = (a.start_end_time[1] - a.start_end_time[0]) // a.timestep_size
         probe_net = load_or_build_network(a.scenario, a.data_root, a.save_root)
         budget = int(os.environ.get("TARL_PER_TICK_BUDGET", 2 * 10 ** 8))
-        per_tick_delta = n_ticks * probe_net.num_roads <= budget
-        if not per_tick_delta:
-            print(
-                f"ℹ️  | {n_ticks} ticks x {probe_net.num_roads} roads exceeds "
-                f"the {budget:.0e}-element per-tick budget: road-optimality "
-                "recorded at hourly resolution (TARL_PER_TICK_BUDGET raises)"
-            )
+        per_tick_dense = n_ticks * probe_net.num_roads <= budget
+        sparse_ok = os.environ.get("TARL_SPARSE_PER_TICK", "1") != "0"
+        if not per_tick_dense:
+            if sparse_ok:
+                print(
+                    f"ℹ️  | {n_ticks} ticks x {probe_net.num_roads} roads "
+                    f"exceeds the {budget:.0e}-element dense per-tick "
+                    "budget: road-optimality kept at FULL per-tick "
+                    "resolution in the sparse (nonzero-triplet) store "
+                    "(TARL_SPARSE_PER_TICK=0 restores the hourly fallback)"
+                )
+            else:
+                print(
+                    f"ℹ️  | {n_ticks} ticks x {probe_net.num_roads} roads "
+                    f"exceeds the {budget:.0e}-element per-tick budget: "
+                    "road-optimality recorded at hourly resolution "
+                    "(TARL_PER_TICK_BUDGET raises)"
+                )
         self.sim = TransportationSimulator(
             sim=SimConfig(
                 timestep=a.timestep_size,
                 start_time=a.start_end_time[0],
                 end_time=a.start_end_time[1],
                 seed=a.seed,
-                record_road_optimality=per_tick_delta,
+                record_road_optimality=per_tick_dense or sparse_ok,
             ),
             data_root=a.data_root,
             save_root=a.save_root,
+        )
+        if not per_tick_dense:
+            self.sim.road_optimality_store = "sparse" if sparse_ok else "hourly"
+        # Cap the fused-scan chunk so the on-device [chunk, R] per-tick log
+        # stays bounded on big networks (default 5e7 elements = 200 MB).
+        dev_budget = int(os.environ.get("TARL_PER_TICK_DEV_BUDGET", 5 * 10 ** 7))
+        self.episode_chunk = max(
+            64, min(4096, dev_budget // max(probe_net.num_roads, 1))
         )
         self.sim.load_network(a.scenario)
         self.sim.load_population(a.scenario)
@@ -202,6 +221,7 @@ class Runner:
                 self.sim,
                 steps=n_timesteps,
                 mode=a.exec_mode,
+                chunk=getattr(self, "episode_chunk", 4096),
                 profile=a.profile,
                 profile_output=(
                     Path(a.output_dir) / "profile.txt" if a.profile else None

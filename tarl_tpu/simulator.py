@@ -17,6 +17,7 @@ device:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time as _time
 from typing import Optional
 
@@ -204,6 +205,20 @@ class TransportationSimulator:
         # them as arrays).  Layout matches TickLog.
         self.leg_histogram_values: list = []
         self.road_optimality_values: list = []
+        # Full-resolution per-tick road-optimality on BIG networks
+        # (reference keeps raw per-tick series unconditionally,
+        # response_mpnn.py:125 / ts.py:453-514; a dense [T, R] host log
+        # does not scale past ~2e8 elements).  store == "sparse" keeps the
+        # per-tick series as (time, nonzero road idx, value) triplets —
+        # exact, O(nnz) host memory — and falls back to the O(H*R) hourly
+        # accumulator only if even the nonzeros blow their budget.
+        self.road_optimality_store: str = "dense"
+        self.road_optimality_sparse: list = []  # [(t, int32[nnz], f32[nnz])]
+        self._sparse_nnz = 0
+        self._sparse_nnz_budget = int(
+            os.environ.get("TARL_SPARSE_NNZ_BUDGET", 5 * 10 ** 7)
+        )
+        self._sparse_road_total = None  # np.float64[R] |delta| mass per road
         self._jitted_tick = None
 
     # ------------------------------------------------------------------
@@ -257,6 +272,9 @@ class TransportationSimulator:
         self.timers = PhaseTimers()
         self.leg_histogram_values = []
         self.road_optimality_values = []
+        self.road_optimality_sparse = []
+        self._sparse_nnz = 0
+        self._sparse_road_total = None
 
     # ------------------------------------------------------------------
     # Stepping
@@ -386,7 +404,70 @@ class TransportationSimulator:
             [float(dep), float(arr), float(on_way), float(t)]
         )
         if self.sim.record_road_optimality:
-            self.road_optimality_values.append((float(t), np.asarray(delta)))
+            self._record_delta(
+                np.asarray([float(t)]), np.asarray(delta)[None, :]
+            )
+
+    # ------------------------------------------------------------------
+    def _record_delta(self, ts: np.ndarray, delta: np.ndarray) -> None:
+        """Append a chunk's per-tick road-delta rows ([Tc], [Tc, R]) to the
+        host store.  "dense" keeps full rows (small networks); "sparse"
+        keeps per-tick (idx, val) nonzero triplets — exact at O(nnz) host
+        memory — and degrades to the always-on hourly accumulator only if
+        the accumulated nonzeros exceed TARL_SPARSE_NNZ_BUDGET."""
+        if self.road_optimality_store == "dense":
+            for i in range(delta.shape[0]):
+                self.road_optimality_values.append((float(ts[i]), delta[i]))
+            return
+        if self.road_optimality_store != "sparse":
+            return  # "hourly": per-tick series dropped after blowout
+        rows, cols = np.nonzero(delta)  # C-order: sorted by row
+        vals = delta[rows, cols].astype(np.float32)
+        self._sparse_nnz += vals.size
+        if self._sparse_nnz > self._sparse_nnz_budget:
+            print(
+                f"ℹ️  | per-tick road-optimality nonzeros exceed "
+                f"{self._sparse_nnz_budget:.0e}: dropping to the hourly "
+                "accumulator (TARL_SPARSE_NNZ_BUDGET raises)"
+            )
+            self.road_optimality_store = "hourly"
+            self.road_optimality_sparse = []
+            self._sparse_road_total = None
+            return
+        if self._sparse_road_total is None:
+            self._sparse_road_total = np.zeros(delta.shape[1], np.float64)
+        self._sparse_road_total += np.bincount(
+            cols, weights=np.abs(vals), minlength=delta.shape[1]
+        )
+        counts = np.bincount(rows, minlength=delta.shape[0])
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for i in range(delta.shape[0]):
+            lo, hi = offs[i], offs[i + 1]
+            self.road_optimality_sparse.append(
+                (float(ts[i]), cols[lo:hi].astype(np.int32), vals[lo:hi])
+            )
+
+    def road_optimality_series(self, road_ids) -> tuple:
+        """(times [T], mat [T, len(road_ids)]) reconstructed from whichever
+        per-tick store is active — exact in both modes."""
+        ids = np.asarray(list(road_ids), dtype=np.int64)
+        if self.road_optimality_store == "sparse":
+            entries = self.road_optimality_sparse
+            times = np.asarray([t for t, _, _ in entries])
+            order = np.argsort(ids)
+            sorted_ids = ids[order]
+            mat = np.zeros((len(entries), ids.size), np.float32)
+            for i, (_, idx, val) in enumerate(entries):
+                pos = np.searchsorted(sorted_ids, idx)
+                pos_c = np.minimum(pos, ids.size - 1)
+                hit = sorted_ids[pos_c] == idx
+                mat[i, order[pos_c[hit]]] = val[hit]
+            return times, mat
+        values = self.road_optimality_values
+        times = np.asarray([t for t, _ in values])
+        mat = np.stack([np.asarray(v) for _, v in values], axis=0)[:, ids] \
+            if values else np.zeros((0, ids.size), np.float32)
+        return times, mat
 
     def run_fast(self, num_steps: int) -> TickLog:
         """``num_steps`` ticks as one fused on-device scan; appends the
@@ -415,9 +496,7 @@ class TransportationSimulator:
                 [float(dep[i]), float(arr[i]), float(on[i]), float(ts[i])]
             )
         if self.sim.record_road_optimality and logs.road_delta_tt.size:
-            delta = np.asarray(logs.road_delta_tt)
-            for i in range(num_steps):
-                self.road_optimality_values.append((float(ts[i]), delta[i]))
+            self._record_delta(ts, np.asarray(logs.road_delta_tt))
         return logs
 
     # ------------------------------------------------------------------
@@ -460,6 +539,21 @@ class TransportationSimulator:
                              road_ids: Optional[list] = None):
         from .metrics.reporting import plot_road_optimality
 
+        if self.road_optimality_store == "sparse" and self.road_optimality_sparse:
+            # Full per-tick resolution without a dense [T, R] host matrix:
+            # reconstruct only the plotted columns (default: the 20 roads
+            # carrying the most congestion-delay mass).
+            if road_ids is None:
+                tot = self._sparse_road_total
+                k = min(20, tot.size)
+                road_ids = [int(r) for r in np.argsort(-tot)[:k]]
+            times, mat = self.road_optimality_series(road_ids)
+            from .metrics.reporting import plot_road_optimality_columns
+
+            return plot_road_optimality_columns(
+                times, {rid: mat[:, j] for j, rid in enumerate(road_ids)},
+                output_dir,
+            )
         values = self.road_optimality_values
         if not values and self.sim.record_road_optimality_hourly:
             # Long runs keep only the O(H*R) on-device hourly accumulator
