@@ -606,3 +606,136 @@ def direction_confirm_fused_tiled(
         accept, chosen_agent, chosen_dest, popped, compute_delta,
     )
     return new_road, road_delta_tt, accept, win_src, popped
+
+
+# ---------------------------------------------------------------------------
+# Per-shard winner kernel (shard_map episodes) — VERDICT r3 #3 residual.
+# ---------------------------------------------------------------------------
+
+def fused_shard_winner_ok(network: Network, rl: int) -> bool:
+    """Trace-time gate for the per-shard winner kernel inside
+    ``parallel.shard_map_episode``: the shard tick's eligibility + Gumbel-max
+    winner loop is ~10 vector ops per in-slot at [rl] rows — launch-bound on
+    real meshes exactly like the serial mid-section was (575 -> 60 us,
+    module docstring).  The roll-plan slot reads stay OUTSIDE as
+    ``_block_roll_read`` R-periodic block slices (they need the replicated
+    full arrays); the kernel fuses everything downstream of them.
+    ``TARL_FUSED_SHARD=0`` opts out; ``TARL_FUSED_WINNER_INTERPRET=1``
+    forces the interpret kernel on CPU (the shard equality tests)."""
+    if os.environ.get("TARL_FUSED_SHARD", "1") != "1":
+        return False
+    if os.environ.get("TARL_NO_ROLL", "0") == "1":
+        return False
+    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    kin = network.in_src_tab.shape[0]
+    if kin > 8:
+        return False
+    # 7 [KIN, rl] inputs + 3 [1, rl] vectors + 4 [1, rl] outputs, ~3.5x
+    # live-intermediate headroom like the single-block gate.
+    est = 4 * rl * (7 * kin + 7)
+    return est <= _EST_BYTES_MAX
+
+
+def _shard_winner_kernel(
+    pack_ref, id_ref, dst_ref, gum_ref, logit_ref, src_ref, ok_ref,
+    count_ref, cap_ref, col_ref,
+    accept_ref, win_ref, agent_ref, destv_ref,
+    *, kin, r_sentinel, shift_free, shift_sel, free_mask, buf,
+):
+    """Eligibility + Gumbel-max winner on one road block — op-for-op the
+    shard tick's XLA formulation (parallel/shard_map_episode.py core
+    section), so outputs are bitwise-equal.  Slot values arrive pre-read
+    through the roll plan (pack/head-id/head-dest rows [KIN, rl]); the
+    global column ids come in as ``col_ref`` because the shard's block
+    offset is a traced value (axis_index), not a grid coordinate."""
+    neg_inf = float(-jnp.inf)
+    pack_s = pack_ref[...]            # int32 [KIN, rl]
+    ids = id_ref[...]
+    dsts = dst_ref[...]
+    gum = gum_ref[...]                # f32 [KIN, rl]
+    logit = logit_ref[...]
+    src = src_ref[...]
+    ok = ok_ref[...]                  # int32 [KIN, rl]
+    count_f = count_ref[...]          # f32 [1, rl]
+    cap = cap_ref[...]
+    col = col_ref[...]                # int32 [1, rl] global road ids
+
+    space_ok = count_f < cap - buf
+    v_free = cap - count_f
+    v_slot_ok = count_f < cap
+
+    best = jnp.full(col.shape, neg_inf, jnp.float32)
+    win = jnp.zeros(col.shape, jnp.int32)
+    agent = jnp.zeros(col.shape, jnp.int32)
+    dest = jnp.zeros(col.shape, jnp.int32)
+    acc = jnp.zeros(col.shape, jnp.bool_)
+    for k in range(kin):
+        p_k = pack_s[k:k + 1]
+        dep_ok = (p_k & 1) > 0
+        nonempty = (p_k & 2) > 0
+        stuck = (p_k & 4) > 0
+        u_free = ((p_k >> shift_free) & free_mask).astype(jnp.float32)
+        u_full = u_free <= buf
+        wants_v = (p_k >> shift_sel) == col
+        mask = dep_ok & space_ok & wants_v & nonempty
+        mask = mask | (stuck & u_full & (u_free <= v_free) & wants_v
+                       & nonempty & v_slot_ok)
+        mask = mask & (ok[k:k + 1] != 0)
+        s_k = jnp.where(mask, logit[k:k + 1] + gum[k:k + 1], neg_inf)
+        take = s_k > best
+        best = jnp.where(take, s_k, best)
+        win = jnp.where(take, src[k:k + 1], win)
+        agent = jnp.where(take, ids[k:k + 1], agent)
+        dest = jnp.where(take, dsts[k:k + 1], dest)
+        acc = acc | take
+    win = jnp.where(acc, win, r_sentinel)
+    agent = jnp.where(acc, agent, 0)
+    acc = agent != 0                  # sentinel guard (direction_mpnn.py:194)
+    win = jnp.where(acc, win, r_sentinel)
+    dest = jnp.where(acc, dest, 0)
+
+    accept_ref[...] = acc.astype(jnp.int32)
+    win_ref[...] = win
+    agent_ref[...] = agent
+    destv_ref[...] = dest
+
+
+def fused_shard_winner(
+    pack_s, id_s, dest_s, gumbel, logit, src, ok, count_f, cap, col_ids,
+    r_sentinel: int, physics: PhysicsConfig, layout,
+):
+    """Run the per-shard winner kernel on one road block.  Inputs are the
+    shard tick's own arrays ([KIN, rl] slot rows + [rl] vectors); returns
+    ``(accept bool[rl], win_u int32[rl], chosen int32[rl], dest_v
+    int32[rl])`` bitwise-equal to the XLA loop they replace."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = os.environ.get("TARL_FUSED_WINNER_INTERPRET", "0") == "1"
+    kin, rl = pack_s.shape
+    shift_free, shift_sel, free_mask = layout
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((1, rl), jnp.int32) for _ in range(4)]
+    extra = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BYTES)
+    )
+    acc_i, win, agent, dest = pl.pallas_call(
+        functools.partial(
+            _shard_winner_kernel,
+            kin=kin, r_sentinel=int(r_sentinel),
+            shift_free=shift_free, shift_sel=shift_sel, free_mask=free_mask,
+            buf=float(physics.congestion_buffer),
+        ),
+        in_specs=[spec] * 10,
+        out_specs=[spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+        **extra,
+    )(
+        pack_s, id_s, dest_s, gumbel, logit, src,
+        ok.astype(jnp.int32), count_f[None, :], cap[None, :],
+        col_ids[None, :],
+    )
+    return acc_i[0] > 0, win[0], agent[0], dest[0]

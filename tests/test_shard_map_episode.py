@@ -525,18 +525,11 @@ def test_shard_map_inline_padding_matches_unsharded(tmp_path):
         assert int(np.asarray(sm_final.agents.done)[1:].sum()) > 0
 
 
-def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
-    """VERDICT r3 #3: the shard body routes the in-slot pack/head reads and
-    the confirm pop through the roll plan (block slices of the replicated
-    arrays) when the network carries one — forced here on Grid4x4 like
-    tests/test_roll_gather, pinned bitwise against BOTH the unsharded run
-    and the non-roll shard path."""
-    from tarl_tpu.core import roll_gather
+def _forced_roll_net(net):
+    """Grid4x4 with roll plans forced like tests/test_roll_gather
+    (max_buckets=2 leaves a genuine exception tail for the overlay)."""
     from tarl_tpu.core.roll_gather import build_roll_plan
 
-    net, agents = setup
-    monkeypatch.setattr(roll_gather, "MIN_ROADS", 0)
-    # max_buckets=2 leaves a genuine exception tail (exercises the overlay).
     in_plan = build_roll_plan(
         np.asarray(net.in_src_tab), np.asarray(net.in_edge_ok),
         min_roads=0, max_exc_frac=1.0, min_count=1, max_buckets=2,
@@ -547,7 +540,7 @@ def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
     )
     assert in_plan[0].shape[0] > 0 and out_plan[0].shape[0] > 0
     assert in_plan[2].shape[0] > 0, "want a nonempty exception tail"
-    net_roll = net.replace(
+    return net.replace(
         in_roll_shift=jnp.asarray(in_plan[0]),
         in_roll_sel=jnp.asarray(in_plan[1]),
         in_roll_exc_src=jnp.asarray(in_plan[2]),
@@ -561,6 +554,19 @@ def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
         in_roll_shift_t=tuple(int(s) for s in in_plan[0]),
         out_roll_shift_t=tuple(int(s) for s in out_plan[0]),
     )
+
+
+def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
+    """VERDICT r3 #3: the shard body routes the in-slot pack/head reads and
+    the confirm pop through the roll plan (block slices of the replicated
+    arrays) when the network carries one — forced here on Grid4x4 like
+    tests/test_roll_gather, pinned bitwise against BOTH the unsharded run
+    and the non-roll shard path."""
+    from tarl_tpu.core import roll_gather
+
+    net, agents = setup
+    monkeypatch.setattr(roll_gather, "MIN_ROADS", 0)
+    net_roll = _forced_roll_net(net)
     sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 300)
     state, policy = _state(net, agents, sim)
 
@@ -583,6 +589,55 @@ def test_shard_map_roll_plan_matches_unsharded(setup, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(ref.road.count), np.asarray(roll_final.road.count)
         )
+
+
+def test_shard_map_fused_winner_matches_unsharded(setup, monkeypatch):
+    """The per-shard fused winner kernel (the serial fused_winner's
+    residual, VERDICT r3 #3): with roll plans forced and the interpret
+    kernel enabled, the shard tick's eligibility + Gumbel-max loop runs as
+    ONE Pallas kernel per shard — bitwise-equal to the XLA shard loop AND
+    the unsharded episode (the Gumbel matrix is drawn outside the kernel,
+    so interpret mode is exact)."""
+    from tarl_tpu.core import roll_gather
+    from tarl_tpu.core.fused_winner import fused_shard_winner_ok
+
+    net, agents = setup
+    monkeypatch.setattr(roll_gather, "MIN_ROADS", 0)
+    net_roll = _forced_roll_net(net)
+    sim = SimConfig(start_time=6 * 3600, end_time=6 * 3600 + 300)
+    state, policy = _state(net, agents, sim)
+    mesh = make_road_mesh(8)
+
+    monkeypatch.setenv("TARL_FUSED_WINNER_INTERPRET", "1")
+    assert fused_shard_winner_ok(net_roll, net.num_roads // 8)
+
+    monkeypatch.setenv("TARL_FUSED_SHARD", "0")
+    plain_final, plain_logs = run_episode_shard_map(
+        state, net_roll, policy, 300, mesh, sim=sim
+    )
+    monkeypatch.setenv("TARL_FUSED_SHARD", "1")
+    fused_final, fused_logs = run_episode_shard_map(
+        state, net_roll, policy, 300, mesh, sim=sim
+    )
+    monkeypatch.delenv("TARL_FUSED_WINNER_INTERPRET")
+    ref_final, _ = run_episode(state, net, policy, 300, sim=sim)
+
+    for ref in (ref_final, plain_final):
+        np.testing.assert_array_equal(
+            np.asarray(ref.agents.arrival),
+            np.asarray(fused_final.agents.arrival),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.road.fifo_ids),
+            np.asarray(fused_final.road.fifo_ids),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.road.count), np.asarray(fused_final.road.count)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(plain_logs.arrivals), np.asarray(fused_logs.arrivals)
+    )
+    assert int(np.asarray(fused_final.agents.done)[1:].sum()) > 0
 
 
 def test_shard_map_dest_restricted_primal_matches_unsharded(setup):
