@@ -106,6 +106,12 @@ def main(argv=None):
                          "of the greedy one")
     ap.add_argument("--suffix", default="",
                     help="Extra artifact-directory suffix")
+    ap.add_argument("--policy", default="mpnn",
+                    choices=["mpnn", "transformer"],
+                    help="Policy/value stack: the prior-equipped edge-MLP "
+                         "MPNN (default) or the Graph Transformer stack "
+                         "(§2.18; no distance prior — learns from scratch). "
+                         "Artifacts go to <out>/<scenario>_transformer")
     ap.add_argument("--ema", type=float, default=None, metavar="DECAY",
                     help="EMA-smooth the eval/selection weights (e.g. "
                          "0.995): the anti-churn device — the FINAL EMA "
@@ -121,7 +127,9 @@ def main(argv=None):
     iters = args.iterations or ITERATIONS[scen]
     out = os.path.join(
         args.out,
-        scen.lower() + ("_xobs" if args.extra_obs else "") + args.suffix,
+        scen.lower() + ("_xobs" if args.extra_obs else "")
+        + ("_transformer" if args.policy == "transformer" else "")
+        + args.suffix,
     )
     os.makedirs(out, exist_ok=True)
     eval_steps = EVAL_STEPS[scen]
@@ -158,11 +166,25 @@ def main(argv=None):
         hp["lr_anneal_updates"] = int(total_upd * args.lr_anneal)
         hp["lr_anneal_start"] = total_upd - hp["lr_anneal_updates"]
     rl = RLConfig(**hp, extra_obs=args.extra_obs)
-    pnet = MPNNPolicyNet(
-        num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
-        use_distance_prior=True, prior_scale=PRIOR_SCALE,
-    )
-    ppo = PPO(net, pnet, MPNNValueNetSimple(), rl=rl)
+    if args.policy == "transformer":
+        # The §2.18 stack, from scratch (no distance prior): the recorded
+        # braess_transformer run (docs/LEARNING.md "Graph Transformer on
+        # Braess").
+        from tarl_tpu.models.transformer.agent import (
+            TransformerRoutePolicy,
+            TransformerValueNet,
+            network_positional_encoding,
+        )
+
+        pe = network_positional_encoding(net, 16)
+        ppo = PPO(net, TransformerRoutePolicy(pe=pe),
+                  TransformerValueNet(pe=pe), rl=rl, value_uses_graph=True)
+    else:
+        pnet = MPNNPolicyNet(
+            num_nodes=net.num_nodes, num_node_embeddings=net.num_roads + 1,
+            use_distance_prior=True, prior_scale=PRIOR_SCALE,
+        )
+        ppo = PPO(net, pnet, MPNNValueNetSimple(), rl=rl)
 
     def eval_policy(params, key=0, det=True):
         env, *_ = ppo.eval_rollout(
@@ -237,6 +259,7 @@ def main(argv=None):
 
     result = {
         "scenario": scen,
+        "policy": args.policy,
         "iterations": iters,
         "train_seconds": round(train_s, 1),
         "hyperparameters": {**hp, "prior_scale": PRIOR_SCALE,

@@ -50,9 +50,12 @@ def run_episode(
             # Keep chunks refresh-aligned so run_fast can use the hoisted
             # periodic driver (core.step.run_episode_periodic) for every
             # chunk but the final remainder.
+            # Never raise the chunk above the caller's value: it may be a
+            # device-memory budget cap (runner.episode_chunk) — when the
+            # refresh period exceeds it, skip the periodic driver instead.
             rate = simulator.policy.periodic_rate
-            if rate and chunk % rate:
-                chunk = max(chunk - chunk % rate, rate)
+            if rate and rate <= chunk and chunk % rate:
+                chunk -= chunk % rate
             done = 0
             t0 = _t.time()
             while done < steps:

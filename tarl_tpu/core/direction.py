@@ -146,8 +146,13 @@ def direction_step(
     # (direction_mpnn.py:81-91, 103-146).  Slot k of road v is its k-th
     # incoming turn edge; the Gumbel noise is drawn directly in slot-major
     # [KIN, R] order.  Ascending slots + strict > reproduce segment_argmax's
-    # lowest-edge-id tie-break.
-    gumbel = jax.random.gumbel(key, (KIN, R), dtype=jnp.float32)
+    # lowest-edge-id tie-break.  Renumbered networks address the stream by
+    # CANONICAL position (core.rng) so the draw is a pure function of the
+    # physical edge — renumbered episodes are trace-identical to
+    # identity-numbered ones; identity networks keep the plain draw.
+    from .rng import direction_gumbel
+
+    gumbel = direction_gumbel(key, network)
     best = jnp.full((R,), NEG_INF, jnp.float32)
     win_slot = jnp.zeros((R,), jnp.int32)
     accept = jnp.zeros((R,), bool)

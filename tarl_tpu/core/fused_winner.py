@@ -211,7 +211,9 @@ def _winner_inputs(road, selected_road, network, time, key, physics):
     pack = pack_upstream(
         head_departure, road.count, cap, sel_enc, time, physics, R, Nmax
     )
-    gumbel = jax.random.gumbel(key, (KIN, R), dtype=jnp.float32)
+    from .rng import direction_gumbel
+
+    gumbel = direction_gumbel(key, network)  # canonical-addressed if renumbered
 
     # In-table exception overlay: one [3·KIN, R] scatter of the current
     # channel values at the (channel, slot, road) exception coordinates.
@@ -620,9 +622,13 @@ def fused_shard_winner_ok(network: Network, rl: int) -> bool:
     module docstring).  The roll-plan slot reads stay OUTSIDE as
     ``_block_roll_read`` R-periodic block slices (they need the replicated
     full arrays); the kernel fuses everything downstream of them.
-    ``TARL_FUSED_SHARD=0`` opts out; ``TARL_FUSED_WINNER_INTERPRET=1``
-    forces the interpret kernel on CPU (the shard equality tests)."""
+    ``TARL_FUSED_SHARD=0`` opts out (and ``TARL_FUSED_WINNER=0``, the
+    documented global fused-winner A/B switch, disables this kernel too);
+    ``TARL_FUSED_WINNER_INTERPRET=1`` forces the interpret kernel on CPU
+    (the shard equality tests)."""
     if os.environ.get("TARL_FUSED_SHARD", "1") != "1":
+        return False
+    if os.environ.get("TARL_FUSED_WINNER", "1") == "0":
         return False
     if os.environ.get("TARL_NO_ROLL", "0") == "1":
         return False

@@ -21,11 +21,15 @@ _NET_STATIC = ("num_roads", "num_intersections", "nmax")
 # Static tuple fields (python ints, not traced arrays) — round-trip as int64
 # arrays and restore to tuples on load.
 _NET_STATIC_TUPLES = ("in_roll_shift_t", "out_roll_shift_t")
+# Static bool fields — round-trip as 0/1 arrays, restore to python bool.
+_NET_STATIC_BOOLS = ("renumbered",)
 
 # Bump when the Network/AgentState array schema changes; mismatched caches
 # are rebuilt from XML (the reference's torch.load would deserialize stale
 # objects silently).
-CACHE_VERSION = 10
+# v11: renumbered-build canonical slot order + static ``renumbered`` flag
+# (core.rng canonical Gumbel addressing).
+CACHE_VERSION = 11
 
 
 def save_network(network: Network, path: str) -> None:
@@ -33,8 +37,12 @@ def save_network(network: Network, path: str) -> None:
     arrays = {"__version__": np.asarray(CACHE_VERSION)}
     for f in dataclasses.fields(network):
         v = getattr(network, f.name)
-        arrays[f.name] = np.asarray(v, dtype=np.int64) \
-            if f.name in _NET_STATIC_TUPLES else np.asarray(v)
+        if f.name in _NET_STATIC_TUPLES:
+            arrays[f.name] = np.asarray(v, dtype=np.int64)
+        elif f.name in _NET_STATIC_BOOLS:
+            arrays[f.name] = np.asarray(int(v), dtype=np.int64)
+        else:
+            arrays[f.name] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
 
@@ -49,6 +57,8 @@ def load_network_cache(path: str) -> Network:
                 kwargs[f.name] = int(v)
             elif f.name in _NET_STATIC_TUPLES:
                 kwargs[f.name] = tuple(int(x) for x in v)
+            elif f.name in _NET_STATIC_BOOLS:
+                kwargs[f.name] = bool(int(v))
             else:
                 kwargs[f.name] = jnp.asarray(v)
     return Network(**kwargs)

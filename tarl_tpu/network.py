@@ -143,6 +143,12 @@ class Network:
     # renumbered ones everywhere (self-consistent); map outputs back to XML
     # link order with this array at the boundary if needed. ---
     road_order: jnp.ndarray = None     # int32[R]
+    # True iff ``road_order`` is a non-identity permutation.  Static so the
+    # Gumbel draw sites (core.rng) can pick the canonical-addressed stream at
+    # trace time; when True, every slot table's within-column order is
+    # canonical (see the renumbering block in :func:`build_network`), making
+    # renumbered episodes trace-identical to identity-numbered ones.
+    renumbered: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -254,7 +260,14 @@ def roll_friendly_road_order(
     (radius-group, angle) rank that linearizes ring-and-spoke metros — and
     returns the first order whose exception tail fits the plan budget
     (``None`` if none does).  Pure evaluation strategy: the renumbered
-    simulation equals the identity-numbered one up to road relabeling.
+    simulation equals the identity-numbered one TRACE-FOR-TRACE (same
+    agent arrivals, same winner draws), because (a) the renumbered build
+    keeps every slot table's within-column order CANONICAL — ascending-slot
+    strict-> tie-breaks resolve to the same physical edge — and (b) the
+    direction/choice Gumbel streams are addressed by canonical position
+    (core.rng), making each draw a pure function of the physical edge.
+    Pinned by tests/test_rng.py (arbitrary random permutation, both
+    policies) and tests/test_renumber.py (the radial polar order).
     """
     import os
 
@@ -366,6 +379,20 @@ def build_network(
     for i in range(num_roads):
         outgoing[from_inter[i]].append(i)
 
+    # When renumbered, order every slot structure by CANONICAL (original
+    # input) id instead of the new index: ascending-slot strict-> tie-breaks
+    # (direction winner, random choice, next-road argmin) then resolve to
+    # the same physical edge as in the identity-numbered build, and the
+    # canonical stream position of in-slot (k, v) collapses to
+    # ``k*R + road_order[v]`` (core.rng.direction_gumbel).  Identity builds
+    # (grids) skip this — list order is already canonical — keeping every
+    # existing baseline bit-for-bit.
+    renumbered = not np.array_equal(road_order, np.arange(num_roads))
+    if renumbered:
+        canon = road_order
+        for k in range(num_intersections):
+            outgoing[k].sort(key=lambda r: canon[r])
+
     e_src, e_dst, e_w = [], [], []
     for u in range(num_roads):
         downs = outgoing[to_inter[u]]
@@ -430,9 +457,11 @@ def build_network(
             inter_out[k, s] = r
             inter_ok[k, s] = True
 
-    def _edge_table(by, n_rows):
+    def _edge_table(by, n_rows, order_key=None):
         """K-major padded table of turn-edge ids grouped by ``by`` (slot
-        order = increasing edge id — edge lists are built in id order)."""
+        order = increasing edge id — edge lists are built in id order —
+        unless ``order_key`` gives an explicit per-edge rank, used by the
+        renumbered build to keep within-group order canonical)."""
         groups: list[list[int]] = [[] for _ in range(n_rows)]
         for e, g in enumerate(by):
             groups[int(g)].append(e)
@@ -440,13 +469,20 @@ def build_network(
         tab = np.zeros((kmax, n_rows), dtype=np.int32)
         ok = np.zeros((kmax, n_rows), dtype=bool)
         for g, es in enumerate(groups):
+            if order_key is not None:
+                es = sorted(es, key=lambda e: order_key[e])
             for s, e in enumerate(es):
                 tab[s, g] = e
                 ok[s, g] = True
         return tab, ok
 
     e_w_np = np.asarray(e_w, dtype=np.float32)
-    in_tab, in_tab_ok = _edge_table(e_dst_np, num_roads)
+    # In-table columns group edges ACROSS source groups, so list order within
+    # a column is "new source id ascending" — re-sort by canonical source id
+    # when renumbered (the out/choice tables inherit canonical order from the
+    # sorted ``outgoing`` lists above and need no key).
+    in_key = road_order[e_src_np] if renumbered else None
+    in_tab, in_tab_ok = _edge_table(e_dst_np, num_roads, order_key=in_key)
     out_tab, out_tab_ok = _edge_table(e_src_np, num_roads)
     ch_tab, ch_tab_ok = _edge_table(f_src_np[choice_mask], num_nodes)
     in_src = np.where(in_tab_ok, e_src_np[in_tab], 0).astype(np.int32)
@@ -525,6 +561,7 @@ def build_network(
         in_roll_shift_t=tuple(int(s) for s in in_roll[0]),
         out_roll_shift_t=tuple(int(s) for s in out_roll[0]),
         road_order=jnp.asarray(road_order, dtype=jnp.int32),
+        renumbered=renumbered,
     )
 
 

@@ -805,9 +805,9 @@ def run_episode_shard_map(
             head_dep_g, count_g, capp, sel_enc, t, physics, R, nmax
         )
 
-        gumbel_full = _padcols(
-            jax.random.gumbel(k_dir, (KIN, R), dtype=jnp.float32), 0.0
-        )
+        from ..core.rng import direction_gumbel
+
+        gumbel_full = _padcols(direction_gumbel(k_dir, network), 0.0)
         gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
         if use_roll_in:
             # Roll-plan evaluation of pack/head-id/head-dest at each in-slot

@@ -427,7 +427,9 @@ class SpatialPPO:
             pack = pack_upstream(
                 head_dep_g, count_g, capp, sel_enc, t, physics, R, nmax
             )
-            gumbel_dir = jax.random.gumbel(k_dir, (KIN, R), jnp.float32)
+            from ..core.rng import direction_gumbel
+
+            gumbel_dir = direction_gumbel(k_dir, net)
             if Rp > R:
                 gumbel_dir = jnp.concatenate(
                     [gumbel_dir, jnp.zeros((KIN, Rp - R), jnp.float32)],

@@ -49,10 +49,12 @@ def random_choice(state: SimState, network: Network):
     slot-major [KC, N] noise) — a uniform categorical per node, computed
     entirely gather-free (see core.direction's performance note).
     """
+    from ..core.rng import choice_gumbel
+
     key, sub = jax.random.split(state.key)
     n = network.num_nodes
     kc = network.choice_dst_tab.shape[0]
-    scores = jax.random.gumbel(sub, (kc, n), jnp.float32)
+    scores = choice_gumbel(sub, network)  # canonical-addressed if renumbered
     best = jnp.full((n,), -jnp.inf, jnp.float32)
     sel = state.selected_road
     for k in range(kc):

@@ -122,10 +122,12 @@ class Runner:
             self.sim.road_optimality_store = "sparse" if sparse_ok else "hourly"
         # Cap the fused-scan chunk so the on-device [chunk, R] per-tick log
         # stays bounded on big networks (default 5e7 elements = 200 MB).
+        # Only applies when per-tick recording is on — without it no
+        # [chunk, R] device log exists and big networks keep full chunks.
         dev_budget = int(os.environ.get("TARL_PER_TICK_DEV_BUDGET", 5 * 10 ** 7))
         self.episode_chunk = max(
             64, min(4096, dev_budget // max(probe_net.num_roads, 1))
-        )
+        ) if (per_tick_dense or sparse_ok) else 4096
         self.sim.load_network(a.scenario)
         self.sim.load_population(a.scenario)
 

@@ -427,12 +427,14 @@ class TransportationSimulator:
         if self._sparse_nnz > self._sparse_nnz_budget:
             print(
                 f"ℹ️  | per-tick road-optimality nonzeros exceed "
-                f"{self._sparse_nnz_budget:.0e}: dropping to the hourly "
-                "accumulator (TARL_SPARSE_NNZ_BUDGET raises)"
+                f"{self._sparse_nnz_budget:.0e}: stopping per-tick "
+                f"collection at t={float(ts[0]):.0f} — the "
+                f"{len(self.road_optimality_sparse)}-tick prefix collected "
+                "so far is retained (road_optimality_series); full-episode "
+                "plots fall back to the hourly accumulator "
+                "(TARL_SPARSE_NNZ_BUDGET raises the cap)"
             )
             self.road_optimality_store = "hourly"
-            self.road_optimality_sparse = []
-            self._sparse_road_total = None
             return
         if self._sparse_road_total is None:
             self._sparse_road_total = np.zeros(delta.shape[1], np.float64)
@@ -451,7 +453,10 @@ class TransportationSimulator:
         """(times [T], mat [T, len(road_ids)]) reconstructed from whichever
         per-tick store is active — exact in both modes."""
         ids = np.asarray(list(road_ids), dtype=np.int64)
-        if self.road_optimality_store == "sparse":
+        if self.road_optimality_store == "sparse" or self.road_optimality_sparse:
+            # Also reached after an nnz-budget blowout flipped the store to
+            # "hourly": the per-tick prefix collected before the blowout is
+            # retained and still reconstructable.
             entries = self.road_optimality_sparse
             times = np.asarray([t for t, _, _ in entries])
             order = np.argsort(ids)
