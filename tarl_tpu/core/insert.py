@@ -511,6 +511,78 @@ def insert_agents_windowed(
     return road, agents._replace(inserted=inserted), new_ptr, extra
 
 
+def backlog_frontier_append(qpack, qcount, qhead, static_tab, ptr, time, *,
+                            R: int, window: int, escalate: bool = True):
+    """Departure-frontier appends into the per-SRC queues (phase 1 of
+    :func:`insert_agents_backlogged`; see its docstring for semantics).
+
+    Pure function of the replicated inputs — reads NO road state — so the
+    shard_map episode runs it replicated verbatim and stays bitwise-equal
+    to the serial path.  ``static_tab`` is the packed [A, 3]
+    (departure, origin, dest) agent row table (float32; int columns
+    round-trip exactly for A, N < 2^24).  Returns
+    ``(qpack, qcount, new_ptr, overflow)``.
+    """
+    S, Q, _ = qpack.shape
+    A = static_tab.shape[0]
+    F = min(window, A - 1)
+    pos_f = jnp.arange(F, dtype=jnp.int32)
+
+    def append_pass(c):
+        qpack, qcount, ptr, _sat, overflow = c
+        lo = jnp.minimum(ptr + 1, A - F).astype(jnp.int32)
+        skip = ptr + 1 - lo          # clamped-slice prefix already consumed
+        ids = lo + pos_f
+        win = jax.lax.dynamic_slice(static_tab, (lo, 0), (F, 3))
+        dep = win[:, 0]
+        origin = win[:, 1].astype(jnp.int32)
+        dest = win[:, 2].astype(jnp.int32)
+        fresh = pos_f >= skip
+        due = (dep <= time) & fresh
+        o = jnp.clip((origin - R) // 2, 0, S - 1)
+        # Append rank among earlier due same-SRC slice entries (everything
+        # earlier than the stall point is appended, so this is the queue
+        # position offset).
+        same = (
+            (o[None, :] == o[:, None])
+            & due[None, :]
+            & (pos_f[None, :] < pos_f[:, None])
+        )
+        rank = jnp.sum(same, axis=1).astype(jnp.int32)
+        qpos = qcount[o] + rank
+        roomok = qpos < Q
+        consumable = (~fresh) | (due & roomok)
+        adv = jnp.min(jnp.where(consumable, F, pos_f))
+        band = due & roomok & (pos_f < adv)
+        rows = jnp.where(band, o, S)                 # S -> dropped
+        col = (qhead[o] + qpos) % Q
+        qpack = qpack.at[rows, col].set(
+            jnp.stack([ids, dest], axis=-1), mode="drop"
+        )
+        qcount = qcount.at[rows].add(1, mode="drop")
+        new_ptr = (lo - 1 + adv).astype(jnp.int32)
+        # Full slice consumed -> more agents may be due (re-pass); a stall
+        # on a DUE agent is a queue overflow (bounded deviation active).
+        sat = (adv == F) & (new_ptr < A - 1)
+        due_at_stop = jnp.sum(
+            jnp.where(pos_f == adv, due & ~roomok, False)
+        )
+        return qpack, qcount, new_ptr, sat, \
+            overflow + due_at_stop.astype(jnp.float32)
+
+    state0 = append_pass((
+        qpack, qcount, ptr.astype(jnp.int32),
+        jnp.bool_(True), jnp.zeros((), jnp.float32),
+    ))
+    if escalate:
+        qpack, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
+            lambda c: c[3], append_pass, state0
+        )
+    else:
+        qpack, qcount, new_ptr, _sat, overflow = state0
+    return qpack, qcount, new_ptr, overflow
+
+
 def insert_agents_backlogged(
     road: RoadState,
     agents: AgentState,
@@ -583,8 +655,6 @@ def insert_agents_backlogged(
     Nmax = road.nmax
     A = agents.num_agents
     S, Q, _ = backlog.qpack.shape
-    F = min(window, A - 1)
-    pos_f = jnp.arange(F, dtype=jnp.int32)
     if pop_width is None:
         pop_width = int(os.environ.get("TARL_BACKLOG_POP", "4"))
     P = pop_width
@@ -610,59 +680,10 @@ def insert_agents_backlogged(
         ],
         axis=1,
     )
-
-    def append_pass(c):
-        qpack, qcount, ptr, _sat, overflow = c
-        lo = jnp.minimum(ptr + 1, A - F).astype(jnp.int32)
-        skip = ptr + 1 - lo          # clamped-slice prefix already consumed
-        ids = lo + pos_f
-        win = jax.lax.dynamic_slice(static_tab, (lo, 0), (F, 3))
-        dep = win[:, 0]
-        origin = win[:, 1].astype(jnp.int32)
-        dest = win[:, 2].astype(jnp.int32)
-        fresh = pos_f >= skip
-        due = (dep <= time) & fresh
-        o = jnp.clip((origin - R) // 2, 0, S - 1)
-        # Append rank among earlier due same-SRC slice entries (everything
-        # earlier than the stall point is appended, so this is the queue
-        # position offset).
-        same = (
-            (o[None, :] == o[:, None])
-            & due[None, :]
-            & (pos_f[None, :] < pos_f[:, None])
-        )
-        rank = jnp.sum(same, axis=1).astype(jnp.int32)
-        qpos = qcount[o] + rank
-        roomok = qpos < Q
-        consumable = (~fresh) | (due & roomok)
-        adv = jnp.min(jnp.where(consumable, F, pos_f))
-        band = due & roomok & (pos_f < adv)
-        rows = jnp.where(band, o, S)                 # S -> dropped
-        col = (backlog.qhead[o] + qpos) % Q
-        qpack = qpack.at[rows, col].set(
-            jnp.stack([ids, dest], axis=-1), mode="drop"
-        )
-        qcount = qcount.at[rows].add(1, mode="drop")
-        new_ptr = (lo - 1 + adv).astype(jnp.int32)
-        # Full slice consumed -> more agents may be due (re-pass); a stall
-        # on a DUE agent is a queue overflow (bounded deviation active).
-        sat = (adv == F) & (new_ptr < A - 1)
-        due_at_stop = jnp.sum(
-            jnp.where(pos_f == adv, due & ~roomok, False)
-        )
-        return qpack, qcount, new_ptr, sat, \
-            overflow + due_at_stop.astype(jnp.float32)
-
-    state0 = append_pass((
-        backlog.qpack, backlog.qcount, ptr.astype(jnp.int32),
-        jnp.bool_(True), jnp.zeros((), jnp.float32),
-    ))
-    if escalate:
-        qpack, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
-            lambda c: c[3], append_pass, state0
-        )
-    else:
-        qpack, qcount, new_ptr, _sat, overflow = state0
+    qpack, qcount, new_ptr, overflow = backlog_frontier_append(
+        backlog.qpack, backlog.qcount, backlog.qhead, static_tab,
+        ptr, time, R=R, window=window, escalate=escalate,
+    )
 
     # --- 2. drain: queue front -> road FIFOs --------------------------------
     # Per-SRC departure stamp of this tick (tick-start occupancy, the

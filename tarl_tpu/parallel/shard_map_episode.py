@@ -172,6 +172,35 @@ def run_episode_shard_map(
     S = mesh.devices.size
     R = network.num_roads
     A = state.agents.num_agents
+
+    # Exact (backlog) insert under shard_map (VERDICT r4 #4): the per-SRC
+    # queue state is tiny and its append phase reads NO road state, so it
+    # runs REPLICATED verbatim (core.insert.backlog_frontier_append — the
+    # same code as the serial path); the drain's take computation needs only
+    # the halo-gathered global counts (replicated too), and each shard
+    # applies the FIFO writes for queue targets inside its road block.
+    # Bitwise-equal to the serial backlog run by construction and by
+    # tests/test_shard_backlog.py.
+    use_backlog = state.backlog is not None and sim.insert_backlog is not None
+    if use_backlog:
+        assert sim.sorted_population, "insert_backlog requires sorted_population"
+        assert not primal and not (shortest and not strict), (
+            "insert_backlog needs the selected_road[origin] entry rule "
+            "(random / strict_compat / learned policies)"
+        )
+        import os as _os
+
+        backlog_pop = int(_os.environ.get("TARL_BACKLOG_POP", "4"))
+        # Packed [A, 3] static agent rows, closed over as a scan constant
+        # (the agent columns it reads never change during the episode).
+        backlog_static_tab = jnp.stack(
+            [
+                state.agents.departure,
+                state.agents.origin.astype(jnp.float32),
+                state.agents.dest.astype(jnp.float32),
+            ],
+            axis=1,
+        )
     # Real networks rarely have device-divisible road counts: pad the road
     # axis to the shard multiple with INERT rows — zero capacity (nothing
     # can insert or transfer in: space_ok and v_slot_ok are both false),
@@ -288,6 +317,9 @@ def run_episode_shard_map(
         choice_count=P(),
         insert_order=P(),
         insert_ptr=P(),
+        backlog=None if state.backlog is None else jax.tree.map(
+            lambda _: P(), state.backlog
+        ),
         # Incremental-lookup scratch rides replicated and untouched (the
         # shard tick does its own replicated lookups); None when absent.
         sel_dest=None if state.sel_dest is None else P(),
@@ -340,90 +372,186 @@ def run_episode_shard_map(
 
         # ---- insert (replicated candidate math, local scatter) ----------
         _, _, _, count_g, head_g, _ = halo(road)
-        ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
-        if primal and primal_dests is not None:
-            # Dest-restricted entry lookup (make_primal_dest_parts.
-            # entry_lookup, replicated): dist[I, D] columns by dest index.
-            from ..routing.policies import _dest_inter, _road_lookup
+        overflow = jnp.zeros((), jnp.float32)
+        if use_backlog:
+            # Exact per-SRC queue insert: appends replicated (the SAME code
+            # as the serial path), drains replicated from halo counts with
+            # the FIFO writes masked to this shard's block.
+            from ..core.insert import backlog_frontier_append
 
-            from_i = jnp.clip(
-                (agents.origin - R) // 2, 0, network.num_intersections - 1
+            qpack, qcount, new_ptr, overflow = backlog_frontier_append(
+                st.backlog.qpack, st.backlog.qcount, st.backlog.qhead,
+                backlog_static_tab, st.insert_ptr, t, R=R,
+                window=sim.insert_window, escalate=sim.insert_escalate,
             )
-            _, _, road_tab, _ = _unpack_z(st.next_hop)
-            dcol_a = primal_dcol[_dest_inter(network, agents.dest)]
-            entry = _road_lookup(road_tab, from_i, dcol_a)
-        elif primal:
-            # Per-agent entry roads from the primal scratch (replicated;
-            # primal_entry_lookup equivalent).
-            from ..routing.policies import _dest_inter, _primal_argmin_road
+            n_src, Qd, _ = st.backlog.qpack.shape
+            src_nodes = R + 2 * jnp.arange(n_src, dtype=jnp.int32)
+            g_bid = st.selected_road[src_nodes]
+            gvalid = (g_bid >= 0) & (g_bid < R)
+            g_safe = jnp.where(gvalid, g_bid, 0)
+            c0_g = count_g[g_safe].astype(jnp.float32)
+            tt_g = jnp.maximum(
+                ff[g_safe],
+                cc[g_safe] / (
+                    cap[g_safe] + physics.congestion_softening - c0_g
+                ),
+            )
+            dep_stamp_g = t + tt_g                      # [n_src]
+            head_gq = head_g[g_safe]                    # static during insert
+            pcol = jnp.arange(backlog_pop, dtype=jnp.int32)[None, :]
+            buf = physics.congestion_buffer
 
-            from_i = jnp.clip(
-                (agents.origin - R) // 2, 0, network.num_intersections - 1
+            def _remaining(count_cur):
+                return (
+                    cap[g_safe] - buf
+                    - count_cur[g_safe].astype(jnp.float32)
+                ).astype(jnp.int32)
+
+            def drain_cond(c):
+                fids, farr, fdep, fdst, count_cur, qhead, qc = c
+                return jnp.any(gvalid & (qc > 0) & (_remaining(count_cur) > 0))
+
+            def drain_body(c):
+                fids, farr, fdep, fdst, count_cur, qhead, qc = c
+                cnt_g = count_cur[g_safe]
+                rem = _remaining(count_cur)
+                take = jnp.clip(jnp.minimum(qc, rem), 0, backlog_pop)
+                take = jnp.where(gvalid, take, 0)
+                phys = (qhead[:, None] + pcol) % Qd
+                pk = jnp.take_along_axis(qpack, phys[:, :, None], axis=1)
+                ids_p = pk[..., 0]
+                dst_p = pk[..., 1]
+                active = pcol < take[:, None]
+                slot = (head_gq[:, None] + cnt_g[:, None] + pcol) % nmax
+                r_loc = g_safe - block0
+                in_blk = (r_loc >= 0) & (r_loc < rl)
+                rows = jnp.where(
+                    active & in_blk[:, None],
+                    jnp.broadcast_to(r_loc[:, None], active.shape), rl
+                )  # rl -> dropped (other shards' roads)
+                fids = fids.at[rows, slot].set(ids_p, mode="drop")
+                farr = farr.at[rows, slot].set(
+                    jnp.broadcast_to(t, active.shape), mode="drop"
+                )
+                fdep = fdep.at[rows, slot].set(
+                    jnp.broadcast_to(dep_stamp_g[:, None], active.shape),
+                    mode="drop",
+                )
+                fdst = fdst.at[rows, slot].set(dst_p, mode="drop")
+                # Replicated global count update (consistent on every shard).
+                count_cur = count_cur.at[
+                    jnp.where(take > 0, g_safe, Rp)
+                ].add(take, mode="drop")
+                qhead = (qhead + take) % Qd
+                qc = qc - take
+                return fids, farr, fdep, fdst, count_cur, qhead, qc
+
+            fids, farr, fdep, fdst, count_end, qhead2, qcount2 = (
+                jax.lax.while_loop(
+                    drain_cond, drain_body,
+                    (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
+                     road.fifo_dest, count_g, st.backlog.qhead, qcount),
+                )
             )
-            entry = _primal_argmin_road(  # one element gather per agent
-                st.next_hop, network, from_i, _dest_inter(network, agents.dest)
+            road = road._replace(
+                fifo_ids=fids, fifo_arrival=farr, fifo_departure=fdep,
+                fifo_dest=fdst,
+                count=jax.lax.dynamic_slice_in_dim(count_end, block0, rl),
             )
-        elif shortest and not strict:
-            # Per-agent entry roads (shortest_path_entry, replicated).
-            entry = st.next_hop[agents.origin, agents.dest]
-        else:
-            # Random policy — and strict_compat, whose entrants follow the
-            # origin SRC node's SELECTED_ROAD (the dummy-driven reference
-            # rule, base.py:573-579).
-            entry = st.selected_road[agents.origin]
-        valid = (entry >= 0) & (entry < R)
-        road_key = jnp.where(ready & valid, entry, R).astype(jnp.int32)
-        order = jnp.argsort(road_key, stable=True)
-        road_sorted = road_key[order]
-        agent_sorted = jnp.arange(A, dtype=jnp.int32)[order]
-        pos = jnp.arange(A, dtype=jnp.int32)
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
-        )
-        group_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(is_start, pos, 0)
-        )
-        rank = pos - group_start
-        safe = jnp.minimum(road_sorted, R - 1)
-        count_before = count_g[safe]
-        remaining = (
-            cap[safe] - physics.congestion_buffer
-            - count_before.astype(jnp.float32)
-        ).astype(jnp.int32)
-        ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
-        slot = (head_g[safe] + count_before + rank) % nmax
-        tc = cc[safe] / (
-            cap[safe] + physics.congestion_softening
-            - count_before.astype(jnp.float32)
-        )
-        tt_ins = jnp.maximum(ff[safe], tc)
-        # local apply: rows in [block0, block0+rl)
-        r_loc = road_sorted - block0
-        ok_loc = ok & (r_loc >= 0) & (r_loc < rl)
-        rows = jnp.where(ok_loc, r_loc, rl)  # rl -> dropped
-        fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
-        fifo_arr = road.fifo_arrival.at[rows, slot].set(
-            jnp.broadcast_to(t, (A,)), mode="drop"
-        )
-        fifo_dep = road.fifo_departure.at[rows, slot].set(
-            t + tt_ins, mode="drop"
-        )
-        fifo_dst = road.fifo_dest.at[rows, slot].set(
-            agents.dest[agent_sorted], mode="drop"
-        )
-        count_add = jax.ops.segment_sum(
-            ok_loc.astype(jnp.int32), rows, num_segments=rl + 1
-        )[:rl]
-        road = road._replace(
-            fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
-            fifo_dest=fifo_dst,
-            count=road.count + count_add,
-        )
-        # agent merge (disjoint across shards)
-        ins_ids = jnp.where(ok_loc, agent_sorted, A)
-        ins_delta = jnp.zeros((A,), jnp.int32).at[ins_ids].set(1, mode="drop")
-        ins_delta = jax.lax.psum(ins_delta, AXIS)
-        agents = agents._replace(inserted=agents.inserted | (ins_delta > 0))
+            st = st._replace(
+                backlog=st.backlog._replace(
+                    qpack=qpack, qhead=qhead2, qcount=qcount2
+                ),
+                insert_ptr=new_ptr,
+            )
+            # inserted is maintained LAZILY, exactly like the serial backlog
+            # tick: nothing below reads it, and the driver reconstructs it
+            # once after the scan (core.insert.reconstruct_inserted).
+        if not use_backlog:
+            ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
+            if primal and primal_dests is not None:
+                # Dest-restricted entry lookup (make_primal_dest_parts.
+                # entry_lookup, replicated): dist[I, D] columns by dest index.
+                from ..routing.policies import _dest_inter, _road_lookup
+
+                from_i = jnp.clip(
+                    (agents.origin - R) // 2, 0, network.num_intersections - 1
+                )
+                _, _, road_tab, _ = _unpack_z(st.next_hop)
+                dcol_a = primal_dcol[_dest_inter(network, agents.dest)]
+                entry = _road_lookup(road_tab, from_i, dcol_a)
+            elif primal:
+                # Per-agent entry roads from the primal scratch (replicated;
+                # primal_entry_lookup equivalent).
+                from ..routing.policies import _dest_inter, _primal_argmin_road
+
+                from_i = jnp.clip(
+                    (agents.origin - R) // 2, 0, network.num_intersections - 1
+                )
+                entry = _primal_argmin_road(  # one element gather per agent
+                    st.next_hop, network, from_i, _dest_inter(network, agents.dest)
+                )
+            elif shortest and not strict:
+                # Per-agent entry roads (shortest_path_entry, replicated).
+                entry = st.next_hop[agents.origin, agents.dest]
+            else:
+                # Random policy — and strict_compat, whose entrants follow the
+                # origin SRC node's SELECTED_ROAD (the dummy-driven reference
+                # rule, base.py:573-579).
+                entry = st.selected_road[agents.origin]
+            valid = (entry >= 0) & (entry < R)
+            road_key = jnp.where(ready & valid, entry, R).astype(jnp.int32)
+            order = jnp.argsort(road_key, stable=True)
+            road_sorted = road_key[order]
+            agent_sorted = jnp.arange(A, dtype=jnp.int32)[order]
+            pos = jnp.arange(A, dtype=jnp.int32)
+            is_start = jnp.concatenate(
+                [jnp.ones((1,), bool), road_sorted[1:] != road_sorted[:-1]]
+            )
+            group_start = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(is_start, pos, 0)
+            )
+            rank = pos - group_start
+            safe = jnp.minimum(road_sorted, R - 1)
+            count_before = count_g[safe]
+            remaining = (
+                cap[safe] - physics.congestion_buffer
+                - count_before.astype(jnp.float32)
+            ).astype(jnp.int32)
+            ok = (road_sorted < R) & (rank < remaining) & (remaining > 0)
+            slot = (head_g[safe] + count_before + rank) % nmax
+            tc = cc[safe] / (
+                cap[safe] + physics.congestion_softening
+                - count_before.astype(jnp.float32)
+            )
+            tt_ins = jnp.maximum(ff[safe], tc)
+            # local apply: rows in [block0, block0+rl)
+            r_loc = road_sorted - block0
+            ok_loc = ok & (r_loc >= 0) & (r_loc < rl)
+            rows = jnp.where(ok_loc, r_loc, rl)  # rl -> dropped
+            fifo_ids = road.fifo_ids.at[rows, slot].set(agent_sorted, mode="drop")
+            fifo_arr = road.fifo_arrival.at[rows, slot].set(
+                jnp.broadcast_to(t, (A,)), mode="drop"
+            )
+            fifo_dep = road.fifo_departure.at[rows, slot].set(
+                t + tt_ins, mode="drop"
+            )
+            fifo_dst = road.fifo_dest.at[rows, slot].set(
+                agents.dest[agent_sorted], mode="drop"
+            )
+            count_add = jax.ops.segment_sum(
+                ok_loc.astype(jnp.int32), rows, num_segments=rl + 1
+            )[:rl]
+            road = road._replace(
+                fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
+                fifo_dest=fifo_dst,
+                count=road.count + count_add,
+            )
+            # agent merge (disjoint across shards)
+            ins_ids = jnp.where(ok_loc, agent_sorted, A)
+            ins_delta = jnp.zeros((A,), jnp.int32).at[ins_ids].set(1, mode="drop")
+            ins_delta = jax.lax.psum(ins_delta, AXIS)
+            agents = agents._replace(inserted=agents.inserted | (ins_delta > 0))
 
         # ---- withdraw (local roads, psum agent merge; same hybrid slot
         # formulation as core.withdraw) ------------------------------------
@@ -1019,8 +1147,10 @@ def run_episode_shard_map(
             time=new_time,
             road_delta_tt=(delta_full[:R] if sim.record_road_optimality
                            else jnp.zeros((0,), jnp.float32)),
-            # shard_map insert is whole-population: never window-bounded.
-            window_saturated=jnp.zeros((), jnp.float32),
+            # Whole-population insert is never window-bounded; the backlog
+            # path reports its queue-overflow monitor exactly like the
+            # serial tick (all-zero == bitwise reference-exact).
+            window_saturated=overflow,
         )
         return new_st, log
 
@@ -1057,6 +1187,16 @@ def run_episode_shard_map(
 
     with mesh:
         final, log = jax.jit(episode)(state)
+
+    if use_backlog:
+        # The lazy inserted flag, reconstructed once per episode exactly as
+        # the serial drivers do (agents/queues are replicated, so this runs
+        # on the unsharded final state).
+        from ..core.insert import reconstruct_inserted
+
+        final = final._replace(agents=reconstruct_inserted(
+            final.agents, final.backlog, final.insert_ptr
+        ))
 
     if pad:
         rd = final.road
