@@ -141,6 +141,7 @@ def main(argv=None):
     )
     st = init_sim_state(net, agents, policy=Policy(choice=random_choice))
 
+    lab = args.policy  # table-key prefix: "mpnn" or "transformer"
     table = {}
 
     # --- classical baselines, same horizon / timestep-1 protocol ---------
@@ -193,8 +194,8 @@ def main(argv=None):
         return metrics_from(env.sim.agents, env.sim.road, env.sim.time, net)
 
     ts0 = ppo.init(st, jax.random.PRNGKey(0))
-    table["mpnn_untrained"] = eval_policy(ts0.params)
-    print(f"{'mpnn untrained':18}: {table['mpnn_untrained']}", flush=True)
+    table[f"{lab}_untrained"] = eval_policy(ts0.params)
+    print(f"{lab + ' untrained':18}: {table[f'{lab}_untrained']}", flush=True)
 
     t0 = time.time()
     ckpt_dir = os.path.join(out, "checkpoints")
@@ -213,8 +214,8 @@ def main(argv=None):
     train_s = time.time() - t0
     print(f"trained {iters} iterations in {train_s:.0f}s", flush=True)
 
-    table["mpnn_trained_greedy"] = eval_policy(ts.params)
-    table["mpnn_trained_stochastic"] = eval_policy(ts.params, key=3, det=False)
+    table[f"{lab}_trained_greedy"] = eval_policy(ts.params)
+    table[f"{lab}_trained_stochastic"] = eval_policy(ts.params, key=3, det=False)
     if args.ema:
         from tarl_tpu.rl.checkpoint import restore_checkpoint as _restore
 
@@ -223,16 +224,16 @@ def main(argv=None):
             template={"params": ts.params, "opt_state": ts.opt_state,
                       "iteration": 0},
         )
-        table["mpnn_final_ema_greedy"] = eval_policy(ema_restored["params"])
-        table["mpnn_final_ema_stochastic"] = eval_policy(
+        table[f"{lab}_final_ema_greedy"] = eval_policy(ema_restored["params"])
+        table[f"{lab}_final_ema_stochastic"] = eval_policy(
             ema_restored["params"], key=3, det=False
         )
-        print(f"{'mpnn final EMA(gr)':18}: {table['mpnn_final_ema_greedy']}",
+        print(f"{lab + ' final EMA(gr)':18}: {table[f'{lab}_final_ema_greedy']}",
               flush=True)
-        print(f"{'mpnn final EMA(st)':18}: "
-              f"{table['mpnn_final_ema_stochastic']}", flush=True)
-    print(f"{'mpnn trained':18}: {table['mpnn_trained_greedy']}", flush=True)
-    print(f"{'mpnn trained (st)':18}: {table['mpnn_trained_stochastic']}",
+        print(f"{lab + ' final EMA(st)':18}: "
+              f"{table[f'{lab}_final_ema_stochastic']}", flush=True)
+    print(f"{lab + ' trained':18}: {table[f'{lab}_trained_greedy']}", flush=True)
+    print(f"{lab + ' trained (st)':18}: {table[f'{lab}_trained_stochastic']}",
           flush=True)
 
     # Best-eval snapshot (rl.trainer track_best): PPO churns after
@@ -247,14 +248,14 @@ def main(argv=None):
         )
         with open(os.path.join(ckpt_dir, "best.json")) as f:
             best_info = json.load(f)
-        table["mpnn_best_greedy"] = eval_policy(restored["params"])
-        table["mpnn_best_stochastic"] = eval_policy(
+        table[f"{lab}_best_greedy"] = eval_policy(restored["params"])
+        table[f"{lab}_best_stochastic"] = eval_policy(
             restored["params"], key=3, det=False
         )
-        table["mpnn_best_greedy"]["best_iteration"] = best_info["iteration"]
-        print(f"{'mpnn best (gr)':18}: {table['mpnn_best_greedy']}",
+        table[f"{lab}_best_greedy"]["best_iteration"] = best_info["iteration"]
+        print(f"{lab + ' best (gr)':18}: {table[f'{lab}_best_greedy']}",
               flush=True)
-        print(f"{'mpnn best (st)':18}: {table['mpnn_best_stochastic']}",
+        print(f"{lab + ' best (st)':18}: {table[f'{lab}_best_stochastic']}",
               flush=True)
 
     result = {
@@ -273,13 +274,13 @@ def main(argv=None):
         json.dump(result, f, indent=2)
     print(f"wrote {out}/eval_table.json")
 
-    headline = ("mpnn_trained_stochastic" if scen in STOCHASTIC_HEADLINE
-                else "mpnn_trained_greedy")
+    headline = (f"{lab}_trained_stochastic" if scen in STOCHASTIC_HEADLINE
+                else f"{lab}_trained_greedy")
     tr = table[headline]
     # The best-eval snapshot supersedes the last iterate when it wins on
     # travel time (rl.trainer track_best).
-    for cand in ("mpnn_best_greedy", "mpnn_best_stochastic",
-                 "mpnn_final_ema_greedy", "mpnn_final_ema_stochastic"):
+    for cand in (f"{lab}_best_greedy", f"{lab}_best_stochastic",
+                 f"{lab}_final_ema_greedy", f"{lab}_final_ema_stochastic"):
         if cand in table and (table[cand]["avg_travel_time_s"]
                               < tr["avg_travel_time_s"]):
             headline, tr = cand, table[cand]
