@@ -79,18 +79,42 @@ def main() -> None:
         ) else run_episode
         state = init_sim_state(net, agents, sim=my_sim, policy=policy)
         jax.block_until_ready(state.next_hop)
-        state, _ = runner(state, net, policy, TICKS, sim=my_sim)
+        state, logs = runner(state, net, policy, TICKS, sim=my_sim)
         jax.block_until_ready(state.road.count)
         t0 = time.time()
-        state, _ = runner(state, net, policy, TICKS, sim=my_sim)
+        state, logs = runner(state, net, policy, TICKS, sim=my_sim)
         jax.block_until_ready(state.road.count)
         ms = (time.time() - t0) / TICKS * 1e3
         rows[label] = round(ms, 3)
+        if label.startswith("exact_") and state.backlog is not None:
+            monitor = float(jax.device_get(logs.window_saturated.sum()))
+            rows[f"{label}_monitor"] = monitor
+            assert monitor == 0.0, (
+                f"backlog overflow fired ({monitor}); raise the queue depth"
+            )
         print(f"{label:28s} {ms:8.3f} ms/tick", flush=True)
         return state
 
     # 1. base tick (random policy, no routing)
     timed_episode("base_random", Policy(choice=random_choice), False)
+
+    # 1b. EXACT random (VERDICT r4 #3): the per-SRC backlog at S=I SRC
+    # queues — asserts overflow 0 (bitwise reference-exact) and reports the
+    # queue memory.  TARL_G256_BACKLOG sizes Q (agents/SRC is ~30 here).
+    if os.environ.get("TARL_G256_EXACT", "1") == "1":
+        q_depth = int(os.environ.get("TARL_G256_BACKLOG", "128"))
+        sim_exact = SimConfig(timestep=1, start_time=6 * 3600,
+                              record_road_optimality=False,
+                              insert_window=64, insert_backlog=q_depth,
+                              insert_escalate=True, withdraw_escalate=True,
+                              withdraw_depth=2, withdraw_compact=256,
+                              sorted_population=True)
+        st_ex = timed_episode("exact_random_backlog",
+                              Policy(choice=random_choice), False,
+                              my_sim=sim_exact)
+        rows["exact_backlog_mb"] = round(
+            st_ex.backlog.qpack.size * 4 / 2 ** 20, 1
+        )
 
     # 2. sp with a STATIC table (lookup only)
     routing_static = dataclasses.replace(routing,

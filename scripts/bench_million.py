@@ -35,6 +35,15 @@ TICKS = int(os.environ.get("TARL_M_TICKS", "1020"))
 # Comma-separated subset of {sp, random} — lets a kernel A/B re-measure one
 # policy without paying the other's table init / compile.
 ALGOS = os.environ.get("TARL_M_ALGOS", "sp,random").split(",")
+# Exact-semantics rows (VERDICT r4 #3): for the random policy the per-SRC
+# backlog (bitwise reference-exact, asserts overflow == 0); for the zoned
+# shortest-path policy (per-agent entry roads — incompatible with the
+# per-SRC queues) exactness = windowed escalation, measured as its own row.
+# Queue depth: agents/SRC here is ~NUM_AGENTS/I (~60 at Grid128/1M), so a
+# modest Q bounds memory — S*Q*2 int32 (reported as exact_backlog_mb).
+EXACT = os.environ.get("TARL_M_EXACT", "1") == "1"
+BACKLOG_Q = int(os.environ.get("TARL_M_BACKLOG", "256"))
+EXACT_WINDOW = int(os.environ.get("TARL_M_EXACT_WINDOW", "64"))
 
 
 def main() -> None:
@@ -86,9 +95,28 @@ def main() -> None:
         "ingest_network_s": round(t_net, 1),
         "ingest_population_s": round(t_pop, 1),
     }
+    rows = []
     for label, algo in (("sp", "dijkstra"), ("random", "random")):
         if label not in ALGOS:
             continue
+        rows.append((label, algo, sim))
+        if EXACT and algo == "random":
+            rows.append((f"exact_{label}", algo, SimConfig(
+                timestep=1, start_time=6 * 3600,
+                record_road_optimality=False,
+                insert_window=EXACT_WINDOW, insert_backlog=BACKLOG_Q,
+                insert_escalate=True, withdraw_escalate=True,
+                withdraw_depth=2, sorted_population=True,
+            )))
+        elif EXACT and algo == "dijkstra":
+            rows.append((f"exact_{label}", algo, SimConfig(
+                timestep=1, start_time=6 * 3600,
+                record_road_optimality=False,
+                insert_window=4096, insert_escalate=True,
+                withdraw_escalate=True, withdraw_depth=2,
+                sorted_population=True,
+            )))
+    for label, algo, simr in rows:
         if algo == "dijkstra":
             policy = make_policy(algo, routing, network=net,
                                  dest_inters=dest_inters)
@@ -100,13 +128,13 @@ def main() -> None:
             policy.periodic_rate and TICKS % policy.periodic_rate == 0
         ) else run_episode
         t0 = time.time()
-        state = init_sim_state(net, agents, sim=sim, policy=policy)
+        state = init_sim_state(net, agents, sim=simr, policy=policy)
         jax.block_until_ready(state.next_hop)
         init_s = time.time() - t0
-        state, _ = runner(state, net, policy, TICKS, sim=sim)
+        state, logs = runner(state, net, policy, TICKS, sim=simr)
         jax.block_until_ready(state.road.count)
         t0 = time.time()
-        state, _ = runner(state, net, policy, TICKS, sim=sim)
+        state, logs = runner(state, net, policy, TICKS, sim=simr)
         jax.block_until_ready(state.road.count)
         wall = time.time() - t0
 
@@ -123,6 +151,17 @@ def main() -> None:
             f"{label}_init_s": round(init_s, 1),
             f"{label}_done": done, f"{label}_on_way": on_way,
         })
+        if label.startswith("exact_"):
+            monitor = float(jax.device_get(logs.window_saturated.sum()))
+            report[f"{label}_monitor"] = monitor
+            if state.backlog is not None:
+                report["exact_backlog_mb"] = round(
+                    state.backlog.qpack.size * 4 / 2 ** 20, 1
+                )
+                # overflow 0 == bitwise reference-exact (insert.py docstring)
+                assert monitor == 0.0, (
+                    f"backlog overflow fired ({monitor}); raise TARL_M_BACKLOG"
+                )
         print(f"{label}: {report[f'{label}_per_tick_ms']} ms/tick, "
               f"{report[f'{label}_steps_per_sec'] / 1e6:.1f}M agent-steps/s, "
               f"done {done}, on_way {on_way} (== queued {queued})", flush=True)

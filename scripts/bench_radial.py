@@ -93,7 +93,7 @@ def main() -> None:
 
     done = int(jax.device_get(state.agents.done[1:].sum()))
     on_way = int(jax.device_get(state.road.count.sum()))
-    print(json.dumps({
+    out = {
         "metric": "radial_sp_agent_steps_per_sec",
         "rings": RINGS, "spokes": SPOKES,
         "roads": net.num_roads, "intersections": net.num_intersections,
@@ -101,7 +101,31 @@ def main() -> None:
         "value": round(agents.num_agents * TICKS / wall, 1),
         "per_tick_ms": round(wall / TICKS * 1e3, 3),
         "init_s": round(init_s, 1), "done": done, "on_way": on_way,
-    }))
+    }
+
+    if os.environ.get("TARL_RAD_EXACT", "1") == "1":
+        # Exact-semantics row (VERDICT r4 #3): the zoned policy's per-agent
+        # entry roads are incompatible with the per-SRC backlog, so exact =
+        # windowed escalation (r3's outcome-identical self-healing passes).
+        sim_ex = SimConfig(timestep=1, start_time=6 * 3600,
+                           record_road_optimality=False,
+                           insert_escalate=True, withdraw_escalate=True,
+                           insert_window=1024, withdraw_depth=2,
+                           sorted_population=True)
+        state = init_sim_state(net, agents, sim=sim_ex, policy=policy)
+        state, _ = runner(state, net, policy, TICKS, sim=sim_ex)
+        jax.block_until_ready(state.road.count)
+        t0 = time.time()
+        state, _ = runner(state, net, policy, TICKS, sim=sim_ex)
+        jax.block_until_ready(state.road.count)
+        wall_ex = time.time() - t0
+        out.update({
+            "exact_value": round(agents.num_agents * TICKS / wall_ex, 1),
+            "exact_per_tick_ms": round(wall_ex / TICKS * 1e3, 3),
+            "exact_done": int(jax.device_get(state.agents.done[1:].sum())),
+        })
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

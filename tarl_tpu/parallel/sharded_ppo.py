@@ -79,7 +79,8 @@ def _out_tables_with_ids(network):
 
 
 def node_sharded_loss_fn(ppo, S: int, kf: int, tab_ok, tab_dst, tab_attr,
-                         act_tab, x, time, old_lp, adv, ret, axis: str = AXIS):
+                         act_tab, x, time, old_lp, adv, ret, axis: str = AXIS,
+                         logits_fn=None):
     """Build ``loss_fn(params) -> (total_local, aux)`` for the node-sharded
     clipped-PPO loss.  MUST be called INSIDE a ``shard_map`` over ``axis``
     whose operands are this shard's node-column block of the slot-major
@@ -93,6 +94,16 @@ def node_sharded_loss_fn(ppo, S: int, kf: int, tab_ok, tab_dst, tab_attr,
     spatially-sharded training iteration).
     ``aux = (total, loss_obj, loss_critic, loss_entropy, approx_kl,
     clip_fraction)``.
+
+    ``logits_fn(params_policy, x_t) -> [KF, nb]`` overrides the policy
+    forward for nets that are NOT edge-row-independent — the attention
+    stack's slot-twin trunk with per-layer ``all_gather`` node halos
+    (:meth:`ShardedPPO._attention_logits_fn`): each shard produces its
+    node-column block's out-slot logits from the bitwise-full node state,
+    and the log-prob/entropy psum routing below is unchanged (every edge
+    is scored on exactly one shard; halo transposes scatter the node-state
+    cotangents back to the producing shard, so the final grad psum is the
+    full gradient).
     """
     nb = tab_ok.shape[1]
     blk0 = jax.lax.axis_index(axis) * nb
@@ -103,7 +114,9 @@ def node_sharded_loss_fn(ppo, S: int, kf: int, tab_ok, tab_dst, tab_attr,
 
     def loss_fn(params):
         def one(x_t, act_t):
-            if ppo._policy_dist is not None:
+            if logits_fn is not None:
+                flat = logits_fn(params["policy"], x_t).reshape(-1)
+            elif ppo._policy_dist is not None:
                 flat = ppo.policy_net.apply(
                     params["policy"], x_t, attr_flat, src_flat,
                     dst_flat, ppo._policy_dist,
@@ -203,7 +216,75 @@ class ShardedPPO:
         self._eid = jnp.asarray(pad(eid, net.num_full_edges))
         self._kf = kf
         self._np = n + npad
+
+        # Attention nets (GTConv): the flat-edge-subset forward above is
+        # wrong for them (their logits are not edge-row-independent), so the
+        # policy forward routes through the slot-twin trunk with per-layer
+        # all_gather node halos instead (VERDICT r4 #7; the same twin the
+        # sharded ROLLOUT uses, models/transformer/slot_forward.py).  The
+        # twin's out-slot layout equals _out_tables_with_ids' (both group
+        # the full edge list by source in edge-id order), so act_tab/ok
+        # masks line up column-for-column.
+        self._attention = not getattr(ppo.policy_net,
+                                      "edge_row_independent", True)
+        if self._attention:
+            from ..models.transformer.slot_forward import (
+                SlotEdgeTables,
+                slot_edge_tables,
+                slot_twin,
+            )
+
+            tabs = slot_edge_tables(net)
+            padc = lambda a, v: jnp.concatenate(  # noqa: E731
+                [a, jnp.full(a.shape[:1] + (npad,) + a.shape[2:], v,
+                             a.dtype)], axis=1
+            ) if npad else a
+            self._slot_tabs = SlotEdgeTables(
+                in_ok=padc(tabs.in_ok, False),
+                in_src=padc(tabs.in_src, 0),
+                in_attr=padc(tabs.in_attr, 0.0),
+                out_ok=padc(tabs.out_ok, False),
+                out_dst=padc(tabs.out_dst, 0),
+                out_attr=padc(tabs.out_attr, 0.0),
+            )
+            assert int(self._slot_tabs.out_ok.shape[0]) == kf
+            # The twin adds pe_emb(pe) to every node row — pad to Np.
+            pe = np.asarray(ppo.policy_net.pe)
+            pe_p = np.concatenate(
+                [pe, np.zeros((npad, pe.shape[1]), pe.dtype)]
+            ) if npad else pe
+            twin = slot_twin(ppo.policy_net)
+            self._slot_net = twin.__class__(
+                pe=pe_p, hidden_dim=twin.hidden_dim,
+                num_layers=twin.num_layers, num_heads=twin.num_heads,
+                gate=twin.gate,
+            )
         self._train = jax.jit(self._train_iteration_impl)
+
+    def _attention_logits_fn(self):
+        """Per-shard slot-twin forward: [KF, nb] out-slot logits for this
+        shard's node-column block, from the bitwise-full node state (the
+        per-layer sync = all_gather of the block's updated columns).  The
+        padded slot tables ride as replicated closure constants; the twin
+        slices its own columns."""
+        npad_n = self._np
+        nb = npad_n // self.S
+        tabs = self._slot_tabs
+        slot_net = self._slot_net
+
+        def sync(h_cols):
+            return jax.lax.all_gather(h_cols, AXIS, tiled=True)  # [Np, hid]
+
+        def logits_fn(params_policy, x_t):
+            blk0 = jax.lax.axis_index(AXIS) * nb
+            cols = blk0 + jnp.arange(nb, dtype=jnp.int32)
+            x_p = jnp.concatenate([
+                x_t, jnp.zeros((npad_n - x_t.shape[0],) + x_t.shape[1:],
+                               x_t.dtype)
+            ]) if npad_n > x_t.shape[0] else x_t
+            return slot_net.apply(params_policy, x_p, tabs, cols, sync=sync)
+
+        return logits_fn
 
     # -- slot-major action view -------------------------------------------
     def _action_table(self, action: jnp.ndarray) -> jnp.ndarray:
@@ -220,11 +301,14 @@ class ShardedPPO:
         ppo = self.ppo
         act_tab = self._action_table(batch.action)
 
+        logits_fn = self._attention_logits_fn() if self._attention else None
+
         def body(params, tab_ok, tab_dst, tab_attr, act_tab, x, time,
                  old_lp, adv, ret):
             loss_fn = node_sharded_loss_fn(
                 ppo, self.S, self._kf, tab_ok, tab_dst, tab_attr,
                 act_tab, x, time, old_lp, adv, ret,
+                logits_fn=logits_fn,
             )
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params

@@ -98,3 +98,79 @@ def test_sharded_train_iteration_tracks_unsharded(setup):
     )
     _tree_allclose(ts_ref.params, ts_sh.params, rtol=1e-3, atol=5e-3)
     assert int(ts_sh.iteration) == int(ts.iteration) + 1
+
+
+@pytest.fixture(scope="module")
+def setup_transformer(tmp_path_factory):
+    """The attention (GTConv) stack as policy+value nets — the case where
+    logits are NOT edge-row-independent and the sharded loss must route
+    through the slot-twin trunk with all_gather node halos (VERDICT r4 #7)."""
+    from tarl_tpu.models.transformer.agent import (
+        TransformerRoutePolicy,
+        TransformerValueNet,
+        network_positional_encoding,
+    )
+
+    root = str(tmp_path_factory.mktemp("sppo_tf_scen"))
+    base = ensure_scenario(root, "Braess")
+    net = load_network(os.path.join(base, "network"))
+    agents, _ = load_population(
+        os.path.join(base, "population"), os.path.join(base, "network")
+    )
+    state = init_sim_state(net, agents, policy=Policy(choice=random_choice))
+    rl = RLConfig(rollout_steps=8, minibatch_size=4, num_epochs=2,
+                  entropy_coef=0.01)
+    pe = network_positional_encoding(net, 8)
+    ppo = PPO(
+        net,
+        TransformerRoutePolicy(pe=pe, hidden_dim=8, num_layers=2, num_heads=2),
+        TransformerValueNet(pe=pe, hidden_dim=8, num_layers=1, num_heads=2),
+        rl=rl, value_uses_graph=True,
+    )
+    ts = ppo.init(state, jax.random.PRNGKey(0))
+    return net, ppo, ts
+
+
+@pytest.mark.slow
+def test_attention_sharded_grads_match_unsharded(setup_transformer):
+    """Transformer-policy gradients under the node-sharded loss equal
+    jax.grad(PPO._loss) to float tolerance (the twin reorders the softmax
+    reductions, so ~1e-5, not bitwise)."""
+    net, ppo, ts = setup_transformer
+    mesh = make_node_mesh(8)
+    sp = ShardedPPO(ppo, mesh)
+    assert sp._attention
+
+    env, obs, key, traj, last_value = jax.jit(ppo._rollout)(
+        ts.params, ts.env, ts.obs, ts.key
+    )
+    advantages, returns = gae(
+        traj.reward, traj.value, last_value, traj.done,
+        ppo.rl.gamma, ppo.rl.gae_lambda,
+    )
+    advantages = normalize(advantages)
+
+    (loss_ref, aux_ref), grads_ref = jax.value_and_grad(
+        ppo._loss, has_aux=True
+    )(ts.params, traj, advantages, returns)
+    (loss_sh, aux_sh), grads_sh = sp._grads(
+        ts.params, traj, advantages, returns
+    )
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-4)
+    for a, b in zip(aux_ref, aux_sh):
+        assert float(b) == pytest.approx(float(a), rel=1e-3, abs=1e-5)
+    _tree_allclose(grads_ref, grads_sh, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_attention_sharded_train_iteration(setup_transformer):
+    net, ppo, ts = setup_transformer
+    mesh = make_node_mesh(8)
+    sp = ShardedPPO(ppo, mesh)
+    ts_ref, m_ref = ppo.train_iteration(ts)
+    ts_sh, m_sh = sp.train_iteration(ts)
+    assert float(m_sh.loss_total) == pytest.approx(
+        float(m_ref.loss_total), rel=1e-3, abs=1e-5
+    )
+    _tree_allclose(ts_ref.params, ts_sh.params, rtol=1e-3, atol=5e-3)
+    assert int(ts_sh.iteration) == int(ts.iteration) + 1
