@@ -236,6 +236,70 @@ def polar_rank(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return rank
 
 
+def hilbert_rank(x: np.ndarray, y: np.ndarray, order: int = 10) -> np.ndarray:
+    """Rank nodes by their position on a Hilbert space-filling curve over
+    the coordinate bounding box (2^order x 2^order cells).  The
+    general-purpose locality rank for IRREGULAR (real-city) layouts: any
+    two nodes close on the curve are close in the plane, so tail-major
+    road orders derived from it concentrate turn-edge offsets without
+    assuming grid- or ring-like structure.  Vectorized xy2d (the classic
+    bit-interleave walk, top bit down, with the standard quadrant
+    rotation/reflection)."""
+    n = 1 << order
+    span_x = max(float(np.ptp(x)), 1e-12)
+    span_y = max(float(np.ptp(y)), 1e-12)
+    xi = np.minimum(
+        ((x - x.min()) / span_x * n).astype(np.int64), n - 1
+    )
+    yi = np.minimum(
+        ((y - y.min()) / span_y * n).astype(np.int64), n - 1
+    )
+    rx = np.zeros_like(xi)
+    ry = np.zeros_like(yi)
+    d = np.zeros_like(xi)
+    s = n >> 1
+    while s > 0:
+        rx = ((xi & s) > 0).astype(np.int64)
+        ry = ((yi & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: where ry == 0, swap x/y (reflecting when rx == 1)
+        flip = ry == 0
+        xr = np.where(flip & (rx == 1), s - 1 - xi, xi)
+        yr = np.where(flip & (rx == 1), s - 1 - yi, yi)
+        xi = np.where(flip, yr, xi)
+        yi = np.where(flip, xr, yi)
+        s >>= 1
+    key = np.lexsort((np.arange(x.shape[0]), d))
+    rank = np.empty(x.shape[0], np.int64)
+    rank[key] = np.arange(x.shape[0])
+    return rank
+
+
+def rcm_rank(
+    from_inter: np.ndarray, to_inter: np.ndarray, num_intersections: int
+) -> np.ndarray | None:
+    """Reverse-Cuthill-McKee rank over the intersection adjacency — the
+    coordinate-free fallback locality order (bandwidth-minimizing BFS),
+    for networks whose XML carries no usable coordinates.  Host-side scipy
+    (same dependency as the free-flow routing init); returns None when
+    scipy is unavailable."""
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+    except Exception:  # pragma: no cover - scipy is in the image
+        return None
+    i = np.concatenate([from_inter, to_inter]).astype(np.int64)
+    j = np.concatenate([to_inter, from_inter]).astype(np.int64)
+    adj = coo_matrix(
+        (np.ones(i.shape[0], np.int8), (i, j)),
+        shape=(num_intersections, num_intersections),
+    ).tocsr()
+    perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    rank = np.empty(num_intersections, np.int64)
+    rank[perm] = np.arange(num_intersections)
+    return rank
+
+
 def roll_friendly_road_order(
     from_inter: np.ndarray,
     to_inter: np.ndarray,
@@ -256,8 +320,10 @@ def roll_friendly_road_order(
     input order already yields a viable plan, returns ``None`` (grids stay
     bit-identical to previous builds).  Otherwise evaluates tail-major road
     orders ``lexsort(head-rank, tail-rank)`` derived from locality-
-    preserving intersection ranks — coordinate lexsorts and a POLAR
-    (radius-group, angle) rank that linearizes ring-and-spoke metros — and
+    preserving intersection ranks — coordinate lexsorts, a POLAR
+    (radius-group, angle) rank that linearizes ring-and-spoke metros, a
+    HILBERT space-filling-curve rank for irregular (real-city) layouts,
+    and a coordinate-free reverse-Cuthill-McKee rank — and
     returns the first order whose exception tail fits the plan budget
     (``None`` if none does).  Pure evaluation strategy: the renumbered
     simulation equals the identity-numbered one TRACE-FOR-TRACE (same
@@ -294,6 +360,10 @@ def roll_friendly_road_order(
                 rank[key] = np.arange(num_intersections)
                 ranks.append(rank)
             ranks.append(polar_rank(x, y))  # ring-major by angle
+            ranks.append(hilbert_rank(x, y))  # general irregular layouts
+    rcm = rcm_rank(from_inter, to_inter, num_intersections)
+    if rcm is not None:
+        ranks.append(rcm)  # coordinate-free fallback
 
     best = None
     best_exc = None
