@@ -44,6 +44,7 @@ formulation proven equivalent in ``core.fused_core``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -327,6 +328,12 @@ def run_episode_shard_map(
     log_spec = TickLog(departures=P(), arrivals=P(), on_way=P(), time=P(),
                        road_delta_tt=P(), window_saturated=P())
 
+    # Diagnostic ONLY (scripts/ablate_shard_phases.py): trace-time phase
+    # skip list; unset in production, every skip breaks physics.
+    _skip = frozenset(
+        s for s in os.environ.get("TARL_SHARD_SKIP", "").split(",") if s
+    )
+
     def _halo_road_costs(count_g):
         """Per-road refresh costs from halo counts, honoring
         routing.cost_mode exactly like bellman_ford.road_costs /
@@ -343,6 +350,10 @@ def run_episode_shard_map(
 
     def halo(road_local):
         """All-gather the per-road head summary (the halo exchange)."""
+        if "halo" in _skip:
+            z_i = jnp.zeros((Rp,), jnp.int32)
+            z_f = jnp.zeros((Rp,), jnp.float32)
+            return z_i, z_f, z_f, z_i, z_i, z_i
         count = road_local.count
         nonempty = count > 0
         local = jnp.stack(
@@ -373,7 +384,9 @@ def run_episode_shard_map(
         # ---- insert (replicated candidate math, local scatter) ----------
         _, _, _, count_g, head_g, _ = halo(road)
         overflow = jnp.zeros((), jnp.float32)
-        if use_backlog:
+        if "insert" in _skip:
+            pass
+        elif use_backlog:
             # Exact per-SRC queue insert: appends replicated (the SAME code
             # as the serial path), drains replicated from halo counts with
             # the FIFO writes masked to this shard's block.
@@ -467,7 +480,187 @@ def run_episode_shard_map(
             # inserted is maintained LAZILY, exactly like the serial backlog
             # tick: nothing below reads it, and the driver reconstructs it
             # once after the scan (core.insert.reconstruct_inserted).
-        if not use_backlog:
+        elif sim.insert_window is not None:
+            # Windowed insert (r5): the serial tick has been windowed since
+            # r1 (core.insert.insert_agents_windowed) but the shard tick
+            # still re-scanned the WHOLE population every tick — an
+            # O(A log A) argsort plus five [A]-index scatters that measured
+            # 16-50 ms/tick at 50k-200k agents (scripts/diagnose_shard.py).
+            # Same structure as the serial path: candidate math REPLICATED
+            # on the [W] window over halo counts, FIFO writes masked to
+            # this shard's block, escalation passes under a while_loop with
+            # the tick-start stamp snapshot.  Bitwise-equal to the serial
+            # windowed/escalating insert (tests/test_shard_windowed.py).
+            W = min(sim.insert_window, A)
+            sorted_fast = sim.sorted_population
+            if sorted_fast:
+                W = min(W, A - 1)
+                limit = A - 1 - W
+            else:
+                limit = A - W
+            pos_w = jnp.arange(W, dtype=jnp.int32)
+            count0_rep = count_g          # [Rp] tick-start stamp snapshot
+            buf_c = physics.congestion_buffer
+
+            def _entry_roads(origin_v, dest_v):
+                """Replicated per-candidate entry roads (the same policy
+                dispatch as the whole-population branch below)."""
+                if primal and primal_dests is not None:
+                    from ..routing.policies import _dest_inter, _road_lookup
+
+                    from_i = jnp.clip(
+                        (origin_v - R) // 2, 0,
+                        network.num_intersections - 1,
+                    )
+                    _, _, road_tab, _ = _unpack_z(st.next_hop)
+                    dcol_a = primal_dcol[_dest_inter(network, dest_v)]
+                    return _road_lookup(road_tab, from_i, dcol_a)
+                if primal:
+                    from ..routing.policies import (
+                        _dest_inter,
+                        _primal_argmin_road,
+                    )
+
+                    from_i = jnp.clip(
+                        (origin_v - R) // 2, 0,
+                        network.num_intersections - 1,
+                    )
+                    return _primal_argmin_road(
+                        st.next_hop, network, from_i,
+                        _dest_inter(network, dest_v),
+                    )
+                if shortest and not strict:
+                    return st.next_hop[origin_v, dest_v]
+                return st.selected_road[origin_v]
+
+            def _one_pass(fids, farr, fdep, fdst, count_rep, inserted_cur,
+                          off, stamp):
+                start = jnp.minimum(off, limit).astype(jnp.int32)
+                if sorted_fast:
+                    lo = start + 1
+                    win_ids = lo + pos_w
+                    win_dep = jax.lax.dynamic_slice_in_dim(
+                        agents.departure, lo, W
+                    )
+                    win_origin = jax.lax.dynamic_slice_in_dim(
+                        agents.origin, lo, W
+                    )
+                    win_dest = jax.lax.dynamic_slice_in_dim(
+                        agents.dest, lo, W
+                    )
+                    win_ins = jax.lax.dynamic_slice_in_dim(
+                        inserted_cur, lo, W
+                    )
+                else:
+                    win_ids = jax.lax.dynamic_slice_in_dim(
+                        st.insert_order, start, W
+                    ).astype(jnp.int32)
+                    win_dep = agents.departure[win_ids]
+                    win_origin = agents.origin[win_ids]
+                    win_dest = agents.dest[win_ids]
+                    win_ins = inserted_cur[win_ids]
+
+                ready_w = (win_dep <= t) & (~win_ins)
+                entry = _entry_roads(win_origin, win_dest)
+                valid_w = (entry >= 0) & (entry < R)
+                road_key = jnp.where(
+                    ready_w & valid_w, entry, R
+                ).astype(jnp.int32)
+
+                same = road_key[None, :] == road_key[:, None]
+                earlier = pos_w[None, :] < pos_w[:, None]
+                rank = jnp.sum(same & earlier, axis=1).astype(jnp.int32)
+                safe = jnp.minimum(road_key, R - 1)
+                cb = count_rep[safe]
+                remaining = (
+                    capp[safe] - buf_c - cb.astype(jnp.float32)
+                ).astype(jnp.int32)
+                ok = (road_key < R) & (rank < remaining) & (remaining > 0)
+                slot = (head_g[safe] + cb + rank) % nmax
+                stamp_c = cb if stamp is None else stamp[safe]
+                tc_w = ccp[safe] / (
+                    capp[safe] + physics.congestion_softening
+                    - stamp_c.astype(jnp.float32)
+                )
+                tt_w = jnp.maximum(ffp[safe], tc_w)
+
+                r_loc = road_key - block0
+                ok_loc = ok & (r_loc >= 0) & (r_loc < rl)
+                rows = jnp.where(ok_loc, r_loc, rl)
+                fids = fids.at[rows, slot].set(win_ids, mode="drop")
+                farr = farr.at[rows, slot].set(
+                    jnp.broadcast_to(t, (W,)), mode="drop"
+                )
+                fdep = fdep.at[rows, slot].set(t + tt_w, mode="drop")
+                fdst = fdst.at[rows, slot].set(win_dest, mode="drop")
+                count_rep = count_rep.at[
+                    jnp.where(ok, road_key, Rp)
+                ].add(1, mode="drop")
+
+                if sorted_fast:
+                    inserted_cur = jax.lax.dynamic_update_slice_in_dim(
+                        inserted_cur, win_ins | ok, lo, axis=0
+                    )
+                else:
+                    stage = jnp.zeros((A,), jnp.int32).at[
+                        jnp.where(ok, win_ids, A)
+                    ].set(1, mode="drop")
+                    inserted_cur = inserted_cur | (stage > 0)
+
+                settled = win_ins | ok
+                sat = win_dep[W - 1] <= t
+                return (fids, farr, fdep, fdst, count_rep, inserted_cur,
+                        settled, sat, start)
+
+            (fids, farr, fdep, fdst, count_rep, inserted_cur, settled0,
+             sat0, start0) = _one_pass(
+                road.fifo_ids, road.fifo_arrival, road.fifo_departure,
+                road.fifo_dest, count_g, agents.inserted,
+                st.insert_ptr.astype(jnp.int32), None,
+            )
+            adv0 = jnp.min(jnp.where(settled0, W, pos_w))
+
+            if not sim.insert_escalate:
+                new_ptr = jnp.minimum(start0 + adv0, A).astype(jnp.int32)
+                overflow = sat0.astype(jnp.float32)
+            else:
+                def icond(c):
+                    return c[7] & (c[8] < limit)
+
+                def ibody(c):
+                    (fids, farr, fdep, fdst, count_rep, inserted_cur,
+                     _settled, _sat, start_prev, adv, adv_open, extra) = c
+                    off = start_prev + W
+                    (fids, farr, fdep, fdst, count_rep, inserted_cur,
+                     settled, sat, start) = _one_pass(
+                        fids, farr, fdep, fdst, count_rep, inserted_cur,
+                        off, count0_rep,
+                    )
+                    adv_k = jnp.min(jnp.where(settled, W, pos_w))
+                    contiguous = start == off
+                    adv = jnp.where(adv_open & contiguous, adv + adv_k, adv)
+                    adv_open = adv_open & contiguous & (adv_k == W)
+                    return (fids, farr, fdep, fdst, count_rep, inserted_cur,
+                            settled, sat, start, adv, adv_open, extra + 1.0)
+
+                (fids, farr, fdep, fdst, count_rep, inserted_cur, _s, _sat,
+                 _start, adv, _open, extra) = jax.lax.while_loop(
+                    icond, ibody,
+                    (fids, farr, fdep, fdst, count_rep, inserted_cur,
+                     settled0, sat0, start0, adv0, adv0 == W,
+                     jnp.zeros((), jnp.float32)),
+                )
+                new_ptr = jnp.minimum(start0 + adv, A).astype(jnp.int32)
+                overflow = extra
+
+            road = road._replace(
+                fifo_ids=fids, fifo_arrival=farr, fifo_departure=fdep,
+                fifo_dest=fdst,
+                count=jax.lax.dynamic_slice_in_dim(count_rep, block0, rl),
+            )
+            agents = agents._replace(inserted=inserted_cur)
+            st = st._replace(insert_ptr=new_ptr)
+        elif not use_backlog:
             ready = (agents.departure <= t) & (~agents.on_way) & (~agents.done)
             if primal and primal_dests is not None:
                 # Dest-restricted entry lookup (make_primal_dest_parts.
@@ -555,83 +748,86 @@ def run_episode_shard_map(
 
         # ---- withdraw (local roads, psum agent merge; same hybrid slot
         # formulation as core.withdraw) ------------------------------------
-        from ..core.withdraw import _SLOT_UNROLL_MAX
+        if "withdraw" in _skip:
+            wcount = jnp.zeros((rl,), jnp.int32)
+        else:
+            from ..core.withdraw import _SLOT_UNROLL_MAX
 
-        K = nmax if sim.withdraw_depth is None else min(sim.withdraw_depth, nmax)
-        road_dest_local = jax.lax.dynamic_slice_in_dim(
-            road_dest_p, block0, rl
-        )
-
-        def _wscan(head, count):
-            if K <= _SLOT_UNROLL_MAX:
-                colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
-                lpw = (colw - head[:, None]) % nmax
-                run = jnp.ones((rl,), bool)
-                wid_rows = []
-                for k in range(K):
-                    at_k = lpw == k
-                    ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
-                    dep_k = jnp.where(
-                        at_k, road.fifo_departure, 0.0
-                    ).sum(axis=1)
-                    dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
-                    eligible = (
-                        (dest_k == road_dest_local)
-                        & (dep_k <= t)
-                        & (k < count)
-                    )
-                    run = run & eligible
-                    wid_rows.append(jnp.where(run, ids_k, A))
-                wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
-                wids = jnp.concatenate(wid_rows)
-            else:
-                logical = jnp.arange(K, dtype=jnp.int32)
-                phys = (head[:, None] + logical[None, :]) % nmax
-                w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
-                w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
-                w_dst = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
-                eligible = (
-                    (w_dst == road_dest_local[:, None])
-                    & (w_dep <= t)
-                    & (logical[None, :] < count[:, None])
-                )
-                cum = jnp.cumprod(
-                    eligible.astype(jnp.int32), axis=1
-                ).astype(bool)
-                wcount = cum.sum(axis=1).astype(jnp.int32)
-                wids = jnp.where(cum, w_ids, A).reshape(-1)
-            return wids, wcount
-
-        wids, wcount = _wscan(road.head, road.count)
-        wd = jnp.zeros((A,), jnp.int32).at[wids].set(1, mode="drop")
-        head_w = (road.head + wcount) % nmax
-        count_w = road.count - wcount
-        if sim.withdraw_escalate and K < nmax:
-            # Depth-saturation escalation, mirroring core.withdraw: extra
-            # local scans while some LOCAL road's run hit the bound.  The
-            # shard-local while_loop may run different pass counts per
-            # shard; the psum below is the only cross-shard merge and sums
-            # the accumulated masks regardless.
-            def wcond(c):
-                return jnp.any(c[3] == K)
-
-            def wbody(c):
-                head, count, wd, _last, total = c
-                wids_k, w_k = _wscan(head, count)
-                wd = wd.at[wids_k].set(1, mode="drop")
-                return ((head + w_k) % nmax, count - w_k, wd, w_k,
-                        total + w_k)
-
-            head_w, count_w, wd, _, wcount = jax.lax.while_loop(
-                wcond, wbody, (head_w, count_w, wd, wcount, wcount)
+            K = nmax if sim.withdraw_depth is None else min(sim.withdraw_depth, nmax)
+            road_dest_local = jax.lax.dynamic_slice_in_dim(
+                road_dest_p, block0, rl
             )
-        road = road._replace(head=head_w, count=count_w)
-        wd = jax.lax.psum(wd, AXIS)
-        withdrew = wd > 0
-        agents = agents._replace(
-            arrival=jnp.where(withdrew, t, agents.arrival),
-        )
-        st = st._replace(agents=agents)
+
+            def _wscan(head, count):
+                if K <= _SLOT_UNROLL_MAX:
+                    colw = jnp.arange(nmax, dtype=jnp.int32)[None, :]
+                    lpw = (colw - head[:, None]) % nmax
+                    run = jnp.ones((rl,), bool)
+                    wid_rows = []
+                    for k in range(K):
+                        at_k = lpw == k
+                        ids_k = jnp.where(at_k, road.fifo_ids, 0).sum(axis=1)
+                        dep_k = jnp.where(
+                            at_k, road.fifo_departure, 0.0
+                        ).sum(axis=1)
+                        dest_k = jnp.where(at_k, road.fifo_dest, 0).sum(axis=1)
+                        eligible = (
+                            (dest_k == road_dest_local)
+                            & (dep_k <= t)
+                            & (k < count)
+                        )
+                        run = run & eligible
+                        wid_rows.append(jnp.where(run, ids_k, A))
+                    wcount = sum(r < A for r in wid_rows).astype(jnp.int32)
+                    wids = jnp.concatenate(wid_rows)
+                else:
+                    logical = jnp.arange(K, dtype=jnp.int32)
+                    phys = (head[:, None] + logical[None, :]) % nmax
+                    w_ids = jnp.take_along_axis(road.fifo_ids, phys, axis=1)
+                    w_dep = jnp.take_along_axis(road.fifo_departure, phys, axis=1)
+                    w_dst = jnp.take_along_axis(road.fifo_dest, phys, axis=1)
+                    eligible = (
+                        (w_dst == road_dest_local[:, None])
+                        & (w_dep <= t)
+                        & (logical[None, :] < count[:, None])
+                    )
+                    cum = jnp.cumprod(
+                        eligible.astype(jnp.int32), axis=1
+                    ).astype(bool)
+                    wcount = cum.sum(axis=1).astype(jnp.int32)
+                    wids = jnp.where(cum, w_ids, A).reshape(-1)
+                return wids, wcount
+
+            wids, wcount = _wscan(road.head, road.count)
+            wd = jnp.zeros((A,), jnp.int32).at[wids].set(1, mode="drop")
+            head_w = (road.head + wcount) % nmax
+            count_w = road.count - wcount
+            if sim.withdraw_escalate and K < nmax:
+                # Depth-saturation escalation, mirroring core.withdraw: extra
+                # local scans while some LOCAL road's run hit the bound.  The
+                # shard-local while_loop may run different pass counts per
+                # shard; the psum below is the only cross-shard merge and sums
+                # the accumulated masks regardless.
+                def wcond(c):
+                    return jnp.any(c[3] == K)
+
+                def wbody(c):
+                    head, count, wd, _last, total = c
+                    wids_k, w_k = _wscan(head, count)
+                    wd = wd.at[wids_k].set(1, mode="drop")
+                    return ((head + w_k) % nmax, count - w_k, wd, w_k,
+                            total + w_k)
+
+                head_w, count_w, wd, _, wcount = jax.lax.while_loop(
+                    wcond, wbody, (head_w, count_w, wd, wcount, wcount)
+                )
+            road = road._replace(head=head_w, count=count_w)
+            wd = jax.lax.psum(wd, AXIS)
+            withdrew = wd > 0
+            agents = agents._replace(
+                arrival=jnp.where(withdrew, t, agents.arrival),
+            )
+            st = st._replace(agents=agents)
 
         # ---- choice (replicated computation on every shard) -------------
         # Halo #2: post-withdraw head summary, shared by choice and core.
@@ -899,199 +1095,207 @@ def run_episode_shard_map(
                 next_hop=next_hop, choice_count=st.choice_count + 1
             )
         else:
-            st2, _ = random_choice(st, network)
-            sel = st2.selected_road
-            key = st2.key
-            st = st._replace(
-                next_hop=st2.next_hop, choice_count=st2.choice_count
-            )
+            if "choice" in _skip:
+                sel = st.selected_road
+                key = st.key
+            else:
+                st2, _ = random_choice(st, network)
+                sel = st2.selected_road
+                key = st2.key
+                st = st._replace(
+                    next_hop=st2.next_hop, choice_count=st2.choice_count
+                )
 
         # ---- core: fused direction + response, slot-major local block ----
         # Mirrors core.direction exactly: same replicated [KIN, R] Gumbel
         # matrix (column-sliced to the block), same masks, same
         # ascending-slot strict-> tie-break — bitwise-equal winners.
-        key, k_dir = jax.random.split(key)
-        count_v_f = road.count.astype(jnp.float32)  # local [rl]
-        cap_l = jax.lax.dynamic_slice_in_dim(capp, block0, rl)
-        ff_l = jax.lax.dynamic_slice_in_dim(ffp, block0, rl)
-        cc_l = jax.lax.dynamic_slice_in_dim(ccp, block0, rl)
-        space_ok = count_v_f < cap_l - physics.congestion_buffer
-        v_free = cap_l - count_v_f
-        v_slot_ok = count_v_f < cap_l
-        v_global = block0 + rows_local
-
-        # Upstream state packed into one int32 per road, exactly as
-        # core.direction (one gather per slot instead of three).
-        from ..core.direction import pack_upstream, upstream_pack_layout
-
-        shift_free, shift_sel, free_mask = upstream_pack_layout(R, nmax)
-        sel_r = sel[:R]
-        sel_enc = _pad1(jnp.where(
-            (sel_r >= 0) & (sel_r < R), sel_r, R
-        ).astype(jnp.int32), R)
-        pack = pack_upstream(
-            head_dep_g, count_g, capp, sel_enc, t, physics, R, nmax
-        )
-
-        from ..core.rng import direction_gumbel
-
-        gumbel_full = _padcols(direction_gumbel(k_dir, network), 0.0)
-        gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
-        if use_roll_in:
-            # Roll-plan evaluation of pack/head-id/head-dest at each in-slot
-            # (the three gathers share one plan, like core.direction).
-            mat_in = jnp.stack(
-                [pack[:R], head_id_g[:R], head_dest_g[:R]]
-            ).astype(jnp.int32)                                   # [3, R]
-            exc_vals = mat_in[:, network.in_roll_exc_src]         # [3, E]
-            overlay = jnp.zeros((KIN, 3, Rp), jnp.int32)
-            if network.in_roll_exc_src.shape[0]:
-                overlay = overlay.at[
-                    network.in_roll_exc_k, :, network.in_roll_exc_v
-                ].set(exc_vals.T)
-            sel_blk = jax.lax.dynamic_slice(
-                in_sel_p, (0, block0), (KIN, rl)
-            )
-            exc_blk = jax.lax.dynamic_slice(
-                overlay, (0, 0, block0), (KIN, 3, rl)
-            )
-            rolled_in = _block_roll_read(
-                mat_in, network.in_roll_shift, sel_blk, exc_blk,
-                block0, rl, R,
-            )                                                     # [KIN,3,rl]
-        def _winner_loop_xla():
-            best = jnp.full((rl,), -jnp.inf, jnp.float32)
-            win_slot = jnp.zeros((rl,), jnp.int32)
-            accept = jnp.zeros((rl,), bool)
-            chosen_id = jnp.zeros((rl,), jnp.int32)
-            chosen_dest = jnp.zeros((rl,), jnp.int32)
-            u_slices = []
-            for k in range(KIN):
-                u_k = jax.lax.dynamic_slice_in_dim(
-                    in_src_p[k], block0, rl
-                )
-                u_slices.append(u_k)
-                ok_k = jax.lax.dynamic_slice_in_dim(
-                    in_ok_p[k], block0, rl
-                )
-                logit_k = jax.lax.dynamic_slice_in_dim(
-                    in_logit_p[k], block0, rl
-                )
-                p_k = rolled_in[k, 0] if use_roll_in else pack[u_k]
-                dep_ok = (p_k & 1) > 0
-                nonempty = (p_k & 2) > 0
-                stuck = (p_k & 4) > 0
-                u_free = ((p_k >> shift_free) & free_mask).astype(jnp.float32)
-                u_full = u_free <= physics.congestion_buffer
-                wants_v = (p_k >> shift_sel) == v_global
-                mask = dep_ok & space_ok & wants_v & nonempty
-                mask = mask | (
-                    stuck & u_full & (u_free <= v_free) & wants_v & nonempty
-                    & v_slot_ok
-                )
-                mask = mask & ok_k
-                s_k = jnp.where(mask, logit_k + gumbel_l[k], -jnp.inf)
-                take = s_k > best
-                best = jnp.where(take, s_k, best)
-                win_slot = jnp.where(take, k, win_slot)
-                if use_roll_in:
-                    chosen_id = jnp.where(take, rolled_in[k, 1], chosen_id)
-                    chosen_dest = jnp.where(take, rolled_in[k, 2], chosen_dest)
-                accept = accept | take
-
-            win_u = jnp.zeros((rl,), jnp.int32)
-            for k in range(KIN):
-                win_u = jnp.where(win_slot == k, u_slices[k], win_u)
-            win_u = jnp.where(accept, win_u, Rp)
-            if use_roll_in:
-                chosen = jnp.where(accept, chosen_id, 0)
-            else:
-                chosen = jnp.where(
-                    accept, head_id_g[jnp.minimum(win_u, Rp - 1)], 0
-                )
-            return accept, win_u, chosen, chosen_dest
-
-        if use_fused_winner:
-            # One Pallas kernel per shard replaces the ~10*KIN vector ops of
-            # _winner_loop_xla (the launch-bound mid-section on real
-            # meshes); the kernel applies the sentinel guard itself, so the
-            # shared re-derivation below is a bitwise no-op on its outputs.
-            logit_blk = jax.lax.dynamic_slice(
-                in_logit_p, (0, block0), (KIN, rl)
-            )
-            src_blk = jax.lax.dynamic_slice(in_src_p, (0, block0), (KIN, rl))
-            ok_blk = jax.lax.dynamic_slice(in_ok_p, (0, block0), (KIN, rl))
-            accept, win_u, chosen, chosen_dest = fused_shard_winner(
-                rolled_in[:, 0], rolled_in[:, 1], rolled_in[:, 2],
-                gumbel_l, logit_blk, src_blk, ok_blk, count_v_f, cap_l,
-                v_global, Rp, physics, (shift_free, shift_sel, free_mask),
-            )
-        else:
-            accept, win_u, chosen, chosen_dest = _winner_loop_xla()
-
-        accept = chosen != 0  # sentinel guard (direction_mpnn.py:194)
-        win_u = jnp.where(accept, win_u, Rp)
-
-        slot2 = (road.head + road.count) % nmax
-        rows2 = jnp.where(accept, rows_local, rl)
-        tc2 = cc_l / (cap_l + physics.congestion_softening - count_v_f)
-        tt2 = jnp.maximum(ff_l, tc2)
-        fifo_ids = road.fifo_ids.at[rows2, slot2].set(chosen, mode="drop")
-        fifo_arr = road.fifo_arrival.at[rows2, slot2].set(
-            jnp.broadcast_to(t, (rl,)), mode="drop"
-        )
-        fifo_dep = road.fifo_departure.at[rows2, slot2].set(
-            t + tt2, mode="drop"
-        )
-        if use_roll_in:
-            dest_v = jnp.where(accept, chosen_dest, 0)
-        else:
-            dest_v = jnp.where(
-                accept, head_dest_g[jnp.minimum(win_u, Rp - 1)], 0
-            )
-        fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(dest_v, mode="drop")
-        new_count = road.count + accept.astype(jnp.int32)
-
-        # response: tell the winning upstream's shard to pop (all_gather)
-        winners_g = jax.lax.all_gather(
-            jnp.where(accept, win_u, Rp), AXIS, tiled=True
-        )  # [Rp]
-        if use_roll_out:
-            # Roll the winner record to each road's out-slots and compare
-            # against the road's own index (core.response confirm roll) —
-            # the [Rp]-index pop scatter becomes a few block slices.
-            win_mat = winners_g[:R][None, :]                      # [1, R]
-            exc_w = win_mat[:, network.out_roll_exc_src]          # [1, E]
-            overlay_w = jnp.zeros((KOUT, 1, Rp), jnp.int32)
-            if network.out_roll_exc_src.shape[0]:
-                overlay_w = overlay_w.at[
-                    network.out_roll_exc_k, :, network.out_roll_exc_v
-                ].set(exc_w.T)
-            osel_blk = jax.lax.dynamic_slice(
-                out_sel_p, (0, block0), (KOUT, rl)
-            )
-            oexc_blk = jax.lax.dynamic_slice(
-                overlay_w, (0, 0, block0), (KOUT, 1, rl)
-            )
-            w_rows = _block_roll_read(
-                win_mat, network.out_roll_shift, osel_blk, oexc_blk,
-                block0, rl, R,
-            )[:, 0]                                               # [KOUT, rl]
+        if "core" in _skip:
+            key, _ = jax.random.split(key)
             popped = jnp.zeros((rl,), bool)
-            for k in range(KOUT):
-                ook_k = jax.lax.dynamic_slice_in_dim(
-                    out_ok_p[k], block0, rl
-                )
-                popped = popped | (ook_k & (w_rows[k] == v_global))
         else:
-            pops_full = jnp.zeros((Rp + 1,), bool).at[winners_g].set(True)
-            popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
-        road = road._replace(
-            fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
-            fifo_dest=fifo_dst2,
-            head=(road.head + popped.astype(jnp.int32)) % nmax,
-            count=new_count - popped.astype(jnp.int32),
-        )
+            key, k_dir = jax.random.split(key)
+            count_v_f = road.count.astype(jnp.float32)  # local [rl]
+            cap_l = jax.lax.dynamic_slice_in_dim(capp, block0, rl)
+            ff_l = jax.lax.dynamic_slice_in_dim(ffp, block0, rl)
+            cc_l = jax.lax.dynamic_slice_in_dim(ccp, block0, rl)
+            space_ok = count_v_f < cap_l - physics.congestion_buffer
+            v_free = cap_l - count_v_f
+            v_slot_ok = count_v_f < cap_l
+            v_global = block0 + rows_local
+
+            # Upstream state packed into one int32 per road, exactly as
+            # core.direction (one gather per slot instead of three).
+            from ..core.direction import pack_upstream, upstream_pack_layout
+
+            shift_free, shift_sel, free_mask = upstream_pack_layout(R, nmax)
+            sel_r = sel[:R]
+            sel_enc = _pad1(jnp.where(
+                (sel_r >= 0) & (sel_r < R), sel_r, R
+            ).astype(jnp.int32), R)
+            pack = pack_upstream(
+                head_dep_g, count_g, capp, sel_enc, t, physics, R, nmax
+            )
+
+            from ..core.rng import direction_gumbel
+
+            gumbel_full = _padcols(direction_gumbel(k_dir, network), 0.0)
+            gumbel_l = jax.lax.dynamic_slice(gumbel_full, (0, block0), (KIN, rl))
+            if use_roll_in:
+                # Roll-plan evaluation of pack/head-id/head-dest at each in-slot
+                # (the three gathers share one plan, like core.direction).
+                mat_in = jnp.stack(
+                    [pack[:R], head_id_g[:R], head_dest_g[:R]]
+                ).astype(jnp.int32)                                   # [3, R]
+                exc_vals = mat_in[:, network.in_roll_exc_src]         # [3, E]
+                overlay = jnp.zeros((KIN, 3, Rp), jnp.int32)
+                if network.in_roll_exc_src.shape[0]:
+                    overlay = overlay.at[
+                        network.in_roll_exc_k, :, network.in_roll_exc_v
+                    ].set(exc_vals.T)
+                sel_blk = jax.lax.dynamic_slice(
+                    in_sel_p, (0, block0), (KIN, rl)
+                )
+                exc_blk = jax.lax.dynamic_slice(
+                    overlay, (0, 0, block0), (KIN, 3, rl)
+                )
+                rolled_in = _block_roll_read(
+                    mat_in, network.in_roll_shift, sel_blk, exc_blk,
+                    block0, rl, R,
+                )                                                     # [KIN,3,rl]
+            def _winner_loop_xla():
+                best = jnp.full((rl,), -jnp.inf, jnp.float32)
+                win_slot = jnp.zeros((rl,), jnp.int32)
+                accept = jnp.zeros((rl,), bool)
+                chosen_id = jnp.zeros((rl,), jnp.int32)
+                chosen_dest = jnp.zeros((rl,), jnp.int32)
+                u_slices = []
+                for k in range(KIN):
+                    u_k = jax.lax.dynamic_slice_in_dim(
+                        in_src_p[k], block0, rl
+                    )
+                    u_slices.append(u_k)
+                    ok_k = jax.lax.dynamic_slice_in_dim(
+                        in_ok_p[k], block0, rl
+                    )
+                    logit_k = jax.lax.dynamic_slice_in_dim(
+                        in_logit_p[k], block0, rl
+                    )
+                    p_k = rolled_in[k, 0] if use_roll_in else pack[u_k]
+                    dep_ok = (p_k & 1) > 0
+                    nonempty = (p_k & 2) > 0
+                    stuck = (p_k & 4) > 0
+                    u_free = ((p_k >> shift_free) & free_mask).astype(jnp.float32)
+                    u_full = u_free <= physics.congestion_buffer
+                    wants_v = (p_k >> shift_sel) == v_global
+                    mask = dep_ok & space_ok & wants_v & nonempty
+                    mask = mask | (
+                        stuck & u_full & (u_free <= v_free) & wants_v & nonempty
+                        & v_slot_ok
+                    )
+                    mask = mask & ok_k
+                    s_k = jnp.where(mask, logit_k + gumbel_l[k], -jnp.inf)
+                    take = s_k > best
+                    best = jnp.where(take, s_k, best)
+                    win_slot = jnp.where(take, k, win_slot)
+                    if use_roll_in:
+                        chosen_id = jnp.where(take, rolled_in[k, 1], chosen_id)
+                        chosen_dest = jnp.where(take, rolled_in[k, 2], chosen_dest)
+                    accept = accept | take
+
+                win_u = jnp.zeros((rl,), jnp.int32)
+                for k in range(KIN):
+                    win_u = jnp.where(win_slot == k, u_slices[k], win_u)
+                win_u = jnp.where(accept, win_u, Rp)
+                if use_roll_in:
+                    chosen = jnp.where(accept, chosen_id, 0)
+                else:
+                    chosen = jnp.where(
+                        accept, head_id_g[jnp.minimum(win_u, Rp - 1)], 0
+                    )
+                return accept, win_u, chosen, chosen_dest
+
+            if use_fused_winner:
+                # One Pallas kernel per shard replaces the ~10*KIN vector ops of
+                # _winner_loop_xla (the launch-bound mid-section on real
+                # meshes); the kernel applies the sentinel guard itself, so the
+                # shared re-derivation below is a bitwise no-op on its outputs.
+                logit_blk = jax.lax.dynamic_slice(
+                    in_logit_p, (0, block0), (KIN, rl)
+                )
+                src_blk = jax.lax.dynamic_slice(in_src_p, (0, block0), (KIN, rl))
+                ok_blk = jax.lax.dynamic_slice(in_ok_p, (0, block0), (KIN, rl))
+                accept, win_u, chosen, chosen_dest = fused_shard_winner(
+                    rolled_in[:, 0], rolled_in[:, 1], rolled_in[:, 2],
+                    gumbel_l, logit_blk, src_blk, ok_blk, count_v_f, cap_l,
+                    v_global, Rp, physics, (shift_free, shift_sel, free_mask),
+                )
+            else:
+                accept, win_u, chosen, chosen_dest = _winner_loop_xla()
+
+            accept = chosen != 0  # sentinel guard (direction_mpnn.py:194)
+            win_u = jnp.where(accept, win_u, Rp)
+
+            slot2 = (road.head + road.count) % nmax
+            rows2 = jnp.where(accept, rows_local, rl)
+            tc2 = cc_l / (cap_l + physics.congestion_softening - count_v_f)
+            tt2 = jnp.maximum(ff_l, tc2)
+            fifo_ids = road.fifo_ids.at[rows2, slot2].set(chosen, mode="drop")
+            fifo_arr = road.fifo_arrival.at[rows2, slot2].set(
+                jnp.broadcast_to(t, (rl,)), mode="drop"
+            )
+            fifo_dep = road.fifo_departure.at[rows2, slot2].set(
+                t + tt2, mode="drop"
+            )
+            if use_roll_in:
+                dest_v = jnp.where(accept, chosen_dest, 0)
+            else:
+                dest_v = jnp.where(
+                    accept, head_dest_g[jnp.minimum(win_u, Rp - 1)], 0
+                )
+            fifo_dst2 = road.fifo_dest.at[rows2, slot2].set(dest_v, mode="drop")
+            new_count = road.count + accept.astype(jnp.int32)
+
+            # response: tell the winning upstream's shard to pop (all_gather)
+            winners_g = jax.lax.all_gather(
+                jnp.where(accept, win_u, Rp), AXIS, tiled=True
+            )  # [Rp]
+            if use_roll_out:
+                # Roll the winner record to each road's out-slots and compare
+                # against the road's own index (core.response confirm roll) —
+                # the [Rp]-index pop scatter becomes a few block slices.
+                win_mat = winners_g[:R][None, :]                      # [1, R]
+                exc_w = win_mat[:, network.out_roll_exc_src]          # [1, E]
+                overlay_w = jnp.zeros((KOUT, 1, Rp), jnp.int32)
+                if network.out_roll_exc_src.shape[0]:
+                    overlay_w = overlay_w.at[
+                        network.out_roll_exc_k, :, network.out_roll_exc_v
+                    ].set(exc_w.T)
+                osel_blk = jax.lax.dynamic_slice(
+                    out_sel_p, (0, block0), (KOUT, rl)
+                )
+                oexc_blk = jax.lax.dynamic_slice(
+                    overlay_w, (0, 0, block0), (KOUT, 1, rl)
+                )
+                w_rows = _block_roll_read(
+                    win_mat, network.out_roll_shift, osel_blk, oexc_blk,
+                    block0, rl, R,
+                )[:, 0]                                               # [KOUT, rl]
+                popped = jnp.zeros((rl,), bool)
+                for k in range(KOUT):
+                    ook_k = jax.lax.dynamic_slice_in_dim(
+                        out_ok_p[k], block0, rl
+                    )
+                    popped = popped | (ook_k & (w_rows[k] == v_global))
+            else:
+                pops_full = jnp.zeros((Rp + 1,), bool).at[winners_g].set(True)
+                popped = jax.lax.dynamic_slice_in_dim(pops_full, block0, rl)
+            road = road._replace(
+                fifo_ids=fifo_ids, fifo_arrival=fifo_arr, fifo_departure=fifo_dep,
+                fifo_dest=fifo_dst2,
+                head=(road.head + popped.astype(jnp.int32)) % nmax,
+                count=new_count - popped.astype(jnp.int32),
+            )
 
         # ---- road-optimality series (replicated elementwise; the per-edge
         # delta depends only on the source road, so the per-source reduction
