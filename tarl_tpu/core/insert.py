@@ -527,9 +527,12 @@ def backlog_frontier_append(qpack, qcount, qhead, static_tab, ptr, time, *,
     A = static_tab.shape[0]
     F = min(window, A - 1)
     pos_f = jnp.arange(F, dtype=jnp.int32)
+    # One packed head/count word per SRC (qhead < Q, qcount <= Q: base Q+1
+    # fits int32 up to Q ~ 46k) — halves the queue-state gathers per pass.
+    qhc = qhead * (Q + 1) + qcount
 
     def append_pass(c):
-        qpack, qcount, ptr, _sat, overflow = c
+        qpack, qhc, ptr, _sat, overflow = c
         lo = jnp.minimum(ptr + 1, A - F).astype(jnp.int32)
         skip = ptr + 1 - lo          # clamped-slice prefix already consumed
         ids = lo + pos_f
@@ -549,17 +552,20 @@ def backlog_frontier_append(qpack, qcount, qhead, static_tab, ptr, time, *,
             & (pos_f[None, :] < pos_f[:, None])
         )
         rank = jnp.sum(same, axis=1).astype(jnp.int32)
-        qpos = qcount[o] + rank
+        qhc_o = qhc[o]                               # ONE queue-state gather
+        qpos = qhc_o % (Q + 1) + rank
         roomok = qpos < Q
         consumable = (~fresh) | (due & roomok)
         adv = jnp.min(jnp.where(consumable, F, pos_f))
         band = due & roomok & (pos_f < adv)
         rows = jnp.where(band, o, S)                 # S -> dropped
-        col = (qhead[o] + qpos) % Q
+        col = (qhc_o // (Q + 1) + qpos) % Q
         qpack = qpack.at[rows, col].set(
             jnp.stack([ids, dest], axis=-1), mode="drop"
         )
-        qcount = qcount.at[rows].add(1, mode="drop")
+        # count + 1 carries no overflow into the head field: roomok bounds
+        # the new count by Q.
+        qhc = qhc.at[rows].add(1, mode="drop")
         new_ptr = (lo - 1 + adv).astype(jnp.int32)
         # Full slice consumed -> more agents may be due (re-pass); a stall
         # on a DUE agent is a queue overflow (bounded deviation active).
@@ -567,20 +573,20 @@ def backlog_frontier_append(qpack, qcount, qhead, static_tab, ptr, time, *,
         due_at_stop = jnp.sum(
             jnp.where(pos_f == adv, due & ~roomok, False)
         )
-        return qpack, qcount, new_ptr, sat, \
+        return qpack, qhc, new_ptr, sat, \
             overflow + due_at_stop.astype(jnp.float32)
 
     state0 = append_pass((
-        qpack, qcount, ptr.astype(jnp.int32),
+        qpack, qhc, ptr.astype(jnp.int32),
         jnp.bool_(True), jnp.zeros((), jnp.float32),
     ))
     if escalate:
-        qpack, qcount, new_ptr, _sat, overflow = jax.lax.while_loop(
+        qpack, qhc, new_ptr, _sat, overflow = jax.lax.while_loop(
             lambda c: c[3], append_pass, state0
         )
     else:
-        qpack, qcount, new_ptr, _sat, overflow = state0
-    return qpack, qcount, new_ptr, overflow
+        qpack, qhc, new_ptr, _sat, overflow = state0
+    return qpack, qhc % (Q + 1), new_ptr, overflow
 
 
 def insert_agents_backlogged(
@@ -594,7 +600,7 @@ def insert_agents_backlogged(
     window: int,
     physics: PhysicsConfig = DEFAULT_PHYSICS,
     escalate: bool = True,
-    compact: int | str | None = "auto",  # unused; kept for call symmetry
+    compact: int | str | None = "auto",  # drain-scatter compaction budget
     pop_width: int | None = None,
     update_inserted: bool = True,
 ):
@@ -666,6 +672,9 @@ def insert_agents_backlogged(
     count0 = road.count                               # stamp snapshot
     cap_f = network.capacity
     buf = physics.congestion_buffer
+    compact = _resolve_compact(
+        "auto" if compact is None else compact, S * P
+    )
 
     # --- 1. frontier appends ------------------------------------------------
     # One packed [A, 3] row table (dep/origin/dest) — loop-invariant when
@@ -686,62 +695,104 @@ def insert_agents_backlogged(
     )
 
     # --- 2. drain: queue front -> road FIFOs --------------------------------
-    # Per-SRC departure stamp of this tick (tick-start occupancy, the
-    # reference's stamp-before-the-whole-insert, base.py:313-325).
-    c0_g = count0[g_safe].astype(jnp.float32)
+    # r5 consolidation (VERDICT r4 #6, the r3 insert recipe applied to the
+    # backlog tick): the per-SRC loop-invariant reads collapse into TWO row
+    # gathers — one packed head/count word (both < Nmax+1) and one static
+    # [R, 3] row of the hoisted road table; the per-pass ``count[g_safe]``
+    # re-gather becomes a LOCAL ``cnt_s`` vector (sound because a road is
+    # only ever bid by its tail SRC, so drained rows are distinct and no
+    # other writer touches them inside the loop); the road.count
+    # scatter-add moves OUT of the loop (one scatter of the per-SRC take
+    # totals); and at S*P >= 4096 candidates the four FIFO scatters run
+    # COMPACTED (stable top_k of the active flags — the insert_compact /
+    # withdraw_compact trick; overflow ticks take the full scatter through
+    # lax.cond, bitwise-identical either way).  Departure stamps unchanged:
+    # tick-start occupancy (base.py:313-325).
+    hc0 = road.head * (Nmax + 1) + count0              # [R] elementwise pack
+    hc_g = hc0[g_safe]                                 # one gather
+    head_g = hc_g // (Nmax + 1)                        # static during insert
+    c0_s = hc_g % (Nmax + 1)                           # tick-start count
+    rs_g = _road_static_tab(network)[g_safe]           # [S, 3] one row gather
+    cap_g, cc_g, ff_g = rs_g[:, 0], rs_g[:, 1], rs_g[:, 2]
     tt_g = jnp.maximum(
-        network.free_flow[g_safe],
-        network.congestion_constant[g_safe]
-        / (cap_f[g_safe] + physics.congestion_softening - c0_g),
+        ff_g,
+        cc_g / (cap_g + physics.congestion_softening
+                - c0_s.astype(jnp.float32)),
     )
     dep_stamp_g = time + tt_g                          # [S]
-    head_g = road.head[g_safe]                         # static during insert
     pcol = jnp.arange(P, dtype=jnp.int32)[None, :]
-
-    def _remaining(count):
-        return (
-            cap_f[g_safe] - buf - count[g_safe].astype(jnp.float32)
-        ).astype(jnp.int32)
+    rem_cap = (cap_g - buf).astype(jnp.int32)          # loop-invariant
 
     def drain_cond(c):
-        fids, farr, fdep, fdst, count, qhead, qc, ins = c
-        return jnp.any(gvalid & (qc > 0) & (_remaining(count) > 0))
+        fids, farr, fdep, fdst, cnt_s, qhead, qc, ins = c
+        return jnp.any(gvalid & (qc > 0) & (rem_cap > cnt_s))
 
     def drain_body(c):
-        fids, farr, fdep, fdst, count, qhead, qc, ins = c
-        cnt_g = count[g_safe]
-        rem = _remaining(count)
+        fids, farr, fdep, fdst, cnt_s, qhead, qc, ins = c
+        rem = rem_cap - cnt_s
         take = jnp.clip(jnp.minimum(qc, rem), 0, P)
         take = jnp.where(gvalid, take, 0)
         phys = (qhead[:, None] + pcol) % Q             # [S, P]
         pk = jnp.take_along_axis(qpack, phys[:, :, None], axis=1)  # [S,P,2]
-        ids_p = pk[..., 0]
-        dst_p = pk[..., 1]
-        active = pcol < take[:, None]
-        slot = (head_g[:, None] + cnt_g[:, None] + pcol) % Nmax
-        rows = jnp.where(active, g_safe[:, None], R)   # R -> dropped
-        fids = fids.at[rows, slot].set(ids_p, mode="drop")
-        farr = farr.at[rows, slot].set(
-            jnp.broadcast_to(time, (S, P)), mode="drop"
-        )
-        fdep = fdep.at[rows, slot].set(
-            jnp.broadcast_to(dep_stamp_g[:, None], (S, P)), mode="drop"
-        )
-        fdst = fdst.at[rows, slot].set(dst_p, mode="drop")
-        if update_inserted:
-            ins = ins.at[jnp.where(active, ids_p, A)].set(1, mode="drop")
-        count = count.at[jnp.where(take > 0, g_safe, R)].add(
-            take, mode="drop"
-        )
+        ids_p = pk[..., 0].reshape(-1)
+        dst_p = pk[..., 1].reshape(-1)
+        active = (pcol < take[:, None]).reshape(-1)
+        slot = ((head_g[:, None] + cnt_s[:, None] + pcol) % Nmax).reshape(-1)
+        rows = jnp.where(
+            active, jnp.broadcast_to(g_safe[:, None], (S, P)).reshape(-1), R
+        )                                              # R -> dropped
+        dep_p = jnp.broadcast_to(dep_stamp_g[:, None], (S, P)).reshape(-1)
+
+        def _fifo_write(rws, slt, ids_v, dst_v, dep_v, ins_ids, c4):
+            fids, farr, fdep, fdst, ins = c4
+            fids = fids.at[rws, slt].set(ids_v, mode="drop")
+            farr = farr.at[rws, slt].set(
+                jnp.broadcast_to(time, ids_v.shape), mode="drop"
+            )
+            fdep = fdep.at[rws, slt].set(dep_v, mode="drop")
+            fdst = fdst.at[rws, slt].set(dst_v, mode="drop")
+            if update_inserted:
+                ins = ins.at[ins_ids].set(1, mode="drop")
+            return fids, farr, fdep, fdst, ins
+
+        c4 = (fids, farr, fdep, fdst, ins)
+        if compact is not None and 0 < compact < S * P:
+            flags = active.astype(jnp.int32)
+            topf, topi = jax.lax.top_k(flags, compact)
+            selm = topf > 0
+            c_rows = jnp.where(selm, rows[topi], R)
+            fids, farr, fdep, fdst, ins = jax.lax.cond(
+                jnp.sum(flags) <= compact,
+                lambda c4: _fifo_write(
+                    c_rows, slot[topi], ids_p[topi], dst_p[topi],
+                    dep_p[topi],
+                    jnp.where(c_rows < R, ids_p[topi], A), c4,
+                ),
+                lambda c4: _fifo_write(
+                    rows, slot, ids_p, dst_p, dep_p,
+                    jnp.where(active, ids_p, A), c4,
+                ),
+                c4,
+            )
+        else:
+            fids, farr, fdep, fdst, ins = _fifo_write(
+                rows, slot, ids_p, dst_p, dep_p,
+                jnp.where(active, ids_p, A), c4,
+            )
+        cnt_s = cnt_s + take
         qhead = (qhead + take) % Q
         qc = qc - take
-        return fids, farr, fdep, fdst, count, qhead, qc, ins
+        return fids, farr, fdep, fdst, cnt_s, qhead, qc, ins
 
     ins0 = jnp.zeros((A if update_inserted else 1,), jnp.int32)
-    fids, farr, fdep, fdst, count, qhead, qcount, ins = jax.lax.while_loop(
+    fids, farr, fdep, fdst, cnt_s, qhead, qcount, ins = jax.lax.while_loop(
         drain_cond, drain_body,
         (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
-         road.fifo_dest, road.count, backlog.qhead, qcount, ins0),
+         road.fifo_dest, c0_s, backlog.qhead, qcount, ins0),
+    )
+    total_take = cnt_s - c0_s                          # per-SRC drain totals
+    count = count0.at[jnp.where(total_take > 0, g_safe, R)].add(
+        total_take, mode="drop"
     )
     road = road._replace(fifo_ids=fids, fifo_arrival=farr,
                          fifo_departure=fdep, fifo_dest=fdst, count=count)

@@ -402,74 +402,114 @@ def run_episode_shard_map(
             g_bid = st.selected_road[src_nodes]
             gvalid = (g_bid >= 0) & (g_bid < R)
             g_safe = jnp.where(gvalid, g_bid, 0)
-            c0_g = count_g[g_safe].astype(jnp.float32)
+            # r5 consolidation, mirroring core.insert.insert_agents_
+            # backlogged: ONE packed head/count gather + one static row
+            # gather for the loop-invariant reads, a LOCAL cnt_s vector
+            # instead of the per-pass count re-gather (drained rows are
+            # distinct: a road is only bid by its tail SRC), the count
+            # update hoisted out of the loop, and compacted FIFO scatters
+            # at n_src*P >= 4096 (bitwise either way).
+            from ..core.insert import _resolve_compact as _rc
+
+            drain_compact = _rc(sim.insert_compact, n_src * backlog_pop)
+            hc_g = (head_g * (nmax + 1) + count_g)[g_safe]
+            head_gq = hc_g // (nmax + 1)                # static during insert
+            c0_s = hc_g % (nmax + 1)                    # tick-start count
+            cap_s = cap[g_safe]
+            c0_f = c0_s.astype(jnp.float32)
             tt_g = jnp.maximum(
                 ff[g_safe],
                 cc[g_safe] / (
-                    cap[g_safe] + physics.congestion_softening - c0_g
+                    cap_s + physics.congestion_softening - c0_f
                 ),
             )
             dep_stamp_g = t + tt_g                      # [n_src]
-            head_gq = head_g[g_safe]                    # static during insert
             pcol = jnp.arange(backlog_pop, dtype=jnp.int32)[None, :]
             buf = physics.congestion_buffer
-
-            def _remaining(count_cur):
-                return (
-                    cap[g_safe] - buf
-                    - count_cur[g_safe].astype(jnp.float32)
-                ).astype(jnp.int32)
+            rem_cap = (cap_s - buf).astype(jnp.int32)
+            r_loc_s = g_safe - block0
+            in_blk_s = (r_loc_s >= 0) & (r_loc_s < rl)
+            P_ = backlog_pop
 
             def drain_cond(c):
-                fids, farr, fdep, fdst, count_cur, qhead, qc = c
-                return jnp.any(gvalid & (qc > 0) & (_remaining(count_cur) > 0))
+                fids, farr, fdep, fdst, cnt_s, qhead, qc = c
+                return jnp.any(gvalid & (qc > 0) & (rem_cap > cnt_s))
 
             def drain_body(c):
-                fids, farr, fdep, fdst, count_cur, qhead, qc = c
-                cnt_g = count_cur[g_safe]
-                rem = _remaining(count_cur)
-                take = jnp.clip(jnp.minimum(qc, rem), 0, backlog_pop)
+                fids, farr, fdep, fdst, cnt_s, qhead, qc = c
+                rem = rem_cap - cnt_s
+                take = jnp.clip(jnp.minimum(qc, rem), 0, P_)
                 take = jnp.where(gvalid, take, 0)
                 phys = (qhead[:, None] + pcol) % Qd
                 pk = jnp.take_along_axis(qpack, phys[:, :, None], axis=1)
-                ids_p = pk[..., 0]
-                dst_p = pk[..., 1]
-                active = pcol < take[:, None]
-                slot = (head_gq[:, None] + cnt_g[:, None] + pcol) % nmax
-                r_loc = g_safe - block0
-                in_blk = (r_loc >= 0) & (r_loc < rl)
+                ids_p = pk[..., 0].reshape(-1)
+                dst_p = pk[..., 1].reshape(-1)
+                active = (
+                    (pcol < take[:, None]) & in_blk_s[:, None]
+                ).reshape(-1)
+                slot = (
+                    (head_gq[:, None] + cnt_s[:, None] + pcol) % nmax
+                ).reshape(-1)
                 rows = jnp.where(
-                    active & in_blk[:, None],
-                    jnp.broadcast_to(r_loc[:, None], active.shape), rl
+                    active,
+                    jnp.broadcast_to(
+                        r_loc_s[:, None], (n_src, P_)
+                    ).reshape(-1),
+                    rl,
                 )  # rl -> dropped (other shards' roads)
-                fids = fids.at[rows, slot].set(ids_p, mode="drop")
-                farr = farr.at[rows, slot].set(
-                    jnp.broadcast_to(t, active.shape), mode="drop"
-                )
-                fdep = fdep.at[rows, slot].set(
-                    jnp.broadcast_to(dep_stamp_g[:, None], active.shape),
-                    mode="drop",
-                )
-                fdst = fdst.at[rows, slot].set(dst_p, mode="drop")
-                # Replicated global count update (consistent on every shard).
-                count_cur = count_cur.at[
-                    jnp.where(take > 0, g_safe, Rp)
-                ].add(take, mode="drop")
+                dep_p = jnp.broadcast_to(
+                    dep_stamp_g[:, None], (n_src, P_)
+                ).reshape(-1)
+
+                def _w(rws, slt, ids_v, dst_v, dep_v, c4):
+                    fids, farr, fdep, fdst = c4
+                    fids = fids.at[rws, slt].set(ids_v, mode="drop")
+                    farr = farr.at[rws, slt].set(
+                        jnp.broadcast_to(t, ids_v.shape), mode="drop"
+                    )
+                    fdep = fdep.at[rws, slt].set(dep_v, mode="drop")
+                    fdst = fdst.at[rws, slt].set(dst_v, mode="drop")
+                    return fids, farr, fdep, fdst
+
+                c4 = (fids, farr, fdep, fdst)
+                if drain_compact is not None and \
+                        0 < drain_compact < n_src * P_:
+                    flags = active.astype(jnp.int32)
+                    topf, topi = jax.lax.top_k(flags, drain_compact)
+                    selm = topf > 0
+                    c_rows = jnp.where(selm, rows[topi], rl)
+                    fids, farr, fdep, fdst = jax.lax.cond(
+                        jnp.sum(flags) <= drain_compact,
+                        lambda c4: _w(c_rows, slot[topi], ids_p[topi],
+                                      dst_p[topi], dep_p[topi], c4),
+                        lambda c4: _w(rows, slot, ids_p, dst_p, dep_p, c4),
+                        c4,
+                    )
+                else:
+                    fids, farr, fdep, fdst = _w(
+                        rows, slot, ids_p, dst_p, dep_p, c4
+                    )
+                cnt_s = cnt_s + take
                 qhead = (qhead + take) % Qd
                 qc = qc - take
-                return fids, farr, fdep, fdst, count_cur, qhead, qc
+                return fids, farr, fdep, fdst, cnt_s, qhead, qc
 
-            fids, farr, fdep, fdst, count_end, qhead2, qcount2 = (
+            fids, farr, fdep, fdst, cnt_end, qhead2, qcount2 = (
                 jax.lax.while_loop(
                     drain_cond, drain_body,
                     (road.fifo_ids, road.fifo_arrival, road.fifo_departure,
-                     road.fifo_dest, count_g, st.backlog.qhead, qcount),
+                     road.fifo_dest, c0_s, st.backlog.qhead, qcount),
                 )
             )
+            total_take = cnt_end - c0_s
+            # Local count update: add each SRC's take total to its road's
+            # block row (replicated math, block-masked scatter).
+            count_new = road.count.at[
+                jnp.where(in_blk_s & (total_take > 0), r_loc_s, rl)
+            ].add(total_take, mode="drop")
             road = road._replace(
                 fifo_ids=fids, fifo_arrival=farr, fifo_departure=fdep,
-                fifo_dest=fdst,
-                count=jax.lax.dynamic_slice_in_dim(count_end, block0, rl),
+                fifo_dest=fdst, count=count_new,
             )
             st = st._replace(
                 backlog=st.backlog._replace(
