@@ -93,6 +93,32 @@ def _block_roll_read(mat, shift, sel_blk, exc_blk, block0, rl: int, R: int):
     return out
 
 
+# Compiled-episode cache: tracing + lowering the ~700-op tick body through
+# shard_map costs ~1.1 s of HOST time per call (measured: an empty "shell"
+# body still showed a flat 2.25 ms/tick floor at 510 ticks — pure retrace,
+# scripts/ablate_shard_phases.py).  jax caches compiled programs PER JIT
+# OBJECT, and this module used to build a fresh closure + jax.jit every
+# call.  Keyed on everything trace-relevant; strong refs keep ids stable;
+# LRU-capped.
+_EPISODE_JIT_CACHE: "dict[tuple, tuple]" = {}
+_EPISODE_JIT_CAP = 16
+_RECONSTRUCT_JIT = None
+
+
+def _episode_cache_get(key):
+    hit = _EPISODE_JIT_CACHE.pop(key, None)
+    if hit is not None:
+        _EPISODE_JIT_CACHE[key] = hit  # move to MRU
+        return hit[0]
+    return None
+
+
+def _episode_cache_put(key, fn, refs):
+    _EPISODE_JIT_CACHE[key] = (fn, refs)
+    while len(_EPISODE_JIT_CACHE) > _EPISODE_JIT_CAP:
+        _EPISODE_JIT_CACHE.pop(next(iter(_EPISODE_JIT_CACHE)))
+
+
 def make_road_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
@@ -1429,16 +1455,35 @@ def run_episode_shard_map(
             ),
         )
 
+    cache_key = (
+        id(network), id(policy), num_steps, S,
+        tuple(int(d.id) for d in mesh.devices.flat),
+        repr(sim), repr(routing), repr(physics),
+        use_backlog, A, R,
+        os.environ.get("TARL_SHARD_SKIP", ""),
+        os.environ.get("TARL_FUSED_SHARD", ""),
+        os.environ.get("TARL_NO_ROLL", ""),
+        os.environ.get("TARL_BACKLOG_POP", ""),
+    )
+    episode_jit = _episode_cache_get(cache_key)
+    if episode_jit is None:
+        episode_jit = jax.jit(episode)
+        # The strong refs pin id(network)/id(policy) for the cache's life.
+        _episode_cache_put(cache_key, episode_jit, (network, policy))
     with mesh:
-        final, log = jax.jit(episode)(state)
+        final, log = episode_jit(state)
 
     if use_backlog:
         # The lazy inserted flag, reconstructed once per episode exactly as
         # the serial drivers do (agents/queues are replicated, so this runs
-        # on the unsharded final state).
-        from ..core.insert import reconstruct_inserted
+        # on the unsharded final state).  Jitted and cached: eager ops over
+        # the axon tunnel cost a network round-trip EACH.
+        global _RECONSTRUCT_JIT
+        if _RECONSTRUCT_JIT is None:
+            from ..core.insert import reconstruct_inserted
 
-        final = final._replace(agents=reconstruct_inserted(
+            _RECONSTRUCT_JIT = jax.jit(reconstruct_inserted)
+        final = final._replace(agents=_RECONSTRUCT_JIT(
             final.agents, final.backlog, final.insert_ptr
         ))
 
