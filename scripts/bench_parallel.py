@@ -139,18 +139,22 @@ def _ppo_section(report):
     agents, _ = load_population(
         os.path.join(base, "population"), os.path.join(base, "network")
     )
-    state = init_sim_state(net, agents, policy=Policy(choice=random_choice))
-    rl = RLConfig(rollout_steps=256, minibatch_size=128, num_epochs=5,
-                  reward_mode="progress")
-    ppo = PPO(
-        net,
-        MPNNPolicyNet(num_nodes=net.num_nodes,
-                      num_node_embeddings=net.num_roads + 1,
-                      use_distance_prior=True, prior_scale=30.0),
-        MPNNValueNetSimple(),
-        rl=rl,
-    )
-    ts = ppo.init(state, jax.random.PRNGKey(0))
+    from tarl_tpu.config import SimConfig
+    from tarl_tpu.state import sort_agents_by_departure
+
+    agents = sort_agents_by_departure(agents)
+    rl = RLConfig(rollout_steps=256, minibatch_size=128, num_epochs=5)
+
+    def make_ppo(sim_cfg):
+        return PPO(
+            net,
+            MPNNPolicyNet(num_nodes=net.num_nodes,
+                          num_node_embeddings=net.num_roads + 1,
+                          use_distance_prior=True, prior_scale=30.0),
+            MPNNValueNetSimple(),
+            rl=rl,
+            sim_cfg=sim_cfg,
+        )
 
     def timed_iter(step, ts, n=3):
         ts, m = step(ts)          # compile + warm
@@ -161,19 +165,36 @@ def _ppo_section(report):
         jax.block_until_ready(m.loss_total)
         return (time.time() - t0) / n
 
-    it_s = timed_iter(ppo.train_iteration, ts)
+    # (c) the r2-comparable north star (docs/BENCH.md:286-291): windowed
+    # insert, default reward mode, 256-step rollout, 5x2 minibatch epochs.
+    sim_w = SimConfig(insert_window=1024, sorted_population=True)
+    ppo_w = make_ppo(sim_w)
+    state = init_sim_state(net, agents, sim=sim_w,
+                           policy=Policy(choice=random_choice))
+    it_s = timed_iter(ppo_w.train_iteration,
+                      ppo_w.init(state, jax.random.PRNGKey(0)))
     report["ppo_iter_s"] = round(it_s, 4)
     report["ppo_env_steps_per_sec"] = round(rl.rollout_steps / it_s, 1)
-    print(f"PPO unsharded: {it_s * 1e3:.1f} ms/iteration "
+    print(f"PPO unsharded (windowed): {it_s * 1e3:.1f} ms/iteration "
           f"({report['ppo_env_steps_per_sec']:,.0f} env-steps/s while "
           "training)", flush=True)
 
-    spat = SpatialPPO(ppo, make_spatial_mesh(1))
-    it_sp = timed_iter(spat.train_iteration, ts)
+    # (b) SpatialPPO overhead, matched configs (whole-population insert —
+    # the env formulation SpatialPPO mirrors).
+    sim_wp = SimConfig()
+    ppo_wp = make_ppo(sim_wp)
+    state_wp = init_sim_state(net, agents, sim=sim_wp,
+                              policy=Policy(choice=random_choice))
+    ts_wp = ppo_wp.init(state_wp, jax.random.PRNGKey(0))
+    it_wp = timed_iter(ppo_wp.train_iteration, ts_wp)
+    report["ppo_wholepop_iter_s"] = round(it_wp, 4)
+    spat = SpatialPPO(ppo_wp, make_spatial_mesh(1))
+    it_sp = timed_iter(spat.train_iteration, ts_wp)
     report["spatial_ppo_iter_s"] = round(it_sp, 4)
-    report["spatial_ppo_overhead_x"] = round(it_sp / it_s, 2)
-    print(f"SpatialPPO(1): {it_sp * 1e3:.1f} ms/iteration "
-          f"({report['spatial_ppo_overhead_x']}x unsharded)", flush=True)
+    report["spatial_ppo_overhead_x"] = round(it_sp / it_wp, 2)
+    print(f"PPO unsharded (whole-pop): {it_wp * 1e3:.1f} ms/iteration; "
+          f"SpatialPPO(1): {it_sp * 1e3:.1f} ms/iteration "
+          f"({report['spatial_ppo_overhead_x']}x matched)", flush=True)
 
 
 def main() -> None:

@@ -53,6 +53,29 @@ def roll_enabled(shift) -> bool:
 # total — smaller than the op-launch overhead of ~20 rolls).
 MIN_ROADS = 8192
 
+# Measured v5e cost constants (CLAUDE.md "slot-major core redesign"): the
+# serial gather/scatter emitter runs ~7 ns/index; one roll bucket costs one
+# dynamic-slice + select over the [K, C, R] stack — launch-bound at ~8 us
+# regardless of width at these sizes.  A plan therefore beats the direct
+# gather whenever  B * _ROLL_NS + E_exc * _IDX_NS  <  margin * E * _IDX_NS,
+# which on irregular (real-city) meshes admits exception tails far beyond
+# the few-percent budget grids need (a Delaunay street mesh concentrates
+# only ~65-78 % of its turn edges on 24 Hilbert-order offsets — still a
+# 2-3x win over gathering every entry).
+_IDX_NS = 7.0
+_ROLL_NS = 8000.0
+_COST_MARGIN = 0.9
+
+
+def roll_cost_budget(num_entries: int, num_buckets: int) -> int:
+    """Max exception count at which a ``num_buckets``-roll plan still beats
+    the direct gather of ``num_entries`` indices under the measured cost
+    model (0 when the rolls alone already cost more)."""
+    budget = (_COST_MARGIN * num_entries
+              - num_buckets * (_ROLL_NS / _IDX_NS))
+    return max(int(budget), 0)
+
+
 
 def build_roll_plan(
     tab: np.ndarray,
@@ -115,7 +138,11 @@ def build_roll_plan(
         sel[ok & (off == o)] = j
     sel[~ok] = 0  # padding slots: value unused, avoid exceptions
     exc_k, exc_v = np.nonzero(ok & (sel == B))
-    if exc_k.shape[0] > max_exc_frac * K * R:
+    # Accept on EITHER criterion: the classic exception-fraction budget
+    # (grid-like tables) or the cost model (irregular tables whose big
+    # exception tail still undercuts the full gather).
+    if exc_k.shape[0] > max(max_exc_frac * K * R,
+                            roll_cost_budget(int(ok.sum()), B)):
         return _decline()
 
     exc_k_np = exc_k.astype(np.int32)

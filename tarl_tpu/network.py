@@ -342,7 +342,12 @@ def roll_friendly_road_order(
     R = int(from_inter.shape[0])
     e_u, e_v = _turn_edge_pairs(from_inter, to_inter, num_intersections)
     floor = max(64, e_u.size // 512)
-    budget = max_exc_frac * e_u.size
+    from .core.roll_gather import roll_cost_budget
+
+    # Dual acceptance, mirroring build_roll_plan: the fraction budget for
+    # near-regular layouts, the measured cost model for irregular ones.
+    budget = max(max_exc_frac * e_u.size,
+                 roll_cost_budget(e_u.size, max_buckets))
     identity = np.arange(R, dtype=np.int64)
     if _order_exceptions(identity, e_u, e_v, R, max_buckets, floor) <= budget:
         return None  # input order already viable — change nothing
