@@ -34,10 +34,12 @@ def test_renumber_enables_roll_plan(radial, monkeypatch):
     ro = np.asarray(net.road_order)
     assert not np.array_equal(ro, np.arange(net.num_roads))
     assert sorted(ro.tolist()) == list(range(net.num_roads))  # a permutation
-    # Kill switch restores the identity order (and the plan declines).
+    # Kill switch restores the identity order.  (Since the r5 cost-model
+    # acceptance the identity order may still build a small high-exception
+    # plan on this fixture — plan presence is no longer asserted, only the
+    # numbering.)
     monkeypatch.setenv("TARL_NO_RENUMBER", "1")
     net_id = load_network(os.path.join(radial, "network"))
-    assert net_id.in_roll_shift.shape[0] == 0
     np.testing.assert_array_equal(np.asarray(net_id.road_order),
                                   np.arange(net_id.num_roads))
 
