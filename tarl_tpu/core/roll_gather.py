@@ -140,9 +140,14 @@ def build_roll_plan(
     exc_k, exc_v = np.nonzero(ok & (sel == B))
     # Accept on EITHER criterion: the classic exception-fraction budget
     # (grid-like tables) or the cost model (irregular tables whose big
-    # exception tail still undercuts the full gather).
+    # exception tail still undercuts the full gather).  The cost-model arm
+    # additionally requires the rolls to cover at least HALF the valid
+    # entries: a marginally-"cheaper" low-coverage plan (the radial metro's
+    # identity order builds B=4 covering 33 %) pays the roll machinery AND
+    # most of the gather, and measured slower than either pure form.
+    n_ok = int(ok.sum())
     if exc_k.shape[0] > max(max_exc_frac * K * R,
-                            roll_cost_budget(int(ok.sum()), B)):
+                            min(roll_cost_budget(n_ok, B), n_ok // 2)):
         return _decline()
 
     exc_k_np = exc_k.astype(np.int32)

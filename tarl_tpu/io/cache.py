@@ -29,7 +29,7 @@ _NET_STATIC_BOOLS = ("renumbered",)
 # objects silently).
 # v11: renumbered-build canonical slot order + static ``renumbered`` flag
 # (core.rng canonical Gumbel addressing).
-CACHE_VERSION = 12
+CACHE_VERSION = 13
 
 
 def save_network(network: Network, path: str) -> None:

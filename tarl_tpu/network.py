@@ -345,12 +345,21 @@ def roll_friendly_road_order(
     from .core.roll_gather import roll_cost_budget
 
     # Dual acceptance, mirroring build_roll_plan: the fraction budget for
-    # near-regular layouts, the measured cost model for irregular ones.
+    # near-regular layouts, the measured cost model (with its half-coverage
+    # floor) for irregular ones.
     budget = max(max_exc_frac * e_u.size,
-                 roll_cost_budget(e_u.size, max_buckets))
+                 min(roll_cost_budget(e_u.size, max_buckets),
+                     e_u.size // 2))
     identity = np.arange(R, dtype=np.int64)
-    if _order_exceptions(identity, e_u, e_v, R, max_buckets, floor) <= budget:
-        return None  # input order already viable — change nothing
+    id_exc = _order_exceptions(identity, e_u, e_v, R, max_buckets, floor)
+    if id_exc <= max_exc_frac * e_u.size:
+        # Input order already GRID-quality — change nothing.  (The early-out
+        # deliberately uses the strict fraction budget, not the cost model:
+        # a merely cost-viable identity order must not pre-empt the search —
+        # the radial metro's identity order once passed the cost model at
+        # 33 % coverage and silently lost the polar B=16 plan, regressing
+        # the radial bench 1.8 -> 4.1 ms/tick.)
+        return None
 
     ranks: list[np.ndarray] = []
     if inter_x is not None and inter_y is not None:
@@ -381,6 +390,13 @@ def roll_friendly_road_order(
         exc = _order_exceptions(pos, e_u, e_v, R, max_buckets, floor)
         if exc <= budget and (best_exc is None or exc < best_exc):
             best, best_exc = order, exc
+    # Relabeling is free at runtime (pure relabeling, trace-identical), so
+    # any meaningfully smaller exception tail is worth taking; the 0.9
+    # margin only avoids churning the numbering for noise-level deltas
+    # (plan cost is B·roll + exc·gather and B is comparable across
+    # candidates, so exceptions are the cost proxy).
+    if best is not None and best_exc > 0.9 * id_exc:
+        best = None
     return best
 
 

@@ -827,7 +827,8 @@ def primal_relax_next_roads(
         # Full-resident form declined (source axis outgrows the scoped
         # VMEM stack): try the row-blocked window form (_rowblock_plan).
         rb_plan = _rowblock_plan(i_n, buckets[0], max_iters,
-                                 extra_cols=8, extra_w=3)
+                                 extra_cols=8, extra_w=3,
+                                 d_cols=dist0.shape[1])
     if nr_tile is not None or rb_plan is not None:
         deltas, _, perm, inv = buckets
         out_r_p, ok_p, b_slot_p = epi_tables
@@ -1030,7 +1031,8 @@ def _multisweep_ok(i_n: int, num_deltas: int, iters: int) -> bool:
 
 
 def _rowblock_plan(i_n: int, deltas, iters: int, extra_cols: int = 4,
-                   extra_w: int = 1) -> tuple | None:
+                   extra_w: int = 1, d_cols: int | None = None
+                   ) -> tuple | None:
     """Row-blocked multisweep plan ``(B, h, tile)`` or None.
 
     When the full-resident kernel's VMEM gate declines (the source axis
@@ -1056,7 +1058,15 @@ def _rowblock_plan(i_n: int, deltas, iters: int, extra_cols: int = 4,
     if max_d == 0:
         return None
     h = _round_up((iters + 1) * max_d, 8)
-    cap = _multisweep_vmem()
+    # The estimate counts the full [I, Dp] kernel outputs: XLA's memory
+    # assigner keeps them resident in the scoped VMEM stack on top of the
+    # kernel's working set (measured on chip at Grid128/1M zoned: the
+    # block=8192 plan estimated 80 MB of tiles but compiled to a 109 MB
+    # scope and failed the 100 MB limit — and granting a larger limit just
+    # made Mosaic schedule a larger scope).  With the output counted, that
+    # shape correctly steps down to block=4096 (fits); Grid256 correctly
+    # declines to the XLA roll-sweep fallback.  8 MB safety margin.
+    cap = _multisweep_vmem() - 8 * 1024 * 1024
     b_pad = _round_up_lane(len(deltas))
     for block in (8192, 16384, 4096):
         if i_n % block != 0 or i_n // block < 2 or h > block // 2:
@@ -1065,6 +1075,8 @@ def _rowblock_plan(i_n: int, deltas, iters: int, extra_cols: int = 4,
         for tile in (256, 128):
             need = (len(deltas) + extra_cols) * 4 * w * tile \
                 + extra_w * 4 * w * b_pad
+            if d_cols is not None:
+                need += 4 * i_n * _round_up(d_cols, tile)
             if need <= cap:
                 return block, h, tile
     return None
@@ -1108,7 +1120,7 @@ def _primal_relax(dist0, road_cost, inter_out_road, inter_out_ok, road_to,
     )
     if ms_tile is None and buckets is not None and \
             os.environ.get("TARL_MULTISWEEP", "1") == "1":
-        rb = _rowblock_plan(i_n, buckets[0], iters)
+        rb = _rowblock_plan(i_n, buckets[0], iters, d_cols=dist0.shape[1])
         if rb is not None:
             deltas, slot_of_road = buckets
             if perm is not None:
