@@ -665,8 +665,8 @@ def insert_agents_backlogged(
         pop_width = int(os.environ.get("TARL_BACKLOG_POP", "4"))
     P = pop_width
 
-    src_nodes = R + 2 * jnp.arange(S, dtype=jnp.int32)
-    g = selected_road[src_nodes]                      # [S] — the re-bid
+    # SRC nodes sit at R, R+2, ..., R+2S-2 — a strided slice, not a gather.
+    g = jax.lax.slice(selected_road, (R,), (R + 2 * S,), (2,))  # the re-bid
     gvalid = (g >= 0) & (g < R)
     g_safe = jnp.where(gvalid, g, 0)
     count0 = road.count                               # stamp snapshot
@@ -732,6 +732,12 @@ def insert_agents_backlogged(
         rem = rem_cap - cnt_s
         take = jnp.clip(jnp.minimum(qc, rem), 0, P)
         take = jnp.where(gvalid, take, 0)
+        # NOTE (r5 negative result, measured on chip at Grid256/2M): a
+        # masked one-hot row-reduction form of this front read ("the
+        # _row_at ring rule") costs P*S*Q select traffic and measured
+        # 12.4 ms/tick exact vs 8.8 with the gather — the 7 ns/element
+        # serial gather WINS at ring width Q=256; the rule only holds for
+        # narrow rings (road Nmax).
         phys = (qhead[:, None] + pcol) % Q             # [S, P]
         pk = jnp.take_along_axis(qpack, phys[:, :, None], axis=1)  # [S,P,2]
         ids_p = pk[..., 0].reshape(-1)
@@ -791,9 +797,22 @@ def insert_agents_backlogged(
          road.fifo_dest, c0_s, backlog.qhead, qcount, ins0),
     )
     total_take = cnt_s - c0_s                          # per-SRC drain totals
-    count = count0.at[jnp.where(total_take > 0, g_safe, R)].add(
-        total_take, mode="drop"
-    )
+    scat_rows = jnp.where(total_take > 0, g_safe, R)
+    if compact is not None and 0 < compact < S:
+        # The per-tick drain touches far fewer SRCs than exist at metro
+        # scale — compact the [S]-index count scatter like the FIFO writes
+        # (bitwise-identical; the full scatter runs on overflow ticks).
+        flags = (total_take > 0).astype(jnp.int32)
+        topf, topi = jax.lax.top_k(flags, compact)
+        count = jax.lax.cond(
+            jnp.sum(flags) <= compact,
+            lambda c: c.at[jnp.where(topf > 0, g_safe[topi], R)].add(
+                total_take[topi], mode="drop"),
+            lambda c: c.at[scat_rows].add(total_take, mode="drop"),
+            count0,
+        )
+    else:
+        count = count0.at[scat_rows].add(total_take, mode="drop")
     road = road._replace(fifo_ids=fids, fifo_arrival=farr,
                          fifo_departure=fdep, fifo_dest=fdst, count=count)
     if update_inserted:

@@ -424,8 +424,10 @@ def run_episode_shard_map(
                 window=sim.insert_window, escalate=sim.insert_escalate,
             )
             n_src, Qd, _ = st.backlog.qpack.shape
-            src_nodes = R + 2 * jnp.arange(n_src, dtype=jnp.int32)
-            g_bid = st.selected_road[src_nodes]
+            # SRC nodes at R, R+2, ..., R+2S-2: strided slice, not a gather.
+            g_bid = jax.lax.slice(
+                st.selected_road, (R,), (R + 2 * n_src,), (2,)
+            )
             gvalid = (g_bid >= 0) & (g_bid < R)
             g_safe = jnp.where(gvalid, g_bid, 0)
             # r5 consolidation, mirroring core.insert.insert_agents_
