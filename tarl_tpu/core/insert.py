@@ -709,10 +709,22 @@ def insert_agents_backlogged(
     # lax.cond, bitwise-identical either way).  Departure stamps unchanged:
     # tick-start occupancy (base.py:313-325).
     hc0 = road.head * (Nmax + 1) + count0              # [R] elementwise pack
-    hc_g = hc0[g_safe]                                 # one gather
+    if (Nmax + 1) ** 2 < 2 ** 24:
+        # Fold the dynamic head/count word into the static row table so ONE
+        # [S, 4] row gather serves all four per-SRC reads (the packed word
+        # round-trips exactly through f32 below 2^24; the [R, 4] concat is
+        # a cheap per-tick vector op).
+        tab4 = jnp.concatenate(
+            [_road_static_tab(network), hc0.astype(jnp.float32)[:, None]],
+            axis=1,
+        )
+        rs_g = tab4[g_safe]                            # [S, 4] one row gather
+        hc_g = rs_g[:, 3].astype(jnp.int32)
+    else:
+        rs_g = _road_static_tab(network)[g_safe]       # [S, 3] row gather
+        hc_g = hc0[g_safe]                             # + one [S] gather
     head_g = hc_g // (Nmax + 1)                        # static during insert
     c0_s = hc_g % (Nmax + 1)                           # tick-start count
-    rs_g = _road_static_tab(network)[g_safe]           # [S, 3] one row gather
     cap_g, cc_g, ff_g = rs_g[:, 0], rs_g[:, 1], rs_g[:, 2]
     tt_g = jnp.maximum(
         ff_g,
